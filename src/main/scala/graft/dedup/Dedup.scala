@@ -1,0 +1,186 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for training-data pipelines, Spark-native:
+ *
+ *  - exact: hash-groupBy on normalized text (one shuffle on the hash);
+ *  - n-gram (shingle) Jaccard: inverted shingle index -> candidate pairs
+ *    -> exact Jaccard — the same blocking/meta-blocking shape as the ER
+ *    core, reused here on documents;
+ *  - MinHash + LSH banding: constant-size signatures replace the shingle
+ *    sets, band buckets replace the full inverted index — the 100 TB path
+ *    (signature size is O(k) per doc regardless of doc length, candidate
+ *    generation is an equi-join on band keys);
+ *  - SimHash: 32-bit fingerprints, banded for candidate generation, exact
+ *    Hamming verification via xor/bit_count.
+ *
+ * Everything is hash arithmetic in Column expressions (codegen-friendly,
+ * no UDFs) with fixed constants so the DuckDB oracle reproduces results
+ * bit-for-bit. At production scale the polynomial string hash would be
+ * xxhash64; the explicit form keeps cross-engine verifiability.
+ */
+object Dedup {
+
+  /** 2^31-1, the modulus for all hash arithmetic here: intermediate
+   * products stay under 2^63 (a * x with a,x < 2^31). */
+  val Mod = 2147483647L
+
+  /** Sequential polynomial hash of a string: fold h = (h*31 + ascii) % Mod.
+   * Char stream via sequence+substr, NOT split(s, "") (Spark keeps a
+   * trailing empty string at limit=-1, DuckDB doesn't); guarded for empty
+   * strings because Spark's sequence(1, 0) counts DOWN. */
+  def strHash(s: Column): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, c) => pmod(acc * 31 + c, lit(Mod))))
+
+  /** Normalized text: lowercase, collapse whitespace runs, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /**
+   * Exact dedup: group by the normalized-text hash, keep the smallest id as
+   * the cluster representative. Returns (doc_id, rep_id); doc_id == rep_id
+   * marks the survivor. One shuffle, map-side combinable.
+   */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val h = docs.select(col(idCol).as("doc_id"), strHash(normalize(col(textCol))).as("h"))
+    h.withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy("h")))
+      .select("doc_id", "rep_id")
+  }
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(n >= 1)
+    docs.select(col(idCol).as("doc_id"),
+        filter(split(normalize(col(textCol)), " "), t => length(t) > 0).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), " +
+          s"i -> array_join(slice(toks, i, $n), ' '))")).as("shingle"))
+      .distinct()
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs: inverted index on the shingle,
+   * candidate pairs from co-occurrence, |A∩B| from the pair count,
+   * Jaccard = common / (|A| + |B| - common) >= threshold. The self-join
+   * shuffles on the shingle — frequency skew is the scale risk, so shingles
+   * shared by more than `maxShingleFreq` docs are dropped (stopword-shingle
+   * purging, same rationale as ER block purging).
+   */
+  def jaccardPairs(sh0: DataFrame, threshold: Double,
+                   maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = sh0.persist() // read by the index (twice, self-join) + sizes
+    val freqOk = sh.withColumn("_f", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("_f") <= maxShingleFreq).drop("_f")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = freqOk.select(col("shingle"), col("doc_id").as("d1"))
+    val b = freqOk.select(col("shingle"), col("doc_id").as("d2"))
+    a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz1") + col("sz2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 9).as("jaccard"))
+  }
+
+  /** Deterministic MinHash permutation constants, reproducible in SQL:
+   * a_i = (1103515245*(i+1) + 12345) % Mod, b_i = (2654435761*(i+1)) % Mod. */
+  def hashA(i: Column): Column = pmod(lit(1103515245L) * (i + 1) + 12345L, lit(Mod))
+  def hashB(i: Column): Column = pmod(lit(2654435761L) * (i + 1), lit(Mod))
+
+  /**
+   * MinHash signatures: k hash functions h_i(x) = (a_i*x + b_i) % Mod over
+   * the shingle hashes; signature position i is the min. Returns
+   * (doc_id, i, sig). Uses explode(sequence) + groupBy — partial (map-side)
+   * min aggregation keeps the shuffle at k rows per doc.
+   */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.select(col("doc_id"), strHash(col("shingle")).as("x"))
+      .select(col("doc_id"), col("x"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        pmod(hashA(col("i")) * col("x") + hashB(col("i")), lit(Mod)).as("hx"))
+      .groupBy("doc_id", "i").agg(min(col("hx")).as("sig"))
+
+  /**
+   * LSH banding: group signature positions into `bands` bands of k/bands
+   * rows; docs sharing any full band form candidate pairs. Candidate
+   * generation is a groupBy on the band key — an equi-join-shaped shuffle,
+   * no quadratic scan. Emits distinct (d1, d2) with the estimated Jaccard
+   * (fraction of equal signature positions).
+   */
+  def minhashLsh(sh: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0)
+    val sig = minhashSignatures(sh, k).persist()
+    val bandKeys = sig
+      .withColumn("band", (col("i") / lit(k / bands)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(",", array_sort(collect_list(
+        concat(col("i"), lit(":"), col("sig"))))).as("band_key"))
+    val a = bandKeys.select(col("band"), col("band_key"), col("doc_id").as("d1"))
+    val b = bandKeys.select(col("band"), col("band_key"), col("doc_id").as("d2"))
+    val cand = a.join(b, Seq("band", "band_key")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val s1 = sig.select(col("doc_id").as("d1"), col("i"), col("sig").as("sig1"))
+    val s2 = sig.select(col("doc_id").as("d2"), col("i"), col("sig").as("sig2"))
+    cand.join(s1, Seq("d1")).join(s2, Seq("d2", "i"))
+      .groupBy("d1", "d2")
+      .agg((sum(when(col("sig1") === col("sig2"), 1).otherwise(0)).cast("double") / k)
+        .as("est_jaccard"))
+      .select(col("d1"), col("d2"), round(col("est_jaccard"), 9).as("est_jaccard"))
+  }
+
+  /**
+   * 32-bit SimHash fingerprints: per distinct token, hash; per bit b,
+   * +1/-1 vote by bit value; fingerprint bit = majority (> 0). Returns
+   * (doc_id, simhash). The 32 votes are one explode + groupBy with
+   * map-side partial sums.
+   */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(filter(split(normalize(col(textCol)), " "), t => length(t) > 0)).as("tok"))
+      .distinct()
+      .select(col("doc_id"), strHash(col("tok")).as("h"))
+    toks.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      .select(col("doc_id"), col("b"),
+        when(expr("shiftright(h, cast(b as int)) & 1") === 1, lit(1))
+          .otherwise(lit(-1)).as("vote"))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("vote")).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance <= maxDist: candidates
+   * share at least one of four 8-bit bands (pigeonhole guarantees recall
+   * for maxDist <= 3), verified with bit_count(xor).
+   */
+  def simhashPairs(fp0: DataFrame, maxDist: Int = 3): DataFrame = {
+    val fp = fp0.persist() // both sides of the band self-join read it
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val",
+        expr("shiftright(simhash, cast(band * 8 as int)) & 255"))
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("d1"), col("simhash").as("f1"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("d2"), col("simhash").as("f2"))
+    a.join(b, Seq("band", "band_val")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("f1").bitwiseXOR(col("f2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.er
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * LSH-based attribute clustering (the BLAST loose-schema alignment):
+ * python/sparker/attribute_clustering.py:95-328, scala LSH.scala:93-369.
+ *
+ * Per (source, attribute): token set -> MinHash signature (k hash
+ * functions over deterministic token hashes) -> band buckets -> cross-source
+ * candidate pairs scored by signature similarity (fraction of equal
+ * positions) -> per-attribute best edges (>= max * maxFactor) -> connected
+ * components -> KeysCluster ids + optional per-cluster mean token entropy.
+ *
+ * Spark-native notes: the attribute universe is tiny (|sources| x
+ * |attributes|), so the signature/bucket stages run as DataFrames (the same
+ * minhash arithmetic as graft.dedup.Dedup, shared constants) and connected
+ * components run as iterative min-label propagation over DataFrames — no
+ * GraphX dependency, deterministic, and still distributed if the attribute
+ * graph ever grows. Divergence (documented): the reference hashes tokens
+ * to dense ids via zipWithIndex (arrival order); we use the deterministic
+ * polynomial hash so results are stable and SQL-reproducible.
+ */
+object AttributeClustering {
+
+  import graft.dedup.Dedup.{strHash, Mod, hashA, hashB}
+
+  /** Qualified attribute name, the clustering unit: "<source>_<attr>". */
+  def qualify(sourceId: org.apache.spark.sql.Column, attribute: org.apache.spark.sql.Column,
+              sep: String = "_"): org.apache.spark.sql.Column =
+    concat(sourceId.cast("string"), lit(sep), attribute)
+
+  /** Distinct (qattr, token) pairs from the long attribute layout
+   * (profile_id, source_id, attribute, value). */
+  def attrTokens(attrs: DataFrame, keysToExclude: Seq[String] = Nil): DataFrame = {
+    val base = attrs
+      .filter(col("attribute").isNotNull && col("value").isNotNull)
+      .select(qualify(col("source_id"), col("attribute")).as("qattr"),
+        explode(split(lower(col("value")), Blocking.TokenSplitRe)).as("token"))
+      .filter(length(col("token")) > 0)
+    (if (keysToExclude.isEmpty) base
+     else base.filter(!col("token").isin(keysToExclude: _*)))
+      .distinct()
+  }
+
+  /** MinHash signatures per qualified attribute: (qattr, i, sig), i < k. */
+  def signatures(tokens: DataFrame, k: Int): DataFrame =
+    tokens.select(col("qattr"), strHash(col("token")).as("x"))
+      .select(col("qattr"), col("x"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col("qattr"), col("i"),
+        pmod(hashA(col("i")) * col("x") + hashB(col("i")), lit(Mod)).as("hx"))
+      .groupBy("qattr", "i").agg(min(col("hx")).as("sig"))
+
+  /**
+   * Cross-source candidate pairs from band buckets, scored by the fraction
+   * of equal signature positions (attribute_clustering.py:214-227).
+   * Sources differ when the qualified prefixes differ.
+   */
+  def candidatePairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0)
+    val s = sig.persist()
+    val bandKeys = s
+      .withColumn("band", (col("i") / lit(k / bands)).cast("int"))
+      .groupBy("qattr", "band")
+      .agg(concat_ws(",", array_sort(collect_list(
+        concat(col("i"), lit(":"), col("sig"))))).as("band_key"))
+    val a = bandKeys.select(col("band"), col("band_key"), col("qattr").as("a1"))
+    val b = bandKeys.select(col("band"), col("band_key"), col("qattr").as("a2"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("a1") < col("a2") &&
+        split(col("a1"), "_").getItem(0) =!= split(col("a2"), "_").getItem(0))
+      .select("a1", "a2").distinct()
+    val s1 = s.select(col("qattr").as("a1"), col("i"), col("sig").as("sig1"))
+    val s2 = s.select(col("qattr").as("a2"), col("i"), col("sig").as("sig2"))
+    cand.join(s1, Seq("a1")).join(s2, Seq("a2", "i"))
+      .groupBy("a1", "a2")
+      .agg((sum(when(col("sig1") === col("sig2"), 1).otherwise(0)).cast("double") / k)
+        .as("sim"))
+  }
+
+  /** Keep, per attribute, edges with sim >= max(sim of that attribute) *
+   * maxFactor (attribute_clustering.py:229-237); an edge survives if either
+   * endpoint retains it. */
+  def bestEdges(pairs: DataFrame, maxFactor: Double): DataFrame = {
+    val directed = pairs.select(col("a1").as("a"), col("a2").as("b"), col("sim"))
+      .union(pairs.select(col("a2").as("a"), col("a1").as("b"), col("sim")))
+    val maxes = directed.groupBy("a").agg(max(col("sim")).as("mx"))
+    directed.join(maxes, Seq("a"))
+      .filter(col("sim") >= col("mx") * maxFactor - 1e-12)
+      .select(least(col("a"), col("b")).as("a1"),
+        greatest(col("a"), col("b")).as("a2"), col("sim"))
+      .distinct()
+  }
+
+  /**
+   * Connected components by iterative min-label propagation: label(v) =
+   * min qattr (string order) reachable; loops until fixpoint. The
+   * attribute graph has at most |sources|*|attrs| vertices, so this
+   * converges in a handful of tiny jobs.
+   */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    var labels = vertices.select(col("qattr"), col("qattr").as("lbl")).persist()
+    val undirected = edges.select(col("a1").as("u"), col("a2").as("v"))
+      .union(edges.select(col("a2").as("u"), col("a1").as("v"))).persist()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 20) {
+      val viaNeighbor = undirected
+        .join(labels.select(col("qattr").as("u"), col("lbl")), Seq("u"))
+        .select(col("v").as("qattr"), col("lbl"))
+      val next = labels.select("qattr", "lbl").union(viaNeighbor)
+        .groupBy("qattr").agg(min(col("lbl")).as("lbl")).persist()
+      val diff = next.join(labels.withColumnRenamed("lbl", "old"), Seq("qattr"))
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      changed = diff > 0
+      iter += 1
+    }
+    labels
+  }
+
+  /**
+   * Full clustering: returns (qattr, cluster_id, entropy). Clustered
+   * components get ids 0..n-1 ordered by their min attribute name;
+   * unclustered attributes fall into the default cluster (id = n), like
+   * the reference's leftover cluster. Entropy (if computed) is the mean
+   * Shannon entropy (log2) of the token distributions of the cluster's
+   * attributes (attribute_clustering.py:263-313).
+   */
+  def clusterAttributes(attrs: DataFrame, k: Int = 16, bands: Int = 4,
+                        maxFactor: Double = 0.8,
+                        computeEntropy: Boolean = true): DataFrame = {
+    val tokens = attrTokens(attrs).persist()
+    val sig = signatures(tokens, k)
+    val cand = candidatePairs(sig, k, bands)
+    val kept = bestEdges(cand, maxFactor).persist()
+    val vertices = tokens.select("qattr").distinct().persist()
+    val inEdges = kept.select(col("a1").as("qattr"))
+      .union(kept.select(col("a2").as("qattr"))).distinct()
+    val clusteredLabels = connectedComponents(inEdges, kept)
+    // dense cluster ids by component label order
+    val ids = clusteredLabels.select("lbl").distinct()
+      .withColumn("cluster_id", (row_number().over(Window.orderBy("lbl")) - 1).cast("int"))
+    val nClusters = ids.count().toInt
+    val assigned = clusteredLabels.join(ids, Seq("lbl")).select("qattr", "cluster_id")
+    val allAssigned = vertices.join(assigned, Seq("qattr"), "left")
+      .na.fill(Map("cluster_id" -> nClusters))
+    if (!computeEntropy) return allAssigned.withColumn("entropy", lit(1.0))
+
+    // per-attribute token counts over profile occurrences (non-distinct)
+    val occurrences = attrs
+      .filter(col("attribute").isNotNull && col("value").isNotNull)
+      .select(qualify(col("source_id"), col("attribute")).as("qattr"),
+        explode(split(lower(col("value")), Blocking.TokenSplitRe)).as("token"))
+      .filter(length(col("token")) > 0)
+    val tokenCounts = occurrences.groupBy("qattr", "token").agg(count(lit(1)).as("c"))
+    val attrTotals = tokenCounts.groupBy("qattr").agg(sum(col("c")).as("tot"))
+    val attrEntropy = tokenCounts.join(attrTotals, Seq("qattr"))
+      .withColumn("p", col("c").cast("double") / col("tot"))
+      .groupBy("qattr")
+      .agg((-sum(col("p") * log2(col("p")))).as("attr_entropy"))
+    val clusterEntropy = allAssigned.join(attrEntropy, Seq("qattr"), "left")
+      .na.fill(Map("attr_entropy" -> 0.0))
+      .groupBy("cluster_id")
+      .agg((sum(col("attr_entropy")) / count(lit(1))).as("entropy"))
+    allAssigned.join(clusterEntropy, Seq("cluster_id"))
+      .select("qattr", "cluster_id", "entropy")
+  }
+
+  /**
+   * Cluster-qualified blocking keys (Blocking.create_blocks_clusters,
+   * python/sparker/blockers.py:8-79): token keys suffixed with the LSH
+   * cluster id of their source-qualified attribute; the block inherits the
+   * cluster entropy. clusters: (qattr, cluster_id, entropy) — broadcast
+   * joined (tiny).
+   */
+  def clusterKeys(attrs: DataFrame, clusters: DataFrame): DataFrame = {
+    val toks = attrs
+      .filter(col("attribute").isNotNull && col("value").isNotNull)
+      .select(col("profile_id"), col("source_id"),
+        qualify(col("source_id"), col("attribute")).as("qattr"),
+        explode(split(lower(col("value")), Blocking.TokenSplitRe)).as("token"))
+      .filter(length(col("token")) > 0)
+    toks.join(broadcast(clusters), Seq("qattr"))
+      .select(col("profile_id"), col("source_id"),
+        concat(col("token"), lit("_"), col("cluster_id")).as("key"),
+        col("entropy"))
+      .distinct()
+  }
+}

@@ -1,0 +1,156 @@
+package graft.er
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Schema-agnostic blocking: turns profiles (in the normalized "long"
+ * attribute layout) into blocking keys and block collections.
+ *
+ * Data model conventions (all plain DataFrames so Catalyst can optimize
+ * end-to-end; no collected indexes anywhere):
+ *
+ *  - attrs:   (profile_id: long, source_id: int, attribute: string, value: string)
+ *  - keys:    (profile_id: long, source_id: int, key: string)       distinct per profile
+ *  - members: (key: string, profile_id: long, source_id: int)       long-form block collection
+ *  - stats:   (key: string, size: long, comparisons: long, arcs_comparisons: double)
+ *
+ * A block is identified by its blocking key (dense numeric block ids are a
+ * presentation detail, see [[Blocking.withDenseBlockIds]]); keeping the key
+ * as the identifier removes a global zipWithIndex from the hot path, which
+ * matters at scale.
+ *
+ * Reference semantics: python/sparker/blocking_strategies.py:33-80 (token /
+ * attr-qualified / n-gram keys), python/sparker/blockers.py:81-113
+ * (create_blocks), python/sparker/objects.py:90-198 (comparison counts:
+ * dirty n*(n-1), clean sum of cross-source products).
+ */
+object Blocking {
+
+  /** Tokenizer equivalent to the reference's `re.split('\W+', value.lower())`
+   * (python/sparker/blocking_strategies.py:52). ASCII word characters; the
+   * reference uses Python's unicode-aware \W, a documented divergence for
+   * non-ASCII input. */
+  val TokenSplitRe = "[^a-zA-Z0-9_]+"
+
+  /**
+   * Token blocking keys: lowercase, split on non-word chars, drop empties and
+   * excluded keys, distinct per profile.
+   * Mirrors BlockingKeysStrategies.token_blocking
+   * (python/sparker/blocking_strategies.py:33-55); `attrQualified = true`
+   * mirrors token_blocking_w_attr (`attr_token` keys, :6-31).
+   */
+  def tokenKeys(
+      attrs: DataFrame,
+      attributesToExclude: Seq[String] = Nil,
+      keysToExclude: Seq[String] = Nil,
+      attrQualified: Boolean = false): DataFrame = {
+    val base = attrs
+      .filter(col("attribute").isNotNull && col("value").isNotNull)
+      .filter(if (attributesToExclude.isEmpty) lit(true)
+              else !col("attribute").isin(attributesToExclude: _*))
+      .select(col("profile_id"), col("source_id"), col("attribute"),
+        explode(split(lower(col("value")), TokenSplitRe)).as("token"))
+      .filter(length(col("token")) > 0)
+      .filter(if (keysToExclude.isEmpty) lit(true)
+              else !col("token").isin(keysToExclude: _*))
+    val keyed =
+      if (attrQualified)
+        base.select(col("profile_id"), col("source_id"),
+          concat(col("attribute"), lit("_"), col("token")).as("key"))
+      else
+        base.select(col("profile_id"), col("source_id"), col("token").as("key"))
+    keyed.distinct()
+  }
+
+  /**
+   * Character n-gram keys over tokens, padded with '_' * (n-1) on both sides.
+   * Mirrors BlockingKeysStrategies.ngrams_blocking + Utils.get_ngrams
+   * (python/sparker/blocking_strategies.py:57-80, python/sparker/utils.py:6-17).
+   * Implemented with built-in higher-order functions (sequence + substring)
+   * so the whole expression stays inside codegen.
+   */
+  def ngramKeys(
+      attrs: DataFrame,
+      n: Int = 3,
+      attributesToExclude: Seq[String] = Nil,
+      keysToExclude: Seq[String] = Nil): DataFrame = {
+    require(n >= 2, "ngram size must be >= 2")
+    val pad = "_" * (n - 1)
+    val toks = tokenKeys(attrs, attributesToExclude, Nil)
+      .withColumn("padded", concat(lit(pad), col("key"), lit(pad)))
+    toks
+      .select(col("profile_id"), col("source_id"),
+        explode(expr(s"transform(sequence(1, length(padded) - ${n - 1}), i -> substring(padded, i, $n))")).as("key"))
+      .filter(if (keysToExclude.isEmpty) lit(true)
+              else !col("key").isin(keysToExclude: _*))
+      .distinct()
+  }
+
+  /**
+   * Restrict a key collection to valid blocks: >= 2 profiles, and for
+   * clean(-clean) ER at least two distinct sources
+   * (python/sparker/blockers.py:106-110). Single window pass over `key`
+   * instead of aggregate + self-join: one shuffle.
+   */
+  def validBlocks(keys: DataFrame, clean: Boolean): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    val withCounts = keys
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_smin", min(col("source_id")).over(w))
+      .withColumn("_smax", max(col("source_id")).over(w))
+    val valid =
+      if (clean) withCounts.filter(col("_n") > 1 && col("_smin") =!= col("_smax"))
+      else withCounts.filter(col("_n") > 1)
+    valid.select(col("key"), col("profile_id"), col("source_id"))
+  }
+
+  /**
+   * Per-block statistics. `comparisons` follows the reference's
+   * get_comparison_size (dirty: n*(n-1), python/sparker/objects.py:186-190;
+   * clean: sum over source pairs of |si|*|sj|, objects.py:127-143).
+   * `arcs_comparisons` is the divisor the reference's ARCS weighting uses
+   * (dirty: n*(n-1); clean: product over *all* source partitions — empty
+   * partitions make it 0, a faithful reference quirk,
+   * python/sparker/common_node_pruning.py:185-201).
+   */
+  def blockStats(members: DataFrame, clean: Boolean, numSources: Int = 2): DataFrame = {
+    if (!clean) {
+      members.groupBy("key")
+        .agg(count(lit(1)).as("size"))
+        .select(col("key"), col("size"),
+          (col("size") * (col("size") - 1)).as("comparisons"),
+          (col("size") * (col("size") - 1)).cast("double").as("arcs_comparisons"))
+    } else {
+      members.groupBy("key", "source_id")
+        .agg(count(lit(1)).as("s"))
+        .groupBy("key")
+        .agg(
+          sum(col("s")).as("size"),
+          ((sum(col("s")) * sum(col("s")) - sum(col("s") * col("s"))) / 2).cast("long").as("comparisons"),
+          count(lit(1)).as("_nsrc"),
+          // deterministic product (sorted, sequential) of per-source sizes
+          expr("aggregate(array_sort(collect_list(cast(s as double))), cast(1.0 as double), (acc, x) -> acc * x)").as("_arcs_exact"))
+        .select(col("key"), col("size"), col("comparisons"),
+          // empty source partitions zero the product (reference quirk)
+          when(col("_nsrc") < numSources, lit(0.0)).otherwise(col("_arcs_exact")).as("arcs_comparisons"))
+    }
+  }
+
+  /**
+   * Attach dense block ids (0..#blocks-1) ordered by blocking key — only for
+   * presentation / interop with the reference API. Uses zipWithIndex on the
+   * RDD bridge to avoid a single-partition window.
+   */
+  def withDenseBlockIds(stats: DataFrame): DataFrame = {
+    val spark = stats.sparkSession
+    val sorted = stats.orderBy("key")
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("block_id", org.apache.spark.sql.types.LongType, nullable = false) +:
+        sorted.schema.fields)
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(idx +: row.toSeq)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

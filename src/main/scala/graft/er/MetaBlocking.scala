@@ -1,0 +1,361 @@
+package graft.er
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edge-weighting schemes of the meta-blocking graph
+ * (python/sparker/pruning_utils.py:1-10). */
+object WeightType extends Enumeration {
+  val CBS, JS, ECBS, ARCS, ChiSquare, EJS = Value
+}
+
+/** Local-threshold flavors (python/sparker/pruning_utils.py:13-18). */
+object ThresholdType extends Enumeration {
+  val AVG, MaxFract2 = Value
+}
+
+/** Reciprocal (AND) vs non-reciprocal (OR) node pruning
+ * (python/sparker/pruning_utils.py:21-26). */
+object ComparisonType extends Enumeration {
+  val AND, OR = Value
+}
+
+/**
+ * Graph-based meta-blocking, Spark-native: the comparison graph is never
+ * materialized on the driver (the reference broadcasts the whole block index,
+ * scala/.../Experiments/Main.scala:116-118 — its scalability cliff). Here the
+ * graph IS a DataFrame: a self-join of block members on the blocking key,
+ * hash-aggregated to (p1, p2, cbs, ...) by Tungsten, with every weight scheme
+ * a column expression over per-profile / global aggregates joined back in
+ * (broadcast when small, shuffle otherwise — Catalyst/AQE decide).
+ *
+ * Weight semantics follow the (normative) Python reference
+ * python/sparker/common_node_pruning.py, including its quirks:
+ *  - ARCS divides CBS by the product of the comparison counts of *all* the
+ *    profile's blocks (not only shared ones), making it asymmetric
+ *    (common_node_pruning.py:185-201);
+ *  - EJS parenthesizes differently with/without entropy
+ *    (common_node_pruning.py:217-248);
+ *  - with entropy, ARCS multiplies the shared-entropy sum once per block of
+ *    the profile (common_node_pruning.py:196-199).
+ * Documented divergences: the reference's compute_statistics carries a
+ * partition-order-dependent reset bug (common_node_pruning.py:86-90 resets
+ * positions instead of ids) — we compute exact distinct-neighbor degrees;
+ * top-k and tie selections use deterministic (weight desc, id asc) order
+ * where the reference inherits partition order.
+ */
+object MetaBlocking {
+
+  /** Epsilon used by EJS when a profile is missing from the edge index
+   * (common_node_pruning.py:218,230). */
+  val EjsEps = 0.00000000001
+
+  /**
+   * Enumerate the undirected comparison graph of a (cleaned) block
+   * collection with the raw CBS weight: number of blocks shared by the two
+   * profiles (python/sparker/common_node_pruning.py:104-146). p1 < p2; for
+   * clean ER only cross-source pairs are neighbors
+   * (python/sparker/pruning_utils.py:29-53).
+   *
+   * members: (key, profile_id, source_id); optional per-block entropies
+   * (key, entropy) are summed over shared blocks (calc_cbs accumulation,
+   * common_node_pruning.py:133-142).
+   */
+  def cbsPairs(members: DataFrame, clean: Boolean,
+               blockEntropies: Option[DataFrame] = None): DataFrame = {
+    val withEnt = blockEntropies match {
+      case Some(ent) => members.join(ent, Seq("key"), "left")
+        .withColumn("entropy", coalesce(col("entropy"), lit(0.0)))
+      case None => members.withColumn("entropy", lit(0.0))
+    }
+    val a = withEnt.select(col("key"), col("profile_id").as("p1"),
+      col("source_id").as("s1"), col("entropy"))
+    val b = withEnt.select(col("key"), col("profile_id").as("p2"),
+      col("source_id").as("s2"))
+    val cond = if (clean) col("p1") < col("p2") && col("s1") =!= col("s2")
+               else col("p1") < col("p2")
+    a.join(b, Seq("key")).filter(cond)
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("cbs"), sum(col("entropy")).as("entropy_sum"))
+  }
+
+  /**
+   * Per-profile statistics needed by the weight schemes:
+   *  - bp: number of blocks of the profile in the *filtered* profile-block
+   *    index (len(pb.blocks) — includes blocks that later became invalid,
+   *    a faithful reference detail: profile_blocks_size_index is built from
+   *    profile_blocks_filtered, see notebooks / wnp.py:265);
+   *  - nb_valid: number of the profile's blocks present in the valid block
+   *    index (used by ARCS and its entropy exponent);
+   *  - arcs_denom: deterministic (sorted, sequential) product of
+   *    arcs_comparisons over those valid blocks.
+   *
+   * filteredProfileBlocks: (profile_id, key[, comparisons]) after filtering;
+   * validStats: blockStats of the regenerated (valid) blocks.
+   */
+  def profileStats(filteredProfileBlocks: DataFrame, validStats: DataFrame): DataFrame = {
+    val bp = filteredProfileBlocks.groupBy("profile_id")
+      .agg(count(lit(1)).as("bp"))
+    val valid = filteredProfileBlocks.select("profile_id", "key")
+      .join(validStats.select("key", "arcs_comparisons"), Seq("key"))
+      .groupBy("profile_id")
+      .agg(count(lit(1)).as("nb_valid"),
+        expr("aggregate(array_sort(collect_list(arcs_comparisons)), cast(1.0 as double), (acc, x) -> acc * x)")
+          .as("arcs_denom"))
+    bp.join(valid, Seq("profile_id"), "left")
+      .na.fill(Map("nb_valid" -> 0L, "arcs_denom" -> 1.0))
+  }
+
+  /** Exact distinct-neighbor degree per profile and the global number of
+   * distinct edges, for EJS (replaces the reference's buggy
+   * compute_statistics, see class doc). Returns (degrees, 1-row totals). */
+  def edgeStatistics(pairs: DataFrame): (DataFrame, DataFrame) = {
+    val directed = pairs.select(col("p1").as("p")).union(pairs.select(col("p2").as("p")))
+    val degrees = directed.groupBy("p").agg(count(lit(1)).as("degree"))
+    val total = pairs.agg(count(lit(1)).cast("double").as("number_of_edges"))
+    (degrees, total)
+  }
+
+  private def chiSquare(cbs: Column, bpN: Column, bpP: Column, nb: Column): Column = {
+    // python/sparker/common_node_pruning.py:6-35 — 2x2 contingency table
+    // chi-square with margins bpN (neighbor blocks), bpP (profile blocks),
+    // nb (total blocks). Term order kept identical for bit-stable doubles.
+    val c00 = cbs
+    val c01 = bpN - cbs
+    val c10 = bpP - cbs
+    val c11 = nb - (bpN + bpP - cbs)
+    val r0 = bpN            // c_mat[0][2]
+    val r1 = nb - bpN       // c_mat[1][2]
+    val k0 = bpP            // c_mat[2][0]
+    val k1 = nb - bpP       // c_mat[2][1]
+    def term(obs: Column, rowSum: Column, colSum: Column): Column = {
+      val e = (rowSum * colSum) / nb
+      pow(obs - e, 2.0) / e
+    }
+    term(c00, r0, k0) + term(c01, r0, k1) + term(c10, r1, k0) + term(c11, r1, k1)
+  }
+
+  /**
+   * Directed weight of edge (a -> b) computed "from a's perspective", the
+   * orientation the reference uses in both its thresholds pass (all incident
+   * edges) and pruning pass (a = smaller id). Expects columns:
+   * cbs, entropy_sum, bp_a, bp_b, nb_valid_a, arcs_denom_a, degree_a,
+   * degree_b, number_of_blocks, number_of_edges.
+   */
+  def weightColumn(wt: WeightType.Value, useEntropy: Boolean): Column = {
+    val cbs = col("cbs").cast("double")
+    val bpA = col("bp_a").cast("double")
+    val bpB = col("bp_b").cast("double")
+    val nb = col("number_of_blocks").cast("double")
+    val ent = col("entropy_sum")
+    wt match {
+      case WeightType.CBS =>
+        cbs // entropy intentionally ignored (calc_weights has no CBS branch)
+      case WeightType.JS =>
+        val js = cbs / (bpA + bpB - cbs)
+        if (useEntropy) js * ent else js
+      case WeightType.ECBS =>
+        val e = cbs * log10(nb / bpA) * log10(nb / bpB)
+        if (useEntropy) e * ent else e
+      case WeightType.ChiSquare =>
+        val chi = chiSquare(cbs, bpB, bpA, nb)
+        if (useEntropy) chi * ent else chi
+      case WeightType.ARCS =>
+        val w = cbs / col("arcs_denom_a")
+        if (useEntropy) w * pow(ent, col("nb_valid_a").cast("double")) else w
+      case WeightType.EJS =>
+        val js = cbs / (bpA + bpB - cbs)
+        val e = col("number_of_edges")
+        val degB = col("degree_b").cast("double")
+        val epA = col("degree_a").cast("double") + lit(EjsEps)
+        val inner = log10(e / epA)
+        val raw =
+          if (useEntropy) (js * ent) * log10(e / degB * inner)
+          else js * log10(e / (degB * inner))
+        // reference returns 0 on math domain / zero-division errors
+        // (try/except pass, common_node_pruning.py:236-247)
+        when(e <= 0.0 || inner <= 0.0, lit(0.0)).otherwise(raw)
+    }
+  }
+
+  /**
+   * Weighted comparison graph: joins per-profile stats onto the CBS pairs and
+   * computes the directed weights `w1` (from p1's perspective — the weight
+   * the reference's pruning pass uses) and `w2` (from p2's perspective — only
+   * needed by the thresholds pass for asymmetric schemes).
+   */
+  def weightedPairs(
+      pairs: DataFrame,
+      profStats: DataFrame,
+      numberOfBlocks: DataFrame, // 1-row (number_of_blocks)
+      wt: WeightType.Value,
+      useEntropy: Boolean = false): DataFrame = {
+    val s1 = profStats.select(col("profile_id").as("p1"), col("bp").as("bp_a"),
+      col("nb_valid").as("nb_valid_a"), col("arcs_denom").as("arcs_denom_a"))
+    val s2 = profStats.select(col("profile_id").as("p2"), col("bp").as("bp_b"),
+      col("nb_valid").as("nb_valid_b"), col("arcs_denom").as("arcs_denom_b"))
+    var df = pairs.join(s1, Seq("p1")).join(s2, Seq("p2")).crossJoin(numberOfBlocks)
+    if (wt == WeightType.EJS) {
+      val (degrees, total) = edgeStatistics(pairs)
+      df = df
+        .join(degrees.select(col("p").as("p1"), col("degree").as("degree_a")), Seq("p1"))
+        .join(degrees.select(col("p").as("p2"), col("degree").as("degree_b")), Seq("p2"))
+        .crossJoin(total)
+    } else {
+      df = df.withColumn("degree_a", lit(0L)).withColumn("degree_b", lit(0L))
+        .withColumn("number_of_edges", lit(0.0))
+    }
+    df.withColumn("w1", weightColumn(wt, useEntropy))
+      .withColumn("w2", swapWeight(wt, useEntropy))
+      .select("p1", "p2", "cbs", "entropy_sum", "w1", "w2")
+  }
+
+  /** weightColumn with the endpoint roles swapped (p2's perspective). */
+  private def swapWeight(wt: WeightType.Value, useEntropy: Boolean): Column = {
+    val cbs = col("cbs").cast("double")
+    val bpA = col("bp_b").cast("double") // a := p2
+    val bpB = col("bp_a").cast("double")
+    val nb = col("number_of_blocks").cast("double")
+    val ent = col("entropy_sum")
+    wt match {
+      case WeightType.CBS => cbs
+      case WeightType.JS =>
+        val js = cbs / (bpA + bpB - cbs); if (useEntropy) js * ent else js
+      case WeightType.ECBS =>
+        val e = cbs * log10(nb / bpA) * log10(nb / bpB)
+        if (useEntropy) e * ent else e
+      case WeightType.ChiSquare =>
+        val chi = chiSquare(cbs, bpB, bpA, nb)
+        if (useEntropy) chi * ent else chi
+      case WeightType.ARCS =>
+        val w = cbs / col("arcs_denom_b")
+        if (useEntropy) w * pow(ent, col("nb_valid_b").cast("double")) else w
+      case WeightType.EJS =>
+        val js = cbs / (bpA + bpB - cbs)
+        val e = col("number_of_edges")
+        val degB = col("degree_a").cast("double") // neighbor of p2 is p1
+        val epA = col("degree_b").cast("double") + lit(EjsEps)
+        val inner = log10(e / epA)
+        val raw =
+          if (useEntropy) (js * ent) * log10(e / degB * inner)
+          else js * log10(e / (degB * inner))
+        when(e <= 0.0 || inner <= 0.0, lit(0.0)).otherwise(raw)
+    }
+  }
+
+  /** Directed view of the weighted graph: each undirected pair contributes
+   * both (p1 -> p2, w1) and (p2 -> p1, w2) — what the reference's
+   * first_step=True passes enumerate. */
+  def directedEdges(weighted: DataFrame): DataFrame =
+    weighted.select(col("p1").as("a"), col("p2").as("b"), col("w1").as("w"))
+      .union(weighted.select(col("p2").as("a"), col("p1").as("b"), col("w2").as("w")))
+
+  /** Per-profile local thresholds (python/sparker/wnp.py:192-229): AVG =
+   * mean of incident directed weights, MaxFract2 = max / 2. */
+  def localThresholds(weighted: DataFrame, tt: ThresholdType.Value): DataFrame = {
+    val agg = tt match {
+      case ThresholdType.AVG => (sum(col("w")) / count(lit(1))).as("theta")
+      case ThresholdType.MaxFract2 => (max(col("w")) / 2.0).as("theta")
+    }
+    directedEdges(weighted).groupBy(col("a").as("profile_id")).agg(agg)
+  }
+
+  /**
+   * Weighted Node Pruning (python/sparker/wnp.py:231-298). Keeps edge
+   * (p1, p2) — weighted from p1's perspective — when w >= theta(p2) OR/AND
+   * w >= theta(p1); for chi-square weights, when
+   * w >= sqrt(theta(p1)^2 + theta(p2)^2) / chi2divider (the BLAST rule,
+   * wnp.py:47-60). `eps` relaxes the >= for fractional weight schemes whose
+   * thresholds are order-dependent double sums (0 for exact weights).
+   */
+  def wnp(weighted: DataFrame, tt: ThresholdType.Value, ct: ComparisonType.Value,
+          wt: WeightType.Value, chi2divider: Double = 2.0, eps: Double = 0.0): DataFrame = {
+    val th = localThresholds(weighted, tt)
+    val j = weighted
+      .join(th.select(col("profile_id").as("p1"), col("theta").as("t1")), Seq("p1"))
+      .join(th.select(col("profile_id").as("p2"), col("theta").as("t2")), Seq("p2"))
+    val keep =
+      if (wt == WeightType.ChiSquare)
+        col("w1") >= sqrt(pow(col("t1"), 2.0) + pow(col("t2"), 2.0)) / chi2divider - eps
+      else ct match {
+        case ComparisonType.OR => col("w1") >= col("t2") - eps || col("w1") >= col("t1") - eps
+        case ComparisonType.AND => col("w1") >= col("t2") - eps && col("w1") >= col("t1") - eps
+      }
+    j.filter(keep).select(col("p1"), col("p2"), col("w1").as("w"))
+  }
+
+  /** Weighted Edge Pruning (python/sparker/wep.py): keep edges with weight >=
+   * the mean over all directed incident weights (sum(w) / 2E). */
+  def wep(weighted: DataFrame, eps: Double = 0.0): DataFrame = {
+    val thr = directedEdges(weighted).agg((sum(col("w")) / count(lit(1))).as("gthr"))
+    weighted.crossJoin(thr).filter(col("w1") >= col("gthr") - eps)
+      .select(col("p1"), col("p2"), col("w1").as("w"))
+  }
+
+  /**
+   * Cardinality Edge Pruning (python/sparker/cep.py): global top-K edges,
+   * K = floor(sum of valid block sizes / 2). Keeps every edge with weight >
+   * the K-th level and fills the remainder with threshold-level ties in
+   * deterministic (p1, p2) order (the reference fills them in partition
+   * order, cep.py:230-260 — documented divergence). Fully distributed: the
+   * histogram walk is a window over distinct weight levels and tie quotas are
+   * assigned per profile, so no O(edges) driver structure.
+   */
+  def cep(weighted: DataFrame, validStats: DataFrame): DataFrame = {
+    val k = validStats.agg(floor(sum(col("size")) / 2.0).cast("double").as("k"))
+    val hist = weighted.groupBy(col("w1").as("wl")).agg(count(lit(1)).cast("double").as("freq"))
+    val wDesc = Window.orderBy(col("wl").desc)
+    val cum = hist.withColumn("cum", sum(col("freq")).over(wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // first level (walking desc) whose cumulative count reaches K; if the
+    // total never reaches K, the lowest level.
+    val thrRow = cum.crossJoin(k).agg(
+      max(when(col("cum") >= col("k"), col("wl"))).as("thr_hit"),
+      min(col("wl")).as("thr_min"),
+      max(col("k")).as("k")
+    ).select(coalesce(col("thr_hit"), col("thr_min")).as("thr"), col("k"))
+    val withThr = cum.crossJoin(thrRow).filter(col("wl") === col("thr"))
+      .select(col("thr"), (col("freq") - (col("cum") - col("k"))).as("remaining"))
+    val above = weighted.crossJoin(thrRow.select("thr")).filter(col("w1") > col("thr"))
+      .select(col("p1"), col("p2"), col("w1").as("w"))
+    // ties: per-profile quotas consumed in ascending (p1, p2) order
+    val ties = weighted.crossJoin(withThr).filter(col("w1") === col("thr"))
+    val perProf = ties.groupBy("p1").agg(count(lit(1)).as("cnt"))
+      .withColumn("prev", coalesce(sum(col("cnt")).over(
+        Window.orderBy("p1").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tiesKept = ties
+      .join(perProf, Seq("p1"))
+      .withColumn("quota", greatest(least(col("remaining") - col("prev"), col("cnt").cast("double")), lit(0.0)))
+      .withColumn("rn", row_number().over(Window.partitionBy("p1").orderBy("p2")))
+      .filter(col("rn") <= col("quota"))
+      .select(col("p1"), col("p2"), col("w1").as("w"))
+    above.union(tiesKept)
+  }
+
+  /**
+   * Cardinality Node Pruning (python/sparker/cnp.py): per-profile top-k
+   * neighbors by directed weight, k = floor(sum of valid block sizes /
+   * number_of_profiles - 1) (cnp.py:250-260); an edge survives when either
+   * (OR) or both (AND) endpoints retained it. Top-k ties break
+   * deterministically by neighbor id (divergence: np.argpartition order).
+   */
+  def cnp(weighted: DataFrame, validStats: DataFrame, numberOfProfiles: Long,
+          ct: ComparisonType.Value): DataFrame = {
+    val kDf = validStats.agg(
+      floor(sum(col("size")).cast("double") / numberOfProfiles - 1.0).cast("long").as("k"))
+    val retained = directedEdges(weighted).crossJoin(kDf)
+      .withColumn("rn", row_number().over(Window.partitionBy("a").orderBy(col("w").desc, col("b").asc)))
+      .filter(col("rn") <= col("k"))
+      .select(col("a"), col("b"))
+    val r1 = retained.select(col("a").as("p1"), col("b").as("p2"), lit(1).as("in1"))
+    val r2 = retained.select(col("b").as("p1"), col("a").as("p2"), lit(1).as("in2"))
+    val j = weighted.select("p1", "p2", "w1")
+      .join(r1, Seq("p1", "p2"), "left")
+      .join(r2, Seq("p1", "p2"), "left")
+    val keep = ct match {
+      case ComparisonType.OR => col("in1").isNotNull || col("in2").isNotNull
+      case ComparisonType.AND => col("in1").isNotNull && col("in2").isNotNull
+    }
+    j.filter(keep).select(col("p1"), col("p2"), col("w1").as("w"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.er
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end blocking + cleaning pipeline state. All members are lazy
+ * DataFrames; persist() the ones reused across several downstream queries.
+ *
+ *  - members0/stats0: the raw valid block collection from the keys
+ *  - stats1/members1: after block purging
+ *  - profileBlocksF:  after per-profile block filtering (profile_id, key,
+ *                     comparisons) — the reference's profile_blocks_filtered
+ *  - members2/stats2: blocks regenerated from the filtered profile index,
+ *                     re-validated (>=2 profiles, cross-source for clean) —
+ *                     the reference's block index for meta-blocking
+ */
+final case class CleanedBlocks(
+    clean: Boolean,
+    members0: DataFrame,
+    stats0: DataFrame,
+    stats1: DataFrame,
+    members1: DataFrame,
+    profileBlocksF: DataFrame,
+    members2: DataFrame,
+    stats2: DataFrame) {
+
+  /** 1-row DataFrame with the valid-block count (|B| in ECBS/chi2). */
+  def numberOfBlocks: DataFrame =
+    stats2.agg(count(lit(1)).as("number_of_blocks"))
+
+  /** Per-profile stats for the weight schemes. */
+  def profileStats: DataFrame = MetaBlocking.profileStats(profileBlocksF, stats2)
+
+  /** Undirected CBS comparison graph. */
+  def pairs(blockEntropies: Option[DataFrame] = None): DataFrame =
+    MetaBlocking.cbsPairs(members2, clean, blockEntropies)
+
+  /** Weighted comparison graph for a scheme. */
+  def weighted(wt: WeightType.Value, useEntropy: Boolean = false,
+               blockEntropies: Option[DataFrame] = None): DataFrame =
+    MetaBlocking.weightedPairs(pairs(blockEntropies), profileStats, numberOfBlocks, wt, useEntropy)
+}
+
+object Pipeline {
+  /**
+   * Canonical pipeline spine (README.md:42-47 of the reference): blocking
+   * keys -> valid blocks -> purging -> filtering -> re-validated blocks.
+   *
+   * keys: (profile_id, source_id, key) distinct — from Blocking.tokenKeys /
+   * ngramKeys / AttributeClustering-qualified keys.
+   */
+  def cleanBlocks(keys: DataFrame, clean: Boolean, smoothFactor: Double = 1.005,
+                  filterFactor: Double = 0.8, numSources: Int = 2): CleanedBlocks = {
+    val members0 = Blocking.validBlocks(keys, clean)
+    val stats0 = Blocking.blockStats(members0, clean, numSources)
+    val stats1 = BlockCleaning.purge(stats0, smoothFactor)
+    val members1 = members0.join(stats1.select("key"), Seq("key"), "left_semi")
+    val profileBlocks = members1
+      .join(stats1.select("key", "comparisons"), Seq("key"))
+      .select("profile_id", "source_id", "key", "comparisons")
+    val profileBlocksF = BlockCleaning.filterProfileBlocks(profileBlocks, filterFactor)
+    val members2 = Blocking.validBlocks(
+      profileBlocksF.select("key", "profile_id", "source_id"), clean)
+    val stats2 = Blocking.blockStats(members2, clean, numSources)
+    CleanedBlocks(clean, members0, stats0, stats1, members1, profileBlocksF, members2, stats2)
+  }
+}
+
+/**
+ * PC / PQ / F1 evaluation against a ground truth — the reference's
+ * correctness currency (python/sparker/utils.py:19-83,
+ * supervised_metablocking.py:182-203).
+ */
+object Evaluation {
+  /** candidates: (p1, p2) with p1 < p2; gt: (p1, p2) with p1 < p2.
+   * Returns 1 row (num_candidates, num_matches, num_gt, pc, pq, f1). */
+  def pcPq(candidates: DataFrame, gt: DataFrame): DataFrame = {
+    // localCheckpoint both inputs: each feeds 2-3 of the count aggregates
+    // below, and `candidates` is typically an expensive pruning-pipeline
+    // plan whose re-analysis alone is costly (see ErQueries.cleaned note)
+    val cand = candidates.select("p1", "p2").distinct().localCheckpoint()
+    val gtd = gt.select("p1", "p2").distinct().localCheckpoint()
+    val matches = cand.join(gtd, Seq("p1", "p2"), "left_semi")
+    val nc = cand.agg(count(lit(1)).as("num_candidates"))
+    val nm = matches.agg(count(lit(1)).as("num_matches"))
+    val ng = gtd.agg(count(lit(1)).as("num_gt"))
+    nc.crossJoin(nm).crossJoin(ng)
+      .withColumn("pc", col("num_matches").cast("double") / col("num_gt"))
+      .withColumn("pq", when(col("num_candidates") > 0,
+        col("num_matches").cast("double") / col("num_candidates")).otherwise(lit(0.0)))
+      .withColumn("f1", when(col("pc") + col("pq") > 0.0,
+        lit(2.0) * col("pc") * col("pq") / (col("pc") + col("pq"))).otherwise(lit(0.0)))
+  }
+
+  /**
+   * Ground-truth id conversion (python/sparker/converters.py:10-57): maps
+   * pairs of original ids to engine profile ids via two joins, emits
+   * (least, greatest) and drops pairs with a missing side. Stays distributed
+   * (the reference collects to a driver-side set).
+   */
+  def convertGroundTruth(gt: DataFrame, profiles1: DataFrame, profiles2: DataFrame): DataFrame = {
+    val m1 = profiles1.select(col("original_id").as("id1"), col("profile_id").as("_p1"))
+    val m2 = profiles2.select(col("original_id").as("id2"), col("profile_id").as("_p2"))
+    gt.join(m1, Seq("id1")).join(m2, Seq("id2"))
+      .select(least(col("_p1"), col("_p2")).as("p1"),
+        greatest(col("_p1"), col("_p2")).as("p2"))
+      .distinct()
+  }
+}

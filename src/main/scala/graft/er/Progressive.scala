@@ -1,0 +1,104 @@
+package graft.er
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Progressive ER: best-first emission of comparisons.
+ *
+ *  - PPS (Progressive Profile Scheduling, python/sparker/progressive.py:7-281):
+ *    the reference streams comparisons through a driver-side PriorityQueue,
+ *    refilled in mini-batches. Spark-natively the same order is a ranked
+ *    DataFrame: per-profile top-k neighborhoods, profiles scheduled by
+ *    mean top-weight ("duplication likelihood"), a global emission rank on
+ *    top. Consumers stream it with toLocalIterator / limit batches.
+ *  - GSPSN (Global Sorted-Neighborhood, progressive.py:283-400): blocking
+ *    keys sorted globally, profiles within a sliding position window
+ *    become candidates, weight = positional-CBS Jaccard.
+ *
+ * Determinism divergences (documented): the reference sorts tokens without
+ *  a tiebreak and inherits heap/partition order for equal weights; we order
+ *  (token, profile_id) and (weight desc, p1, p2).
+ */
+object Progressive {
+
+  /** Per-profile top-k directed comparisons by weight
+   * (calc_top_comparisons, progressive.py:12-70). */
+  def topComparisons(weighted: DataFrame, k: Int): DataFrame =
+    MetaBlocking.directedEdges(weighted)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(col("w").desc, col("b").asc)))
+      .filter(col("rn") <= k)
+
+  /**
+   * PPS emission order: profiles ranked by the mean weight of their top-k
+   * neighborhood (likelihood of having duplicates), comparisons within a
+   * profile by weight desc; the global rank is the stream order the
+   * reference's PriorityQueue would emit. Emits (rank, p1, p2, w) for the
+   * first `limit` comparisons (p1 < p2, deduplicated keeping the best
+   * rank).
+   */
+  def ppsEmission(weighted: DataFrame, k: Int = 20, limit: Int = 1000): DataFrame = {
+    val top = topComparisons(weighted, k).persist()
+    val likelihood = top.groupBy(col("a"))
+      .agg((sum(col("w")) / count(lit(1))).as("likelihood"))
+    val ranked = top.join(likelihood, Seq("a"))
+      .select(
+        least(col("a"), col("b")).as("p1"),
+        greatest(col("a"), col("b")).as("p2"),
+        col("w"), col("likelihood"), col("a"))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("likelihood").desc, col("a").asc, col("w").desc, col("p2").asc)))
+      .filter(col("rank") <= limit)
+    ranked
+      .withColumn("keep", row_number().over(
+        Window.partitionBy("p1", "p2").orderBy(col("rank").asc)))
+      .filter(col("keep") === 1)
+      .select(col("rank"), col("p1"), col("p2"), round(col("w"), 9).as("w"))
+  }
+
+  /** Global token-stream positions: (pos, profile_id) with pos dense over
+   * (key, profile_id) order. zipWithIndex on the RDD bridge — no
+   * single-partition window at scale; values equal ROW_NUMBER() - 1. */
+  def tokenPositions(keys: DataFrame): DataFrame = {
+    val spark = keys.sparkSession
+    val sorted = keys.select("key", "profile_id").orderBy("key", "profile_id")
+    val schema = StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("profile_id", LongType, nullable = false)))
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      Row(idx, row.getLong(row.fieldIndex("profile_id")))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /**
+   * GSPSN candidates: profiles whose positions fall within `window` of each
+   * other (range self-join on the position), p1 < p2 (and cross-source via
+   * the caller pre-filtering sources if clean); positional CBS = number of
+   * such position pairs; weight = cbs / (|pos(p1)| + |pos(p2)| - cbs);
+   * emission rank by (weight desc, p1, p2).
+   */
+  def gspsn(keys: DataFrame, window: Int = 2, limit: Int = 1000): DataFrame = {
+    val pos = tokenPositions(keys).persist()
+    val counts = pos.groupBy("profile_id").agg(count(lit(1)).as("np"))
+    val a = pos.select(col("pos").as("pa"), col("profile_id").as("pa_id"))
+    val b = pos.select(col("pos").as("pb"), col("profile_id").as("pb_id"))
+    val cbs = a.join(b,
+        col("pb") >= col("pa") - window && col("pb") <= col("pa") + window &&
+          col("pb") =!= col("pa") && col("pb_id") < col("pa_id"))
+      .select(col("pb_id").as("p1"), col("pa_id").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("cbs"))
+    cbs
+      .join(counts.select(col("profile_id").as("p1"), col("np").as("np1")), Seq("p1"))
+      .join(counts.select(col("profile_id").as("p2"), col("np").as("np2")), Seq("p2"))
+      .select(col("p1"), col("p2"),
+        round(col("cbs").cast("double") / (col("np1") + col("np2") - col("cbs")), 9).as("w"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("w").desc, col("p1").asc, col("p2").asc)))
+      .filter(col("rank") <= limit)
+      .select("rank", "p1", "p2", "w")
+  }
+}

@@ -1,0 +1,221 @@
+package graft.er
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Generalized supervised meta-blocking: the 9-feature generator
+ * (python/sparker/feature_generator.py:60-249) and the 6 probability-driven
+ * pruning strategies (python/sparker/supervised_metablocking.py), all as
+ * DataFrame transformations. The reference broadcasts 6 driver-side maps
+ * (feature_generator.py:96-122) — here each is a joined aggregate, so
+ * nothing is O(dataset) on the driver.
+ *
+ * Feature semantics follow the PVLDB 2022 definitions. Documented
+ * divergence: the reference accumulates RACCB/RS only from the FIRST
+ * shared block it happens to iterate (feature_generator.py:146-151 guards
+ * on cbs == 1), which is partition-order-dependent; we sum over all shared
+ * blocks (the paper's definition, and deterministic). Top-k ties break by
+ * neighbor id (the reference inherits Python sort stability on arrival
+ * order).
+ *
+ * Logs are natural (math.log in the reference).
+ */
+object SupervisedMB {
+
+  /**
+   * Per-pair features over a valid block collection.
+   * members: (key, profile_id, source_id); stats: (key, size, comparisons);
+   * gt: optional converted ground truth (p1, p2) for the is_match label.
+   *
+   * Output: p1, p2, cfibf, raccb, js, num_comp_p1, num_comp_p2, rs, aejs,
+   * nrs, wjs, is_match.
+   */
+  def features(members: DataFrame, stats: DataFrame, clean: Boolean,
+               gt: Option[DataFrame] = None): DataFrame = {
+    val m = members.join(stats.select("key", "size", "comparisons"), Seq("key"))
+
+    // per-block own-source size (for redundant-comparison counts in clean ER)
+    val withOwn =
+      if (clean)
+        m.withColumn("own",
+          count(lit(1)).over(Window.partitionBy("key", "source_id")))
+      else m.withColumn("own", lit(1L))
+    val neighborsInBlock =
+      if (clean) col("size") - col("own") else col("size") - 1
+
+    // per-profile aggregates (the reference's six broadcast maps)
+    val perProfile = withOwn.groupBy("profile_id").agg(
+      count(lit(1)).as("nblocks_p"),
+      sum(lit(1.0) / col("size")).as("inv_size_p"),
+      sum(col("comparisons")).as("comp_p"),
+      sum(lit(1.0) / col("comparisons")).as("inv_comp_p"),
+      sum(neighborsInBlock).as("redundant_p"))
+
+    // globals as a 1-row frame
+    val globals = stats.agg(
+      count(lit(1)).cast("double").as("blocks_num"),
+      sum(col("comparisons")).cast("double").as("total_comparisons"))
+
+    // pair-level sums over shared blocks
+    val a = m.select(col("key"), col("profile_id").as("p1"), col("source_id").as("s1"),
+      col("size"), col("comparisons"))
+    val b = m.select(col("key"), col("profile_id").as("p2"), col("source_id").as("s2"))
+    val cond = if (clean) col("p1") < col("p2") && col("s1") =!= col("s2")
+               else col("p1") < col("p2")
+    val pairs = a.join(b, Seq("key")).filter(cond)
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("cbs"),
+        sum(lit(1.0) / col("comparisons")).as("raccb_raw"),
+        sum(lit(1.0) / col("size")).as("rs"))
+
+    // distinct-neighbor (non-redundant) degree per profile
+    val degrees = pairs.select(col("p1").as("profile_id"))
+      .union(pairs.select(col("p2").as("profile_id")))
+      .groupBy("profile_id").agg(count(lit(1)).as("nonredundant_p"))
+
+    val prof = perProfile.join(degrees, Seq("profile_id"), "left")
+      .na.fill(Map("nonredundant_p" -> 0L))
+
+    val s1 = prof.select(col("profile_id").as("p1"), col("nblocks_p").as("nb1"),
+      col("inv_size_p").as("invsz1"), col("comp_p").as("comp1"),
+      col("inv_comp_p").as("invcomp1"), col("redundant_p").as("red1"),
+      col("nonredundant_p").as("nonred1"))
+    val s2 = prof.select(col("profile_id").as("p2"), col("nblocks_p").as("nb2"),
+      col("inv_size_p").as("invsz2"), col("comp_p").as("comp2"),
+      col("inv_comp_p").as("invcomp2"), col("redundant_p").as("red2"),
+      col("nonredundant_p").as("nonred2"))
+
+    val joined = pairs.join(s1, Seq("p1")).join(s2, Seq("p2")).crossJoin(globals)
+
+    val cbsD = col("cbs").cast("double")
+    val raccb = greatest(col("raccb_raw"), lit(1.0e-6))
+    val ibf1 = log(col("blocks_num") / col("nb1"))
+    val ibf2 = log(col("blocks_num") / col("nb2"))
+    val js1 = cbsD / (col("nb1") + col("nb2") - cbsD)
+
+    val labeled = gt match {
+      case Some(g) =>
+        joined.join(g.select(col("p1"), col("p2"), lit(1).as("is_match")),
+          Seq("p1", "p2"), "left").na.fill(Map("is_match" -> 0))
+      case None => joined.withColumn("is_match", lit(null).cast("int"))
+    }
+
+    labeled.select(
+      col("p1"), col("p2"),
+      round(cbsD * ibf1 * ibf2, 9).as("cfibf"),
+      round(raccb, 9).as("raccb"),
+      round(cbsD / (col("red1") + col("red2") - cbsD), 9).as("js"),
+      col("nonred1").as("num_comp_p1"),
+      col("nonred2").as("num_comp_p2"),
+      round(col("rs"), 9).as("rs"),
+      round(js1 * log(col("total_comparisons") / col("comp1"))
+        * log(col("total_comparisons") / col("comp2")), 9).as("aejs"),
+      round(col("rs") / (col("invsz1") + col("invsz2") - col("rs")), 9).as("nrs"),
+      round(raccb / (col("invcomp1") + col("invcomp2") - raccb), 9).as("wjs"),
+      col("is_match"))
+  }
+
+  /**
+   * Deterministic stand-in for the classifier score: a fixed linear blend
+   * of the Jaccard-family features (pure arithmetic — reproducible in the
+   * SQL oracle; swap for `mlScore` in production use).
+   */
+  def deterministicScore(features: DataFrame): DataFrame =
+    features.withColumn("p_match",
+      round((col("js") + col("nrs") + col("wjs")) / 3.0, 9))
+
+  /** Real classifier path: Spark ML logistic regression over the 9
+   * features (the reference delegates to pyspark.ml the same way). */
+  def mlScore(features: DataFrame, labelCol: String = "is_match"): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.classification.LogisticRegression
+    val cols = Array("cfibf", "raccb", "js", "rs", "aejs", "nrs", "wjs")
+    val assembled = new VectorAssembler()
+      .setInputCols(cols).setOutputCol("features_vec")
+      .transform(features)
+    val lr = new LogisticRegression()
+      .setFeaturesCol("features_vec").setLabelCol(labelCol)
+      .setMaxIter(20).setRegParam(0.01)
+    val model = lr.fit(assembled)
+    val getP = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    model.transform(assembled)
+      .withColumn("p_match", getP(col("probability")))
+      .drop("features_vec", "rawPrediction", "probability", "prediction")
+  }
+
+  private val eps = 1e-9
+
+  /** Classifier-positive edges (supervised_metablocking.py bcl — positive
+   * predictions survive). */
+  def bcl(scored: DataFrame): DataFrame =
+    scored.filter(col("p_match") >= 0.5)
+
+  /** Keep p >= mean(p) among the classifier-positive edges
+   * (supervised_metablocking.py:29-36). */
+  def wep(scored: DataFrame): DataFrame = {
+    val overT = bcl(scored)
+    val thr = overT.agg((sum(col("p_match")) / count(lit(1))).as("thr"))
+    overT.crossJoin(thr).filter(col("p_match") >= col("thr") - eps).drop("thr")
+  }
+
+  /** Global top-(sum of block sizes / 2) by p among positives
+   * (supervised_metablocking.py:16-25); deterministic (p desc, p1, p2)
+   * tie order. */
+  def cep(scored: DataFrame, stats: DataFrame): DataFrame = {
+    val k = stats.agg(floor(sum(col("size")) / 2.0).as("k"))
+    bcl(scored).crossJoin(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("p_match").desc, col("p1").asc, col("p2").asc)))
+      .filter(col("rn") <= col("k"))
+      .drop("rn", "k")
+  }
+
+  /** BLAST rule: p >= 0.35 * (max p of p1-side + max p of p2-side)
+   * (supervised_metablocking.py:38-68; note the two maxes are over the p1 /
+   * p2 orientations separately, exactly as the reference's two maps). */
+  def blast(scored: DataFrame): DataFrame = {
+    val overT = bcl(scored).persist()
+    val m1 = overT.groupBy("p1").agg(max(col("p_match")).as("max1"))
+    val m2 = overT.groupBy("p2").agg(max(col("p_match")).as("max2"))
+    overT.join(m1, Seq("p1")).join(m2, Seq("p2"))
+      .filter(col("p_match") >= lit(0.35) * (col("max1") + col("max2")) - eps)
+      .drop("max1", "max2")
+  }
+
+  /** Per-profile top-k by p over both orientations, k = 2*max(1,
+   * sum(sizes)/#profiles) (supervised_metablocking.py:125-180); OR = CNP,
+   * AND = reciprocal CNP (:70-123). Ties break by neighbor id. */
+  def cnp(scored: DataFrame, stats: DataFrame, numberOfProfiles: Long,
+          ct: ComparisonType.Value): DataFrame = {
+    val overT = bcl(scored).persist()
+    val kDf = stats.agg(
+      (lit(2.0) * greatest(lit(1.0), sum(col("size")).cast("double") / numberOfProfiles))
+        .cast("long").as("k"))
+    val top1 = overT.select(col("p1").as("a"), col("p2").as("b"), col("p_match"))
+    val top2 = overT.select(col("p2").as("a"), col("p1").as("b"), col("p_match"))
+    def topK(df: DataFrame): DataFrame = df.crossJoin(kDf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(col("p_match").desc, col("b").asc)))
+      .filter(col("rn") <= col("k")).select("a", "b")
+    val t1 = topK(top1).select(col("a").as("p1"), col("b").as("p2"), lit(1).as("in1"))
+    val t2 = topK(top2).select(col("a").as("p2"), col("b").as("p1"), lit(1).as("in2"))
+    val j = overT.join(t1, Seq("p1", "p2"), "left").join(t2, Seq("p1", "p2"), "left")
+    val keep = ct match {
+      case ComparisonType.OR => col("in1").isNotNull || col("in2").isNotNull
+      case ComparisonType.AND => col("in1").isNotNull && col("in2").isNotNull
+    }
+    j.filter(keep).drop("in1", "in2")
+  }
+
+  /** PC/PQ/F1 of labeled, scored edges (supervised_metablocking.py:182-203). */
+  def stats(edges: DataFrame, gtSize: Long): DataFrame =
+    edges.agg(
+      sum(when(col("is_match") === 1, 1).otherwise(0)).as("num_matches"),
+      count(lit(1)).as("num_edges"))
+      .withColumn("pc", col("num_matches").cast("double") / gtSize)
+      .withColumn("pq", col("num_matches").cast("double") / col("num_edges"))
+      .withColumn("f1", when(col("pc") > 0 && col("pq") > 0,
+        lit(2.0) * col("pc") * col("pq") / (col("pc") + col("pq"))).otherwise(lit(0.0)))
+}

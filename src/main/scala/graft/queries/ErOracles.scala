@@ -1,0 +1,350 @@
+package graft.queries
+
+/**
+ * DuckDB oracle SQL equivalent to every query in [[ErQueries]], built from a
+ * shared CTE prelude that mirrors the pipeline stage by stage (tokenize ->
+ * valid blocks -> purging-threshold scan -> per-profile filtering ->
+ * re-validated blocks -> CBS pair graph -> per-profile stats -> weights).
+ *
+ * Floating-point discipline (so hashes match bit-for-bit):
+ *  - every formula is written with the same operand order / associativity as
+ *    the Spark column expressions;
+ *  - order-dependent reductions (the ARCS products) run sequentially over a
+ *    sorted list on both sides;
+ *  - weights involving log10 are rounded to 9 decimals on both sides;
+ *  - order-dependent threshold sums (AVG/WEP over fractional weights) are
+ *    compared with a 1e-9 slack on both sides.
+ */
+object ErOracles {
+
+  /** DuckDB inlines a CTE at every reference site by default; the shared
+   * prelude is referenced many times, which turns an O(rows) plan into an
+   * exponential blow-up (er_arcs at sf0.001: 14.7s -> 0.55s with
+   * materialization). Every `NAME AS (` here is a CTE definition — column
+   * aliases in this file never take the form ` AS (`. */
+  private def materializeCtes(sql: String): String =
+    sql.replace(" AS (", " AS MATERIALIZED (")
+
+  private val smooth = "1.005"
+  private val r = "0.8"
+
+  /** attrs + toks + blocks + purging + filtering + valid blocks + pairs +
+   * per-profile stats + the fat `wp` join all weight schemes read from. */
+  private def prelude(clean: Boolean): String = {
+    val src = if (clean) "p_partkey % 2" else "0"
+    val bs0 =
+      if (!clean)
+        """bs0 AS (
+          |  SELECT key, CAST(COUNT(*) AS BIGINT) AS size,
+          |         CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) AS comparisons
+          |  FROM toks GROUP BY key HAVING COUNT(*) > 1),""".stripMargin
+      else
+        """bsrc AS (SELECT key, source_id, CAST(COUNT(*) AS BIGINT) AS s FROM toks GROUP BY key, source_id),
+          |bs0 AS (
+          |  SELECT key, CAST(SUM(s) AS BIGINT) AS size,
+          |         CAST(CAST(SUM(s) * SUM(s) - SUM(s * s) AS BIGINT) / 2 AS BIGINT) AS comparisons
+          |  FROM bsrc GROUP BY key
+          |  HAVING SUM(s) > 1 AND MIN(source_id) <> MAX(source_id)),""".stripMargin
+    val bs2 =
+      if (!clean)
+        """bs2 AS (
+          |  SELECT key, CAST(COUNT(*) AS BIGINT) AS size,
+          |         CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) AS comparisons,
+          |         CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE) AS arcs_comparisons
+          |  FROM pbf GROUP BY key HAVING COUNT(*) > 1),""".stripMargin
+      else
+        """bsrc2 AS (SELECT key, source_id, CAST(COUNT(*) AS BIGINT) AS s FROM pbf GROUP BY key, source_id),
+          |bs2 AS (
+          |  SELECT key, CAST(SUM(s) AS BIGINT) AS size,
+          |         CAST(CAST(SUM(s) * SUM(s) - SUM(s * s) AS BIGINT) / 2 AS BIGINT) AS comparisons,
+          |         CASE WHEN COUNT(*) < 2 THEN 0.0
+          |              ELSE list_reduce(list_sort(list(CAST(s AS DOUBLE))), (a, x) -> a * x) END AS arcs_comparisons
+          |  FROM bsrc2 GROUP BY key
+          |  HAVING SUM(s) > 1 AND MIN(source_id) <> MAX(source_id)),""".stripMargin
+    val pairCond =
+      if (clean) "a.key = b.key AND a.profile_id < b.profile_id AND a.source_id <> b.source_id"
+      else "a.key = b.key AND a.profile_id < b.profile_id"
+    s"""WITH attrs AS (
+       |  SELECT p_partkey AS profile_id, $src AS source_id, 'name' AS attribute, p_name AS value FROM part
+       |  UNION ALL SELECT p_partkey, $src, 'brand', p_brand FROM part
+       |  UNION ALL SELECT p_partkey, $src, 'type', p_type FROM part
+       |  UNION ALL SELECT p_partkey, $src, 'size', CAST(p_size AS VARCHAR) FROM part
+       |  UNION ALL SELECT p_partkey, $src, 'price', CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) FROM part
+       |),
+       |toks AS (
+       |  SELECT DISTINCT profile_id, source_id, tok AS key FROM (
+       |    SELECT profile_id, source_id,
+       |           unnest(regexp_split_to_array(lower(value), '[^a-zA-Z0-9_]+')) AS tok
+       |    FROM attrs WHERE value IS NOT NULL) u
+       |  WHERE tok <> ''
+       |),
+       |$bs0
+       |lv AS (
+       |  SELECT CAST(comparisons AS DOUBLE) AS lvl,
+       |         CAST(SUM(comparisons) AS DOUBLE) AS cc_l,
+       |         CAST(SUM(size) AS DOUBLE) AS bc_l
+       |  FROM bs0 GROUP BY 1),
+       |cum0 AS (
+       |  SELECT lvl,
+       |         SUM(cc_l) OVER (ORDER BY lvl ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+       |         SUM(bc_l) OVER (ORDER BY lvl ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bc,
+       |         ROW_NUMBER() OVER (ORDER BY lvl) AS rn
+       |  FROM lv),
+       |cum AS (
+       |  SELECT *, LEAD(lvl) OVER (ORDER BY lvl) AS lvl_next,
+       |         LEAD(cc) OVER (ORDER BY lvl) AS cc_next,
+       |         LEAD(bc) OVER (ORDER BY lvl) AS bc_next
+       |  FROM cum0),
+       |thr AS (
+       |  SELECT COALESCE(MAX(CASE WHEN bc * cc_next < $smooth * cc * bc_next THEN lvl_next END),
+       |                  MAX(CASE WHEN rn = 2 THEN lvl END), 0.0) AS maxc
+       |  FROM cum),
+       |bs1 AS (SELECT bs0.* FROM bs0, thr WHERE CAST(comparisons AS DOUBLE) <= maxc),
+       |pb AS (SELECT t.profile_id, t.source_id, t.key, b.comparisons
+       |       FROM toks t JOIN bs1 b USING (key)),
+       |pbr AS (
+       |  SELECT profile_id, source_id, key, comparisons,
+       |         ROW_NUMBER() OVER (PARTITION BY profile_id ORDER BY comparisons, key) AS rn,
+       |         COUNT(*) OVER (PARTITION BY profile_id) AS n
+       |  FROM pb),
+       |cutf AS (
+       |  SELECT profile_id,
+       |         MAX(CASE WHEN rn = LEAST(GREATEST(CAST(ROUND(n * $r) AS BIGINT), 1), n)
+       |             THEN comparisons END) AS cutoff
+       |  FROM pbr GROUP BY profile_id),
+       |pbf AS (
+       |  SELECT p.profile_id, p.source_id, p.key, p.comparisons
+       |  FROM pb p JOIN cutf c USING (profile_id) WHERE p.comparisons <= c.cutoff),
+       |$bs2
+       |m2 AS (SELECT profile_id, source_id, key FROM pbf WHERE key IN (SELECT key FROM bs2)),
+       |pairs AS (
+       |  SELECT a.profile_id AS p1, b.profile_id AS p2, CAST(COUNT(*) AS BIGINT) AS cbs
+       |  FROM m2 a JOIN m2 b ON $pairCond
+       |  GROUP BY 1, 2),
+       |bp AS (SELECT profile_id, CAST(COUNT(*) AS BIGINT) AS bp FROM pbf GROUP BY profile_id),
+       |nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nblocks FROM bs2),
+       |parcs AS (
+       |  SELECT p.profile_id, CAST(COUNT(*) AS BIGINT) AS nb_valid,
+       |         list_reduce(list_sort(list(s.arcs_comparisons)), (a, x) -> a * x) AS arcs_denom
+       |  FROM pbf p JOIN bs2 s ON p.key = s.key GROUP BY p.profile_id),
+       |deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS degree
+       |        FROM (SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs) GROUP BY p),
+       |ne AS (SELECT CAST(COUNT(*) AS DOUBLE) AS e FROM pairs),
+       |wp AS (
+       |  SELECT pairs.p1, pairs.p2, cbs,
+       |         b1.bp AS bp1, b2.bp AS bp2,
+       |         a1.arcs_denom AS ad1, a2.arcs_denom AS ad2,
+       |         a1.nb_valid AS nv1, a2.nb_valid AS nv2,
+       |         d1.degree AS deg1, d2.degree AS deg2,
+       |         nbt.nblocks AS nblocks, ne.e AS e
+       |  FROM pairs
+       |  JOIN bp b1 ON pairs.p1 = b1.profile_id JOIN bp b2 ON pairs.p2 = b2.profile_id
+       |  JOIN parcs a1 ON pairs.p1 = a1.profile_id JOIN parcs a2 ON pairs.p2 = a2.profile_id
+       |  JOIN deg d1 ON pairs.p1 = d1.p JOIN deg d2 ON pairs.p2 = d2.p
+       |  CROSS JOIN nbt CROSS JOIN ne),
+       |""".stripMargin
+  }
+
+  /** Directed weight expression from perspective `a` over the `wp` columns;
+   * mirrors MetaBlocking.weightColumn operand-for-operand. */
+  private def wExpr(scheme: String, a: Int): String = {
+    val b = 3 - a
+    val cbs = "CAST(cbs AS DOUBLE)"
+    val bpA = s"CAST(bp$a AS DOUBLE)"
+    val bpB = s"CAST(bp$b AS DOUBLE)"
+    val nb = "CAST(nblocks AS DOUBLE)"
+    val js = s"$cbs / ($bpA + $bpB - $cbs)"
+    scheme match {
+      case "cbs" => cbs
+      case "js" => js
+      case "ecbs" => s"$cbs * log10($nb / $bpA) * log10($nb / $bpB)"
+      case "arcs" => s"$cbs / ad$a"
+      case "chisq" =>
+        // python/sparker/common_node_pruning.py:6-35; bpP = this profile (a),
+        // bpN = neighbor (b); term order identical to the Scala side.
+        val (c00, c01, c10, c11) =
+          (cbs, s"($bpB - $cbs)", s"($bpA - $cbs)", s"($nb - (($bpB + $bpA) - $cbs))")
+        val (r0, r1, k0, k1) = (bpB, s"($nb - $bpB)", bpA, s"($nb - $bpA)")
+        def term(obs: String, rs: String, ks: String) =
+          s"(POWER($obs - ($rs * $ks) / $nb, 2.0) / (($rs * $ks) / $nb))"
+        s"(${term(c00, r0, k0)} + ${term(c01, r0, k1)} + ${term(c10, r1, k0)} + ${term(c11, r1, k1)})"
+      case "ejs" =>
+        val degA = s"CAST(deg$a AS DOUBLE)"
+        val degB = s"CAST(deg$b AS DOUBLE)"
+        val inner = s"log10(e / ($degA + 0.00000000001))"
+        s"(CASE WHEN e <= 0.0 OR $inner <= 0.0 THEN 0.0 ELSE ($js) * log10(e / ($degB * $inner)) END)"
+    }
+  }
+
+  /** CTE producing (p1, p2, cbs, w1, w2) for a scheme. */
+  private def wpw(scheme: String): String =
+    s"wpw AS (SELECT p1, p2, cbs, ${wExpr(scheme, 1)} AS w1, ${wExpr(scheme, 2)} AS w2 FROM wp),\n"
+
+  private val directed =
+    """directed AS (SELECT p1 AS a, p2 AS b, w1 AS w FROM wpw
+      |             UNION ALL SELECT p2, p1, w2 FROM wpw),
+      |""".stripMargin
+
+  private def wnpSql(clean: Boolean, scheme: String, tt: String, ct: String,
+                     eps: String, roundW: Boolean, chi2divider: String = "2.0"): String = {
+    val thetaAgg = tt match {
+      case "avg" => "SUM(w) / COUNT(*)"
+      case "max2" => "MAX(w) / 2.0"
+    }
+    val keep =
+      if (scheme == "chisq" && tt == "chisqrule")
+        s"w1 >= SQRT(POWER(t1.theta, 2.0) + POWER(t2.theta, 2.0)) / $chi2divider - $eps"
+      else ct match {
+        case "or" => s"(w1 >= t2.theta - $eps OR w1 >= t1.theta - $eps)"
+        case "and" => s"(w1 >= t2.theta - $eps AND w1 >= t1.theta - $eps)"
+        case "chisqrule" =>
+          s"w1 >= SQRT(POWER(t1.theta, 2.0) + POWER(t2.theta, 2.0)) / $chi2divider - $eps"
+      }
+    val agg = if (tt == "avg") "SUM(w) / COUNT(*)" else "MAX(w) / 2.0"
+    val out = if (roundW) "ROUND(w1, 9)" else "w1"
+    prelude(clean) + wpw(scheme) + directed +
+      s"""th AS (SELECT a, $agg AS theta FROM directed GROUP BY a)
+         |SELECT wpw.p1, wpw.p2, $out AS w
+         |FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
+         |WHERE $keep""".stripMargin
+  }
+
+  def all: Map[String, String] = raw.map { case (k, v) => k -> materializeCtes(v) }
+
+  private def raw: Map[String, String] = Map(
+    "er_profiles" -> (prelude(clean = false) +
+      "x AS (SELECT 1) SELECT profile_id, attribute, value FROM attrs"),
+
+    "er_tokens" -> (prelude(clean = false) +
+      "x AS (SELECT 1) SELECT profile_id, key FROM toks"),
+
+    "er_blocks_dirty" -> (prelude(clean = false) +
+      "x AS (SELECT 1) SELECT key, size, comparisons FROM bs0"),
+
+    "er_blocks_clean" -> (prelude(clean = true) +
+      "x AS (SELECT 1) SELECT key, size, comparisons FROM bs0"),
+
+    "er_purged_dirty" -> (prelude(clean = false) +
+      "x AS (SELECT 1) SELECT key, size, comparisons FROM bs1"),
+
+    "er_filtered_dirty" -> (prelude(clean = false) +
+      "x AS (SELECT 1) SELECT profile_id, key FROM pbf"),
+
+    "er_cbs_dirty" -> (prelude(clean = false) +
+      "x AS (SELECT 1) SELECT p1, p2, cbs FROM pairs"),
+
+    "er_cbs_clean" -> (prelude(clean = true) +
+      "x AS (SELECT 1) SELECT p1, p2, cbs FROM pairs"),
+
+    "er_js_dirty" -> (prelude(clean = false) + wpw("js") +
+      "x AS (SELECT 1) SELECT p1, p2, w1 AS w FROM wpw"),
+
+    "er_ecbs_dirty" -> (prelude(clean = false) + wpw("ecbs") +
+      "x AS (SELECT 1) SELECT p1, p2, ROUND(w1, 9) AS w FROM wpw"),
+
+    "er_arcs_dirty" -> (prelude(clean = false) + wpw("arcs") +
+      "x AS (SELECT 1) SELECT p1, p2, w1 AS w FROM wpw"),
+
+    "er_chisq_dirty" -> (prelude(clean = false) + wpw("chisq") +
+      "x AS (SELECT 1) SELECT p1, p2, ROUND(w1, 9) AS w FROM wpw"),
+
+    "er_ejs_dirty" -> (prelude(clean = false) + wpw("ejs") +
+      "x AS (SELECT 1) SELECT p1, p2, ROUND(w1, 9) AS w FROM wpw"),
+
+    "er_wnp_cbs_avg_or_dirty" -> wnpSql(clean = false, "cbs", "avg", "or", "0.0", roundW = false),
+    "er_wnp_cbs_avg_and_dirty" -> wnpSql(clean = false, "cbs", "avg", "and", "0.0", roundW = false),
+    "er_wnp_js_max2_or_dirty" -> wnpSql(clean = false, "js", "max2", "or", "0.000000001", roundW = false),
+    "er_wnp_chisq_dirty" -> wnpSql(clean = false, "chisq", "avg", "chisqrule", "0.000000001", roundW = true),
+    "er_wnp_cbs_clean" -> wnpSql(clean = true, "cbs", "avg", "or", "0.0", roundW = false),
+
+    "er_wep_cbs_dirty" -> (prelude(clean = false) + wpw("cbs") + directed +
+      """gthr AS (SELECT SUM(w) / COUNT(*) AS t FROM directed)
+        |SELECT p1, p2, w1 AS w FROM wpw, gthr WHERE w1 >= t - 0.0""".stripMargin),
+
+    "er_wep_js_dirty" -> (prelude(clean = false) + wpw("js") + directed +
+      """gthr AS (SELECT SUM(w) / COUNT(*) AS t FROM directed)
+        |SELECT p1, p2, w1 AS w FROM wpw, gthr WHERE w1 >= t - 0.000000001""".stripMargin),
+
+    "er_cep_cbs_dirty" -> (prelude(clean = false) + wpw("cbs") +
+      """kk AS (SELECT CAST(FLOOR(SUM(size) / 2.0) AS DOUBLE) AS k FROM bs2),
+        |hist AS (SELECT w1 AS wl, CAST(COUNT(*) AS DOUBLE) AS freq FROM wpw GROUP BY w1),
+        |cum1 AS (SELECT wl, freq,
+        |         SUM(freq) OVER (ORDER BY wl DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |         FROM hist),
+        |thr0 AS (SELECT COALESCE(MAX(CASE WHEN cum >= k THEN wl END), MIN(wl)) AS thr, MAX(k) AS k
+        |         FROM cum1, kk),
+        |rem AS (SELECT thr, freq - (cum - k) AS remaining FROM cum1, thr0 WHERE wl = thr),
+        |above AS (SELECT p1, p2, w1 AS w FROM wpw, thr0 WHERE w1 > thr),
+        |ties AS (SELECT p1, p2, w1, remaining FROM wpw, rem WHERE w1 = thr),
+        |pp AS (SELECT p1, CAST(COUNT(*) AS BIGINT) AS cnt FROM ties GROUP BY p1),
+        |pp2 AS (SELECT p1, cnt,
+        |        COALESCE(SUM(cnt) OVER (ORDER BY p1 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |        FROM pp),
+        |tord AS (SELECT p1, p2, w1, remaining,
+        |         ROW_NUMBER() OVER (PARTITION BY p1 ORDER BY p2) AS rn FROM ties),
+        |tk AS (SELECT t.p1, t.p2, t.w1 AS w FROM tord t JOIN pp2 ON t.p1 = pp2.p1
+        |       WHERE rn <= GREATEST(LEAST(remaining - prev, CAST(cnt AS DOUBLE)), 0.0))
+        |SELECT * FROM above UNION ALL SELECT * FROM tk""".stripMargin),
+
+    "er_cnp_cbs_or_dirty" -> (prelude(clean = false) + wpw("cbs") + directed +
+      """kc AS (SELECT CAST(FLOOR(CAST(SUM(size) AS DOUBLE) / (SELECT COUNT(*) FROM part) - 1.0) AS BIGINT) AS k FROM bs2),
+        |ret AS (SELECT a, b FROM (SELECT a, b,
+        |        ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn FROM directed), kc
+        |        WHERE rn <= k)
+        |SELECT wpw.p1, wpw.p2, wpw.w1 AS w FROM wpw
+        |LEFT JOIN ret r1 ON wpw.p1 = r1.a AND wpw.p2 = r1.b
+        |LEFT JOIN ret r2 ON wpw.p2 = r2.a AND wpw.p1 = r2.b
+        |WHERE r1.a IS NOT NULL OR r2.a IS NOT NULL""".stripMargin),
+
+    "er_cnp_js_and_dirty" -> (prelude(clean = false) + wpw("js") + directed +
+      """kc AS (SELECT CAST(FLOOR(CAST(SUM(size) AS DOUBLE) / (SELECT COUNT(*) FROM part) - 1.0) AS BIGINT) AS k FROM bs2),
+        |ret AS (SELECT a, b FROM (SELECT a, b,
+        |        ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn FROM directed), kc
+        |        WHERE rn <= k)
+        |SELECT wpw.p1, wpw.p2, wpw.w1 AS w FROM wpw
+        |LEFT JOIN ret r1 ON wpw.p1 = r1.a AND wpw.p2 = r1.b
+        |LEFT JOIN ret r2 ON wpw.p2 = r2.a AND wpw.p1 = r2.b
+        |WHERE r1.a IS NOT NULL AND r2.a IS NOT NULL""".stripMargin),
+
+    "er_gt_convert" ->
+      """WITH gt AS (
+        |  SELECT 'P' || CAST(a.p_partkey AS VARCHAR) AS id1, 'P' || CAST(b.p_partkey AS VARCHAR) AS id2
+        |  FROM part a JOIN part b ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey),
+        |prof AS (SELECT p_partkey AS profile_id, 'P' || CAST(p_partkey AS VARCHAR) AS original_id FROM part)
+        |SELECT DISTINCT LEAST(m1.profile_id, m2.profile_id) AS p1,
+        |       GREATEST(m1.profile_id, m2.profile_id) AS p2
+        |FROM gt JOIN prof m1 ON gt.id1 = m1.original_id JOIN prof m2 ON gt.id2 = m2.original_id""".stripMargin,
+
+    "er_pcpq_wnp_dirty" -> (prelude(clean = false) + wpw("cbs") + directed +
+      """th AS (SELECT a, SUM(w) / COUNT(*) AS theta FROM directed GROUP BY a),
+        |cand AS (SELECT DISTINCT wpw.p1, wpw.p2
+        |         FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
+        |         WHERE (w1 >= t2.theta - 0.0 OR w1 >= t1.theta - 0.0)),
+        |gtc AS (SELECT DISTINCT LEAST(a.p_partkey, b.p_partkey) AS p1, GREATEST(a.p_partkey, b.p_partkey) AS p2
+        |        FROM part a JOIN part b ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS num_candidates FROM cand),
+        |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS num_matches
+        |       FROM (SELECT p1, p2 FROM cand INTERSECT SELECT p1, p2 FROM gtc)),
+        |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS num_gt FROM gtc),
+        |base AS (SELECT num_candidates, num_matches, num_gt,
+        |         CAST(num_matches AS DOUBLE) / num_gt AS pc,
+        |         CASE WHEN num_candidates > 0 THEN CAST(num_matches AS DOUBLE) / num_candidates ELSE 0.0 END AS pq
+        |         FROM nc, nm, ng)
+        |SELECT num_candidates, num_matches, num_gt, pc, pq,
+        |       CASE WHEN pc + pq > 0.0 THEN 2.0 * pc * pq / (pc + pq) ELSE 0.0 END AS f1
+        |FROM base""".stripMargin),
+
+    "er_ngram_blocks" ->
+      """WITH ntoks AS (
+        |  SELECT DISTINCT profile_id, tok FROM (
+        |    SELECT p_partkey AS profile_id,
+        |           unnest(regexp_split_to_array(lower(p_name), '[^a-zA-Z0-9_]+')) AS tok
+        |    FROM part) u WHERE tok <> ''),
+        |padded AS (SELECT profile_id, '___' || tok || '___' AS p FROM ntoks),
+        |ng AS (SELECT DISTINCT profile_id, substr(p, CAST(i AS INTEGER), 4) AS key
+        |       FROM padded, unnest(generate_series(1, length(p) - 3)) AS g(i))
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS size,
+        |       CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) AS comparisons
+        |FROM ng GROUP BY key HAVING COUNT(*) > 1""".stripMargin
+  )
+}

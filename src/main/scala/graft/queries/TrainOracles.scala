@@ -1,0 +1,297 @@
+package graft.queries
+
+/**
+ * DuckDB oracle SQL for [[TrainQueries]]. Cross-engine parity rules (same
+ * discipline as [[ErOracles]]):
+ *
+ *  - char streams via generate_series + substr (never split-on-empty);
+ *    sequential folds via list_reduce over a 0-prepended list, matching
+ *    Spark's `aggregate` initial-value fold order element by element;
+ *  - all hash arithmetic in BIGINT with the same constants/modulus;
+ *  - float vectors cast element-wise to DOUBLE before multiply, summed in
+ *    index order; results rounded to 9 decimals on both sides;
+ *  - money sums as integer cents (SUM of round(value*100) longs) so the
+ *    result is independent of partial-aggregation order;
+ *  - CTEs materialized (see ErOracles.materializeCtes).
+ */
+object TrainOracles {
+
+  private val Mod = "2147483647"
+
+  /** h = fold over chars of (h*31 + ascii) % Mod — twin of Dedup.strHash. */
+  private def strHash(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       | list_transform(generate_series(1, length($e)),
+       |   i -> CAST(ascii(substr($e, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       | (acc, c) -> (acc * 31 + c) % $Mod)""".stripMargin.replace("\n", " ")
+
+  /** Twin of Dedup.normalize. */
+  private def norm(e: String): String =
+    s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+
+  /** Sequential double fold of a list expression (0.0-prepended). */
+  private def dsum(listExpr: String): String =
+    s"list_reduce(list_prepend(0.0, $listExpr), (acc, v) -> acc + v)"
+
+  /** Twin of Similarity.dot on FLOAT[] columns a, b (64 dims). */
+  private def dot(a: String, b: String): String =
+    dsum(s"list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+
+  private def nrm(a: String): String =
+    s"sqrt(${dsum(s"list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))")})"
+
+  private def cosine(a: String, b: String): String =
+    s"(${dot(a, b)} / (${nrm(a)} * ${nrm(b)}))"
+
+  /** Twin of Similarity.srpBucket: sign-random-projection bucket over
+   * `planes` hyperplanes; plane component for (p, dim i0) is
+   * lcg(p*64+i0)/Mod - 0.5. */
+  private def srpBucket(vecTable: String, planes: Int): String =
+    s"""SELECT e.vec_id, e.embedding,
+       | CAST(SUM(CASE WHEN ${dsum(s"list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * (CAST((1103515245 * (p.p * 64 + (i - 1)) + 12345) % $Mod AS DOUBLE) / $Mod.0 - 0.5))")} >= 0
+       |   THEN (CAST(1 AS BIGINT) << CAST(p.p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+       | FROM $vecTable e CROSS JOIN (SELECT unnest(generate_series(0, ${planes - 1})) AS p) p
+       | GROUP BY e.vec_id, e.embedding""".stripMargin.replace("\n", " ")
+
+  /** Shared doc-shingle prelude: normalized tokens and distinct 3-gram
+   * shingles with their hashes. */
+  private val shinglePrelude =
+    s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
+       |dt AS (SELECT doc_id, list_filter(string_split(nt, ' '), t -> length(t) > 0) AS toks FROM dn),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         array_to_string(list_slice(toks, CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ') AS shingle
+       |  FROM dt, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g(i)),
+       |shh AS (SELECT doc_id, ${strHash("shingle")} AS x FROM sh),
+       |""".stripMargin
+
+  /** MinHash signatures CTE (k=16): twin of Dedup.minhashSignatures. */
+  private val sigCte =
+    s"""sigs AS (
+       |  SELECT doc_id, i.i AS i,
+       |         MIN(((1103515245 * (i.i + 1) + 12345) % $Mod * x + (2654435761 * (i.i + 1)) % $Mod) % $Mod) AS sig
+       |  FROM shh, (SELECT unnest(generate_series(0, 15)) AS i) i
+       |  GROUP BY doc_id, i.i),
+       |""".stripMargin
+
+  private val stop = "['the','a','an','and','or','of','to','in','is','it']"
+
+  def all: Map[String, String] = Map(
+    "txt_analysis" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, trim(text) AS tt, lower(text) AS lt FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(tt, '\\s+'), t -> length(t) > 0) AS ws_toks,
+         |         list_filter(regexp_split_to_array(lower(tt), '\\s+'), t -> length(t) > 0) AS lws_toks,
+         |         list_filter(regexp_split_to_array(lt, '[^a-z]+'), t -> length(t) > 0) AS alpha_runs
+         |  FROM base),
+         |m AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN length(b.tt) = 0 THEN 0 ELSE len(regexp_split_to_array(b.tt, '\\s+')) END AS n_tokens,
+         |    ${dsum("list_transform(t.alpha_runs, x -> CAST(CAST(ceil(CAST(length(x) AS DOUBLE) / 4.0) AS BIGINT) AS DOUBLE))")}
+         |      + length(regexp_replace(b.text, '[a-zA-Z\\s]', '', 'g')) AS n_bpe_d,
+         |    CASE WHEN length(regexp_replace(b.text, '\\s', '', 'g')) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(b.text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+         |              / CAST(length(regexp_replace(b.text, '\\s', '', 'g')) AS DOUBLE) END AS punct_ratio_r,
+         |    CASE WHEN len(t.lws_toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(t.lws_toks, x -> list_contains($stop, x))) AS DOUBLE)
+         |              / CAST(len(t.lws_toks) AS DOUBLE) END AS stopword_ratio_r,
+         |    CASE WHEN len(t.ws_toks) = 0 THEN 0.0
+         |         ELSE ${dsum("list_transform(t.ws_toks, x -> CAST(length(x) AS DOUBLE))")}
+         |              / CAST(len(t.ws_toks) AS DOUBLE) END AS mean_token_len_r,
+         |    len(list_filter(t.lws_toks, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+         |    len(list_filter(t.lws_toks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+         |    len(list_filter(t.lws_toks, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+         |    len(list_filter(t.lws_toks, x -> list_contains(['el','la','y','es','los'], x))) AS s_es,
+         |    length(b.text) AS n_chars_b,
+         |    ${strHash("lower(trim(b.text))")} AS fingerprint
+         |  FROM base b JOIN toks t USING (doc_id))
+         |SELECT doc_id,
+         |  n_tokens,
+         |  CAST(n_bpe_d AS BIGINT) AS n_bpe_tokens,
+         |  round(punct_ratio_r, 9) AS punct_ratio,
+         |  round(stopword_ratio_r, 9) AS stopword_ratio,
+         |  round(mean_token_len_r, 9) AS mean_token_len,
+         |  round((least(CAST(n_chars_b AS DOUBLE) / 500.0, 1.0)
+         |        + least(stopword_ratio_r * 5.0, 1.0)
+         |        + greatest(1.0 - punct_ratio_r * 4.0, 0.0)) / 3.0, 9) AS quality,
+         |  CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+         |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+         |       ELSE 'und' END AS lang_id,
+         |  fingerprint
+         |FROM m""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH h AS (SELECT doc_id, ${strHash(norm("text"))} AS h FROM documents)
+         |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM h""".stripMargin,
+
+    "dedup_shingles" -> (shinglePrelude +
+      "x AS (SELECT 1) SELECT doc_id, shingle FROM sh"),
+
+    "dedup_jaccard" -> (shinglePrelude +
+      s"""szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |freqok AS (
+         |  SELECT * FROM (SELECT doc_id, shingle,
+         |                 COUNT(*) OVER (PARTITION BY shingle) AS f FROM sh)
+         |  WHERE f <= 1000),
+         |cp AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS common
+         |  FROM freqok a JOIN freqok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |       round(CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE), 9) AS jaccard
+         |FROM cp JOIN szs s1 ON cp.d1 = s1.doc_id JOIN szs s2 ON cp.d2 = s2.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) >= 0.5""".stripMargin),
+
+    "dedup_minhash_sig" -> (shinglePrelude + sigCte +
+      "x AS (SELECT 1) SELECT doc_id, i, sig FROM sigs"),
+
+    "dedup_minhash_lsh" -> (shinglePrelude + sigCte +
+      s"""bk AS (
+         |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         |         array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(sig AS VARCHAR))), ',') AS band_key
+         |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT c.d1, c.d2,
+         |       round(CAST(SUM(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) AS DOUBLE) / 16, 9) AS est_jaccard
+         |FROM cand c
+         |JOIN sigs s1 ON c.d1 = s1.doc_id
+         |JOIN sigs s2 ON c.d2 = s2.doc_id AND s1.i = s2.i
+         |GROUP BY c.d1, c.d2""".stripMargin),
+
+    "dedup_simhash" ->
+      s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
+         |tk AS (
+         |  SELECT DISTINCT doc_id, t AS tok
+         |  FROM dn, unnest(list_filter(string_split(nt, ' '), x -> length(x) > 0)) AS u(t)),
+         |th AS (SELECT doc_id, ${strHash("tok")} AS h FROM tk),
+         |votes AS (
+         |  SELECT doc_id, b.b AS b,
+         |         SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) b
+         |  GROUP BY doc_id, b.b)
+         |SELECT doc_id,
+         |       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
+         |tk AS (
+         |  SELECT DISTINCT doc_id, t AS tok
+         |  FROM dn, unnest(list_filter(string_split(nt, ' '), x -> length(x) > 0)) AS u(t)),
+         |th AS (SELECT doc_id, ${strHash("tok")} AS h FROM tk),
+         |votes AS (
+         |  SELECT doc_id, b.b AS b,
+         |         SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) b
+         |  GROUP BY doc_id, b.b),
+         |fp AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, simhash, b.b AS band,
+         |         (simhash >> CAST(b.b * 8 AS INTEGER)) & 255 AS band_val
+         |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "ann_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nn_id, embedding AS ce FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, nn_id, round(${cosine("qe", "ce")}, 9) AS cos
+         |  FROM c CROSS JOIN q WHERE query_id <> nn_id),
+         |ranked AS (
+         |  SELECT query_id, nn_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rn
+         |  FROM scored)
+         |SELECT query_id, nn_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""WITH cb AS (${srpBucket("embeddings", 8)}),
+         |qb AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbk FROM cb WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, qe, qbk AS bucket FROM qb
+         |  UNION ALL
+         |  SELECT query_id, qe, xor(qbk, (CAST(1 AS BIGINT) << CAST(p.p AS INTEGER)))
+         |  FROM qb, (SELECT unnest(generate_series(0, 7)) AS p) p),
+         |cand AS (
+         |  SELECT DISTINCT query_id, c.vec_id AS nn_id, round(${cosine("qe", "c.embedding")}, 9) AS cos
+         |  FROM probes JOIN cb c USING (bucket)
+         |  WHERE query_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, nn_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rn
+         |  FROM cand)
+         |SELECT query_id, nn_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "ann_cos_neardup" ->
+      s"""WITH vb AS (${srpBucket("embeddings", 4)})
+         |SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
+         |       round(${cosine("a.embedding", "b.embedding")}, 9) AS cos
+         |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${cosine("a.embedding", "b.embedding")}, 9) >= 0.95""".stripMargin,
+
+    "evt_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "evt_windowed_agg_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "evt_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flags AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |seq AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq_h
+        |  FROM flags)
+        |SELECT user_id, CAST(session_seq_h AS BIGINT) AS session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+        |FROM seq GROUP BY user_id, CAST(session_seq_h AS BIGINT)""".stripMargin,
+
+    "mm_metadata" ->
+      """SELECT doc_id, 'image' AS modality, CAST(strlen(text) AS BIGINT) AS byte_len
+        |FROM documents""".stripMargin,
+
+    "mm_decode_features" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, strlen(text) AS len,
+         |         ${dsum("list_transform(generate_series(1, length(text)), i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS DOUBLE))")} AS bytesum
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(16 + (len % 64) AS INTEGER) AS width,
+         |       CAST(16 + ((len // 64) % 64) AS INTEGER) AS height,
+         |       CAST(1 + (len % 8) AS INTEGER) AS n_frames,
+         |       CASE WHEN len = 0 THEN 0.0
+         |            ELSE floor(bytesum / len * 1000000 + 0.5) / 1000000 END AS mean_intensity
+         |FROM m""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id, strlen(text) AS len FROM documents),
+         |f AS (SELECT doc_id, CAST(1 + (len % 8) AS INTEGER) AS n_frames FROM m)
+         |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx
+         |FROM f, unnest(generate_series(0, n_frames - 1, 2)) AS g(i)""".stripMargin
+  )
+}

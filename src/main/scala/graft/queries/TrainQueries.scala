@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.streaming.EventStreams
+import graft.multimodal.Multimodal
+
+/**
+ * Training-data pipeline queries over `documents`, `embeddings`, `events`
+ * (TESTDATA.md). Each has a DuckDB oracle in [[TrainOracles]] except the
+ * multimodal decode (stubbed codec -> driver rows-only check) and the
+ * streaming variant (checked against its own batch twin instead).
+ */
+object TrainQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** Shingle sets and simhash fingerprints are shared by several dedup
+   * queries in one Verify/Bench session — memoize + persist (same pattern
+   * as ErQueries.cleanedCache). */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def shingles3(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate(d, Dedup.shingles(docs(s, d), n = 3).localCheckpoint())
+
+  private def simhashFp(s: SparkSession, d: String): DataFrame =
+    simhashCache.getOrElseUpdate(d, Dedup.simhash(docs(s, d)).localCheckpoint())
+  private def embs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+  private def events(s: SparkSession, d: String): DataFrame =
+    EventStreams.loadEvents(s, d)
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_analysis" -> ((s, d) => TextAnalysis.analyze(docs(s, d), "text")),
+
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+
+    "dedup_shingles" -> ((s, d) => shingles3(s, d)),
+
+    "dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(shingles3(s, d), threshold = 0.5)),
+
+    "dedup_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(shingles3(s, d), k = 16)),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4)),
+
+    "dedup_simhash" -> ((s, d) => simhashFp(s, d)),
+
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(simhashFp(s, d), maxDist = 3)),
+
+    "ann_brute_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    "ann_cos_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.95)),
+
+    "evt_windowed_agg" -> ((s, d) =>
+      EventStreams.windowedAggBatch(events(s, d))),
+
+    "evt_windowed_agg_stream" -> ((s, d) =>
+      EventStreams.windowedAggStreaming(s, d)),
+
+    "evt_sessions" -> ((s, d) => EventStreams.sessionize(events(s, d))),
+
+    // content_hash (xxhash64) is Spark-specific — tested in ScalaTest, not
+    // part of the oracle projection
+    "mm_metadata" -> ((s, d) =>
+      Multimodal.asMultimodal(docs(s, d))
+        .select(col("doc_id"), col("meta.modality").as("modality"),
+          col("meta.byte_len").as("byte_len"))),
+
+    // stubbed codec -> no SQL oracle; driver records rows-only
+    "mm_decode_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(Multimodal.asMultimodal(docs(s, d)), parallelism = 8)),
+
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeFeatures(Multimodal.asMultimodal(docs(s, d)), parallelism = 8),
+        stride = 2))
+  )
+}

@@ -1,0 +1,122 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ *
+ *  - brute-force cosine top-k — the exactness baseline: a (queries ×
+ *    corpus) join with the dot product as a codegen'd higher-order
+ *    function. Correct at any scale when the query side is small enough
+ *    to broadcast; O(Q·N) comparisons.
+ *  - LSH-bucketed top-k — the 100 TB path: sign-random-projection buckets
+ *    (deterministic hyperplanes) turn the cross join into an equi-join on
+ *    the bucket key; recall < 1 by construction, cost drops by the bucket
+ *    fan-out. Probing all single-bit-flip neighbor buckets trades cost
+ *    back for recall.
+ *  - cosine near-duplicate pairs — embedding-based dedup: same bucketing,
+ *    self-join, threshold filter.
+ *
+ * Dot products are evaluated with `aggregate(zip_with(...))` in strict
+ * element order, doubles end-to-end, so the DuckDB oracle (list_reduce in
+ * the same order) matches bit-for-bit; results are rounded to 9 decimals
+ * on both sides.
+ */
+object Similarity {
+
+  /** Sequential-order dot product of two float vectors, in doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (sequential sum of squares). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact cosine top-k: for each query vector, the k nearest corpus
+   * vectors (excluding itself). The query side is expected to be small —
+   * broadcast it; Catalyst then plans a broadcast nested-loop join with
+   * the whole dot product inside codegen.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("qe"), col("ce")), 9).as("cos"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rn") <= k)
+      .select("query_id", "nn_id", "cos", "rn")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+   * a fixed LCG over p * dim + i mapped to [-0.5, 0.5). Reproducible in SQL. */
+  private def planeComponent(p: Int, i: Column, dim: Int): Column = {
+    val s = pmod(lit(1103515245L) * (lit(p.toLong * dim) + i) + 12345L, lit(2147483647L))
+    s.cast("double") / 2147483647.0 - 0.5
+  }
+
+  /** Sign-random-projection bucket key from `planes` fixed hyperplanes:
+   * bit p = (embedding · plane_p) >= 0. */
+  def srpBucket(emb: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val d = aggregate(
+        zip_with(emb, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") * planeComponent(p, i.cast("long"), dim)),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: candidates are corpus vectors in the
+   * query's bucket or any bucket at Hamming distance 1 (single-plane flip
+   * probing), ranked by exact cosine. The join is an equi-join on the
+   * bucket key — the shuffle is O(N), not O(Q·N).
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"),
+      srpBucket(col("embedding"), planes, dim).as("bucket"))
+    // query probes: own bucket + all single-bit flips
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        srpBucket(col("embedding"), planes, dim).as("qb"))
+      .select(col("query_id"), col("qe"), explode(array(
+        col("qb") +: (0 until planes).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("qe"), col("ce")), 9).as("cos"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rn") <= k)
+      .select("query_id", "nn_id", "cos", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucketed self-join (own bucket
+   * only), cosine >= threshold, v1 < v2. */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
+                         planes: Int = 4, dim: Int = 64): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      srpBucket(col("embedding"), planes, dim).as("bucket"))
+      .persist() // both sides of the bucket self-join; srpBucket is per-row heavy
+    val a = v.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = v.select(col("bucket"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), round(cosine(col("e1"), col("e2")), 9).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}

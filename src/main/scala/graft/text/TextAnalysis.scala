@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, language identification, and document
+ * fingerprinting. All are pure Column expressions built from
+ * `org.apache.spark.sql.functions` higher-order functions, so they stay
+ * inside whole-stage codegen — no UDFs, no driver round-trips; at 100 TB
+ * these run as a single projection over the scan.
+ *
+ * Every function has a DuckDB-SQL twin in graft.queries.TrainOracles with
+ * identical operand order so results hash-match bit-for-bit.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword estimate: alpha runs count ceil(len/4) pieces (a crude
+   * merge-table stand-in), digits and punctuation are one piece each. */
+  def bpeTokenEstimate(text: Column): Column = {
+    val alphaPieces = aggregate(
+      transform(
+        filter(split(lower(text), "[^a-z]+"), t => length(t) > 0),
+        t => ceil(length(t).cast("double") / 4.0).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val nonAlpha = length(regexp_replace(text, "[a-zA-Z\\s]", ""))
+    alphaPieces + nonAlpha.cast("long")
+  }
+
+  /** Ratio of punctuation characters to total non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
+    when(nonSpace === 0, lit(0.0))
+      .otherwise(punct.cast("double") / nonSpace.cast("double"))
+  }
+
+  /** English stopword list used by the quality score / language id — a
+   * fixed public tiny set, shared verbatim with the SQL oracle. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Ratio of stopword tokens to all tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val stops = filter(toks, t => t.isin(EnglishStopwords.map(lit): _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(transform(toks, t => length(t).cast("double")),
+        lit(0.0), (acc, v) => acc + v) / size(toks).cast("double"))
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards mid-length documents and a
+   * natural-language stopword rate, penalizes punctuation soup. The exact
+   * formula is arbitrary (quality scoring always is); what matters is that
+   * it is deterministic, cheap, and columnar.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctTerm = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    round((lenTerm + stopTerm + punctTerm) / 3.0, 9)
+  }
+
+  /** Per-language marker-word sets for the n-gram/stopword language-id
+   * heuristic (public common function words). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"),
+  )
+
+  /**
+   * Language id: count marker-word hits per language, pick the argmax
+   * (ties broken by the order of [[LangMarkers]]); "und" (undetermined)
+   * when nothing matches.
+   */
+  def languageId(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words.map(lit): _*)))
+    val scored = LangMarkers.map { case (l, ws) => (l, hits(ws)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Large prime modulus for the rolling fingerprint (fits in 31 bits so
+   * h*31+c never overflows a 64-bit long). */
+  val FpMod = 2147483647L
+
+  /**
+   * Rolling polynomial fingerprint of the normalized text:
+   * h = (h * 31 + ascii(ch)) mod 2^31-1 over every character of
+   * lower(trim(text)). Order-dependent by construction, evaluated
+   * sequentially by `aggregate` — the SQL twin uses list_reduce with the
+   * same fold order. (At scale, swap for xxhash64(text); this form exists
+   * for cross-engine verifiability.)
+   */
+  def fingerprint(text: Column): Column = charFold(lower(trim(text)))
+
+  /** Sequential polynomial fold over the characters of `s` (see Dedup.strHash
+   * — same hash, shared with the SQL oracle). Char stream via
+   * sequence+substr, NOT split(s, ""): Spark's split keeps a trailing empty
+   * string at limit=-1, DuckDB's doesn't. Guarded for empty strings (Spark's
+   * sequence(1, 0) counts DOWN). */
+  private def charFold(s: Column): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, c) => pmod(acc * 31 + c, lit(FpMod))))
+
+  /** All analyses as named columns over a text column. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      bpeTokenEstimate(t).as("n_bpe_tokens"),
+      round(punctRatio(t), 9).as("punct_ratio"),
+      round(stopwordRatio(t), 9).as("stopword_ratio"),
+      round(meanTokenLen(t), 9).as("mean_token_len"),
+      qualityScore(t).as("quality"),
+      languageId(t).as("lang_id"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.er._
+
+/** Shared local SparkSession for all specs. */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+}
+
+class ErCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def attrs(rows: (Long, Int, String, String)*): DataFrame =
+    rows.toDF("profile_id", "source_id", "attribute", "value")
+
+  test("tokenKeys lowercases, splits on non-word, distincts per profile") {
+    val df = attrs((1L, 0, "name", "Alpha-Beta alpha"), (2L, 0, "name", "beta!!gamma"))
+    val keys = Blocking.tokenKeys(df).as[(Long, Int, String)].collect().toSet
+    assert(keys == Set((1L, 0, "alpha"), (1L, 0, "beta"), (2L, 0, "beta"), (2L, 0, "gamma")))
+  }
+
+  test("tokenKeys attribute-qualified + exclusions") {
+    val df = attrs((1L, 0, "name", "x y"), (1L, 0, "brand", "x"))
+    val keys = Blocking.tokenKeys(df, attributesToExclude = Seq("brand"),
+      keysToExclude = Seq("y"), attrQualified = true)
+      .select("key").as[String].collect().toSet
+    assert(keys == Set("name_x"))
+  }
+
+  test("ngramKeys pads with _ and slides (reference utils.get_ngrams)") {
+    // token "ab", n=3 -> padded "__ab__" -> __a, _ab, ab_, b__
+    val df = attrs((1L, 0, "name", "ab"))
+    val keys = Blocking.ngramKeys(df, n = 3).select("key").as[String].collect().toSet
+    assert(keys == Set("__a", "_ab", "ab_", "b__"))
+  }
+
+  test("validBlocks dirty keeps tokens with >=2 profiles; clean needs 2 sources") {
+    val keys = Seq((1L, 0, "t"), (2L, 0, "t"), (3L, 0, "solo"),
+      (4L, 0, "u"), (5L, 0, "u")).toDF("profile_id", "source_id", "key")
+    val dirty = Blocking.validBlocks(keys, clean = false)
+      .select("key").distinct().as[String].collect().toSet
+    assert(dirty == Set("t", "u"))
+    val keys2 = Seq((1L, 0, "t"), (2L, 0, "t"), (3L, 0, "u"), (4L, 1, "u"))
+      .toDF("profile_id", "source_id", "key")
+    val clean = Blocking.validBlocks(keys2, clean = true)
+      .select("key").distinct().as[String].collect().toSet
+    assert(clean == Set("u"))
+  }
+
+  test("blockStats comparisons: dirty n*(n-1), clean sum of cross products") {
+    val dirtyMembers = Seq((1L, 0, "t"), (2L, 0, "t"), (3L, 0, "t"))
+      .toDF("profile_id", "source_id", "key")
+      .select("key", "profile_id", "source_id")
+    val d = Blocking.blockStats(dirtyMembers, clean = false)
+      .as[(String, Long, Long, Double)].collect().head
+    assert(d == (("t", 3L, 6L, 6.0)))
+    // clean: sources sizes 2 and 1 -> comparisons 2*1 = 2, arcs product 1*2=2
+    val cleanMembers = Seq((1L, 0, "t"), (2L, 0, "t"), (3L, 1, "t"))
+      .toDF("profile_id", "source_id", "key")
+      .select("key", "profile_id", "source_id")
+    val c = Blocking.blockStats(cleanMembers, clean = true)
+      .as[(String, Long, Long, Double)].collect().head
+    assert(c == (("t", 3L, 2L, 2.0)))
+  }
+
+  test("purgingThreshold mirrors filters.py scan") {
+    // levels: comparisons 2 (x2 blocks), 6, 90. With smooth=1.005 the large
+    // level should be cut. Fixture: block sizes chosen so the scan fires.
+    val stats = Seq(("a", 2L, 2L), ("b", 2L, 2L), ("c", 3L, 6L), ("d", 10L, 90L))
+      .toDF("key", "size", "comparisons")
+    val thr = BlockCleaning.purgingThreshold(stats, 1.005)
+      .as[Double].collect().head
+    // manual: levels asc (2: cc=4 bc=4), (6: cc=10 bc=7), (90: cc=100 bc=17)
+    // scan i from top: check bc(i)*cc(i+1) < smooth*cc(i)*bc(i+1) for i = n-2..:
+    // i=6-level: bc=7, cc_next=100 -> 700 < 1.005*10*17=170.85? no
+    // i=2-level: bc=4, cc_next=10 -> 40 < 1.005*4*7=28.14? no
+    // no hit -> second-smallest level = 6
+    assert(thr == 6.0)
+  }
+
+  test("filterProfileBlocks keeps round(n*r) smallest, ties kept") {
+    // profile 1 has blocks with comparisons 1,2,2,9; r=0.5 -> k=round(2.0)=2
+    // cutoff = comparisons at position 2 = 2 -> keep 1,2,2 (tie at cutoff)
+    val pb = Seq((1L, 0, "a", 1L), (1L, 0, "b", 2L), (1L, 0, "c", 2L), (1L, 0, "d", 9L))
+      .toDF("profile_id", "source_id", "key", "comparisons")
+    val kept = BlockCleaning.filterProfileBlocks(pb, 0.5)
+      .select("key").as[String].collect().toSet
+    assert(kept == Set("a", "b", "c"))
+  }
+
+  test("cbsPairs dirty: shared-block counts, p1<p2") {
+    val m = Seq(("x", 1L, 0), ("x", 2L, 0), ("y", 1L, 0), ("y", 2L, 0), ("y", 3L, 0))
+      .toDF("key", "profile_id", "source_id")
+    val pairs = MetaBlocking.cbsPairs(m, clean = false)
+      .select("p1", "p2", "cbs").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("cbsPairs clean: only cross-source pairs") {
+    val m = Seq(("x", 1L, 0), ("x", 2L, 0), ("x", 3L, 1))
+      .toDF("key", "profile_id", "source_id")
+    val pairs = MetaBlocking.cbsPairs(m, clean = true)
+      .select("p1", "p2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)))
+  }
+
+  test("JS weight = cbs / (bp1 + bp2 - cbs)") {
+    val m = Seq(("x", 1L, 0), ("x", 2L, 0), ("y", 1L, 0), ("y", 2L, 0), ("z", 1L, 0), ("z", 3L, 0))
+      .toDF("key", "profile_id", "source_id")
+    val pbf = m.select(col("profile_id"), col("source_id"), col("key"))
+    val stats = Blocking.blockStats(m, clean = false)
+    val pairs = MetaBlocking.cbsPairs(m, clean = false)
+    val pstats = MetaBlocking.profileStats(pbf, stats)
+    val nb = stats.agg(count(lit(1)).as("number_of_blocks"))
+    val w = MetaBlocking.weightedPairs(pairs, pstats, nb, WeightType.JS)
+      .select("p1", "p2", "w1").as[(Long, Long, Double)].collect()
+      .map { case (p1, p2, wv) => (p1, p2) -> wv }.toMap
+    // pair (1,2): cbs=2, bp1=3, bp2=2 -> 2/(3+2-2) = 2/3
+    assert(math.abs(w((1L, 2L)) - 2.0 / 3.0) < 1e-12)
+    // pair (1,3): cbs=1, bp1=3, bp2=1 -> 1/3
+    assert(math.abs(w((1L, 3L)) - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("WNP AVG/OR keeps edges >= a local mean; AND subset of OR") {
+    val weighted = Seq(
+      (1L, 2L, 3.0, 3.0), (1L, 3L, 1.0, 1.0), (2L, 3L, 2.0, 2.0))
+      .toDF("p1", "p2", "w1", "w2")
+    val or = MetaBlocking.wnp(weighted, ThresholdType.AVG, ComparisonType.OR, WeightType.CBS)
+      .select("p1", "p2").as[(Long, Long)].collect().toSet
+    val and = MetaBlocking.wnp(weighted, ThresholdType.AVG, ComparisonType.AND, WeightType.CBS)
+      .select("p1", "p2").as[(Long, Long)].collect().toSet
+    // thresholds: t(1)=(3+1)/2=2, t(2)=(3+2)/2=2.5, t(3)=(1+2)/2=1.5
+    // (1,2): w=3 >= t1 or t2 -> keep (both) ; (1,3): 1 < 2, 1 < 1.5 -> drop
+    // (2,3): 2 < 2.5, 2 >= 1.5 -> OR keeps, AND drops
+    assert(or == Set((1L, 2L), (2L, 3L)))
+    assert(and == Set((1L, 2L)))
+    assert(and.subsetOf(or))
+  }
+
+  test("WEP keeps edges >= global mean of directed weights") {
+    val weighted = Seq((1L, 2L, 4.0, 4.0), (1L, 3L, 1.0, 1.0), (2L, 3L, 1.0, 1.0))
+      .toDF("p1", "p2", "w1", "w2")
+    // mean = (4+1+1)*2 / 6 = 2
+    val kept = MetaBlocking.wep(weighted).select("p1", "p2")
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L)))
+  }
+
+  test("CEP keeps global top-K with per-profile tie quotas") {
+    val weighted = Seq(
+      (1L, 2L, 5.0, 5.0), (1L, 3L, 3.0, 3.0), (2L, 3L, 3.0, 3.0), (4L, 5L, 1.0, 1.0))
+      .toDF("p1", "p2", "w1", "w2")
+    // valid stats: sum(size) = 4 -> K = 2: keep (1,2) then one tie at 3.0
+    val stats = Seq(("b1", 4L)).toDF("key", "size")
+    val kept = MetaBlocking.cep(weighted, stats).select("p1", "p2")
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L), (1L, 3L)))
+  }
+
+  test("CNP per-profile top-k, OR vs AND") {
+    val weighted = Seq(
+      (1L, 2L, 5.0, 5.0), (1L, 3L, 3.0, 3.0), (2L, 3L, 4.0, 4.0))
+      .toDF("p1", "p2", "w1", "w2")
+    // k = floor(6/3 - 1) = 1: top-1 of 1 -> 2; of 2 -> 1; of 3 -> 2
+    val stats = Seq(("b1", 6L)).toDF("key", "size")
+    val or = MetaBlocking.cnp(weighted, stats, 3L, ComparisonType.OR)
+      .select("p1", "p2").as[(Long, Long)].collect().toSet
+    val and = MetaBlocking.cnp(weighted, stats, 3L, ComparisonType.AND)
+      .select("p1", "p2").as[(Long, Long)].collect().toSet
+    assert(or == Set((1L, 2L), (2L, 3L)))
+    assert(and == Set((1L, 2L)))
+  }
+
+  test("pcPq computes recall / precision / f1") {
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("p1", "p2")
+    val gt = Seq((1L, 2L), (4L, 5L), (6L, 7L)).toDF("p1", "p2")
+    val r = Evaluation.pcPq(cand, gt)
+      .select("num_candidates", "num_matches", "num_gt", "pc", "pq")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(r._1 == 4L && r._2 == 2L && r._3 == 3L)
+    assert(math.abs(r._4 - 2.0 / 3.0) < 1e-12 && math.abs(r._5 - 0.5) < 1e-12)
+  }
+
+  test("convertGroundTruth maps original ids, orders least/greatest, drops missing") {
+    val profiles = Seq((10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("profile_id", "original_id")
+    val gt = Seq(("b", "a"), ("c", "zzz")).toDF("id1", "id2")
+    val out = Evaluation.convertGroundTruth(gt, profiles, profiles)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 20L)))
+  }
+
+  override def afterAll(): Unit = () // keep shared session for other specs
+}
