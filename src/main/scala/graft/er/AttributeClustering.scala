@@ -60,7 +60,7 @@ object AttributeClustering {
    */
   def candidatePairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0)
-    val s = sig.persist()
+    val s = sig.localCheckpoint()
     val bandKeys = s
       .withColumn("band", (col("i") / lit(k / bands)).cast("int"))
       .groupBy("qattr", "band")
@@ -101,9 +101,13 @@ object AttributeClustering {
    * converges in a handful of tiny jobs.
    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    var labels = vertices.select(col("qattr"), col("qattr").as("lbl")).persist()
+    // localCheckpoint every iteration: the loop's plan otherwise contains
+    // the previous iteration's plan TWICE (propagation + union), i.e.
+    // exponential lineage growth — the classic iterative-graph pitfall
+    // GraphX solves with checkpointing.
+    var labels = vertices.select(col("qattr"), col("qattr").as("lbl")).localCheckpoint()
     val undirected = edges.select(col("a1").as("u"), col("a2").as("v"))
-      .union(edges.select(col("a2").as("u"), col("a1").as("v"))).persist()
+      .union(edges.select(col("a2").as("u"), col("a1").as("v"))).localCheckpoint()
     var changed = true
     var iter = 0
     while (changed && iter < 20) {
@@ -111,10 +115,9 @@ object AttributeClustering {
         .join(labels.select(col("qattr").as("u"), col("lbl")), Seq("u"))
         .select(col("v").as("qattr"), col("lbl"))
       val next = labels.select("qattr", "lbl").union(viaNeighbor)
-        .groupBy("qattr").agg(min(col("lbl")).as("lbl")).persist()
+        .groupBy("qattr").agg(min(col("lbl")).as("lbl")).localCheckpoint()
       val diff = next.join(labels.withColumnRenamed("lbl", "old"), Seq("qattr"))
         .filter(col("lbl") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       changed = diff > 0
       iter += 1
@@ -133,11 +136,11 @@ object AttributeClustering {
   def clusterAttributes(attrs: DataFrame, k: Int = 16, bands: Int = 4,
                         maxFactor: Double = 0.8,
                         computeEntropy: Boolean = true): DataFrame = {
-    val tokens = attrTokens(attrs).persist()
+    val tokens = attrTokens(attrs).localCheckpoint()
     val sig = signatures(tokens, k)
     val cand = candidatePairs(sig, k, bands)
-    val kept = bestEdges(cand, maxFactor).persist()
-    val vertices = tokens.select("qattr").distinct().persist()
+    val kept = bestEdges(cand, maxFactor).localCheckpoint()
+    val vertices = tokens.select("qattr").distinct().localCheckpoint()
     val inEdges = kept.select(col("a1").as("qattr"))
       .union(kept.select(col("a2").as("qattr"))).distinct()
     val clusteredLabels = connectedComponents(inEdges, kept)
@@ -158,14 +161,18 @@ object AttributeClustering {
       .filter(length(col("token")) > 0)
     val tokenCounts = occurrences.groupBy("qattr", "token").agg(count(lit(1)).as("c"))
     val attrTotals = tokenCounts.groupBy("qattr").agg(sum(col("c")).as("tot"))
+    // sorted sequential folds: double-sum order must match the SQL oracle
     val attrEntropy = tokenCounts.join(attrTotals, Seq("qattr"))
       .withColumn("p", col("c").cast("double") / col("tot"))
+      .withColumn("term", col("p") * log2(col("p")))
       .groupBy("qattr")
-      .agg((-sum(col("p") * log2(col("p")))).as("attr_entropy"))
+      .agg((-expr("aggregate(array_sort(collect_list(term)), cast(0.0 as double), (acc, x) -> acc + x)"))
+        .as("attr_entropy"))
     val clusterEntropy = allAssigned.join(attrEntropy, Seq("qattr"), "left")
       .na.fill(Map("attr_entropy" -> 0.0))
       .groupBy("cluster_id")
-      .agg((sum(col("attr_entropy")) / count(lit(1))).as("entropy"))
+      .agg((expr("aggregate(array_sort(collect_list(attr_entropy)), cast(0.0 as double), (acc, x) -> acc + x)")
+        / count(lit(1))).as("entropy"))
     allAssigned.join(clusterEntropy, Seq("cluster_id"))
       .select("qattr", "cluster_id", "entropy")
   }

@@ -77,7 +77,11 @@ object MetaBlocking {
                else col("p1") < col("p2")
     a.join(b, Seq("key")).filter(cond)
       .groupBy("p1", "p2")
-      .agg(count(lit(1)).as("cbs"), sum(col("entropy")).as("entropy_sum"))
+      .agg(count(lit(1)).as("cbs"),
+        // sorted sequential fold: deterministic double sum (shared-block
+        // count per pair is small, so the collect_list stays tiny)
+        expr("aggregate(array_sort(collect_list(entropy)), cast(0.0 as double), (acc, x) -> acc + x)")
+          .as("entropy_sum"))
   }
 
   /**

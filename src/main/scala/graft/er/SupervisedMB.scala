@@ -46,11 +46,15 @@ object SupervisedMB {
       if (clean) col("size") - col("own") else col("size") - 1
 
     // per-profile aggregates (the reference's six broadcast maps)
+    // double sums via sorted sequential folds — partial-aggregation order
+    // would otherwise make them nondeterministic vs the SQL oracle
+    def sortedSum(e: String) =
+      expr(s"aggregate(array_sort(collect_list($e)), cast(0.0 as double), (acc, x) -> acc + x)")
     val perProfile = withOwn.groupBy("profile_id").agg(
       count(lit(1)).as("nblocks_p"),
-      sum(lit(1.0) / col("size")).as("inv_size_p"),
+      sortedSum("1.0 / cast(size as double)").as("inv_size_p"),
       sum(col("comparisons")).as("comp_p"),
-      sum(lit(1.0) / col("comparisons")).as("inv_comp_p"),
+      sortedSum("1.0 / cast(comparisons as double)").as("inv_comp_p"),
       sum(neighborsInBlock).as("redundant_p"))
 
     // globals as a 1-row frame
@@ -67,8 +71,8 @@ object SupervisedMB {
     val pairs = a.join(b, Seq("key")).filter(cond)
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("cbs"),
-        sum(lit(1.0) / col("comparisons")).as("raccb_raw"),
-        sum(lit(1.0) / col("size")).as("rs"))
+        expr("aggregate(array_sort(collect_list(1.0 / cast(comparisons as double))), cast(0.0 as double), (acc, x) -> acc + x)").as("raccb_raw"),
+        expr("aggregate(array_sort(collect_list(1.0 / cast(size as double))), cast(0.0 as double), (acc, x) -> acc + x)").as("rs"))
 
     // distinct-neighbor (non-redundant) degree per profile
     val degrees = pairs.select(col("p1").as("profile_id"))

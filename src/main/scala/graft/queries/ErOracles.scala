@@ -22,7 +22,7 @@ object ErOracles {
    * exponential blow-up (er_arcs at sf0.001: 14.7s -> 0.55s with
    * materialization). Every `NAME AS (` here is a CTE definition — column
    * aliases in this file never take the form ` AS (`. */
-  private def materializeCtes(sql: String): String =
+  private[queries] def materializeCtes(sql: String): String =
     sql.replace(" AS (", " AS MATERIALIZED (")
 
   private val smooth = "1.005"
@@ -30,7 +30,7 @@ object ErOracles {
 
   /** attrs + toks + blocks + purging + filtering + valid blocks + pairs +
    * per-profile stats + the fat `wp` join all weight schemes read from. */
-  private def prelude(clean: Boolean): String = {
+  private[queries] def prelude(clean: Boolean): String = {
     val src = if (clean) "p_partkey % 2" else "0"
     val bs0 =
       if (!clean)
@@ -177,10 +177,10 @@ object ErOracles {
   }
 
   /** CTE producing (p1, p2, cbs, w1, w2) for a scheme. */
-  private def wpw(scheme: String): String =
+  private[queries] def wpw(scheme: String): String =
     s"wpw AS (SELECT p1, p2, cbs, ${wExpr(scheme, 1)} AS w1, ${wExpr(scheme, 2)} AS w2 FROM wp),\n"
 
-  private val directed =
+  private[queries] val directed =
     """directed AS (SELECT p1 AS a, p2 AS b, w1 AS w FROM wpw
       |             UNION ALL SELECT p2, p1, w2 FROM wpw),
       |""".stripMargin

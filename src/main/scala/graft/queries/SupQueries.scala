@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.er._
+
+/**
+ * Queries for supervised meta-blocking, progressive ER and attribute
+ * clustering over the `part` profile source (same fixtures as
+ * [[ErQueries]]); oracles in [[SupOracles]].
+ */
+object SupQueries {
+
+  private val featCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val scoredCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val clustersCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Attribute clusters over the parity-split part attrs, shared by
+   * attr_clusters and blast_wnp. */
+  def clusters(s: SparkSession, d: String): DataFrame =
+    clustersCache.getOrElseUpdate(d,
+      AttributeClustering.clusterAttributes(
+        ErQueries.partAttrs(s, d, twoSources = true), k = 16, bands = 4,
+        maxFactor = 0.8, computeEntropy = true).localCheckpoint())
+
+  /** Supervised-MB features over the dirty cleaned block collection,
+   * labeled with the p_name ground truth. */
+  def features(s: SparkSession, d: String): DataFrame =
+    featCache.getOrElseUpdate(d, {
+      val cb = ErQueries.cleaned(s, d, clean = false)
+      SupervisedMB.features(cb.members2, cb.stats2, clean = false,
+        gt = Some(ErQueries.gtConverted(s, d))).localCheckpoint()
+    })
+
+  def scored(s: SparkSession, d: String): DataFrame =
+    scoredCache.getOrElseUpdate(d,
+      SupervisedMB.deterministicScore(features(s, d)).localCheckpoint())
+
+  private def out(df: DataFrame): DataFrame =
+    df.select("p1", "p2", "p_match", "is_match")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sup_features" -> ((s, d) => features(s, d)),
+
+    "sup_bcl" -> ((s, d) => out(SupervisedMB.bcl(scored(s, d)))),
+
+    "sup_wep" -> ((s, d) => out(SupervisedMB.wep(scored(s, d)))),
+
+    "sup_cep" -> ((s, d) => out(SupervisedMB.cep(scored(s, d),
+      ErQueries.cleaned(s, d, clean = false).stats2))),
+
+    "sup_blast" -> ((s, d) => out(SupervisedMB.blast(scored(s, d)))),
+
+    "sup_cnp" -> ((s, d) => {
+      val n = s.read.parquet(s"$d/part.parquet").count()
+      out(SupervisedMB.cnp(scored(s, d),
+        ErQueries.cleaned(s, d, clean = false).stats2, n, ComparisonType.OR))
+    }),
+
+    "sup_rcnp" -> ((s, d) => {
+      val n = s.read.parquet(s"$d/part.parquet").count()
+      out(SupervisedMB.cnp(scored(s, d),
+        ErQueries.cleaned(s, d, clean = false).stats2, n, ComparisonType.AND))
+    }),
+
+    "sup_stats" -> ((s, d) => {
+      val gtSize = ErQueries.gtConverted(s, d).count()
+      SupervisedMB.stats(SupervisedMB.bcl(scored(s, d)), gtSize)
+    }),
+
+    "prog_pps" -> ((s, d) =>
+      Progressive.ppsEmission(
+        ErQueries.weightedCached(s, d, clean = false, WeightType.CBS),
+        k = 20, limit = 500)),
+
+    "prog_gspsn" -> ((s, d) =>
+      Progressive.gspsn(
+        ErQueries.keys(s, d, twoSources = false)
+          .select("key", "profile_id", "source_id"),
+        window = 2, limit = 500)),
+
+    "attr_clusters" -> ((s, d) =>
+      clusters(s, d).select(col("qattr"), col("cluster_id"),
+        round(col("entropy"), 9).as("entropy"))),
+
+    // full BLAST-style pipeline: cluster-qualified keys -> cleaned blocks
+    // -> chi2 WNP with entropy weighting
+    "blast_wnp" -> ((s, d) => {
+      val attrs = ErQueries.partAttrs(s, d, twoSources = true)
+      val keysEnt = AttributeClustering.clusterKeys(attrs, clusters(s, d)).localCheckpoint()
+      val cb = Pipeline.cleanBlocks(
+        keysEnt.select("profile_id", "source_id", "key"), clean = true,
+        ErQueries.Smooth, ErQueries.FilterR)
+      val cbChk = cb.copy(
+        profileBlocksF = cb.profileBlocksF.localCheckpoint(),
+        members2 = cb.members2.localCheckpoint(),
+        stats2 = cb.stats2.localCheckpoint())
+      val blockEnt = keysEnt.select("key", "entropy").distinct()
+        .groupBy("key").agg(max(col("entropy")).as("entropy"))
+      val weighted = MetaBlocking.weightedPairs(
+        cbChk.pairs(Some(blockEnt)).localCheckpoint(),
+        cbChk.profileStats.localCheckpoint(),
+        cbChk.numberOfBlocks,
+        WeightType.ChiSquare, useEntropy = true).localCheckpoint()
+      MetaBlocking.wnp(weighted, ThresholdType.MaxFract2, ComparisonType.OR,
+        WeightType.ChiSquare, chi2divider = 2.0, eps = 1e-9)
+        .select(col("p1"), col("p2"), round(col("w"), 6).as("w"))
+    })
+  )
+}
