@@ -50,7 +50,8 @@ object Progressive {
         greatest(col("a"), col("b")).as("p2"),
         col("w"), col("likelihood"), col("a"))
       .withColumn("rank", row_number().over(Window.orderBy(
-        col("likelihood").desc, col("a").asc, col("w").desc, col("p2").asc)))
+        col("likelihood").desc, col("a").asc, col("w").desc,
+        col("p1").asc, col("p2").asc)))
       .filter(col("rank") <= limit)
     ranked
       .withColumn("keep", row_number().over(

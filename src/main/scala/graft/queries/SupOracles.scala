@@ -213,7 +213,7 @@ object SupOracles {
         |         l.likelihood
         |  FROM top t JOIN lik l ON t.a = l.a),
         |rr AS (SELECT p1, p2, w,
-        |       ROW_NUMBER() OVER (ORDER BY likelihood DESC, a, w DESC, p2) AS rank
+        |       ROW_NUMBER() OVER (ORDER BY likelihood DESC, a, w DESC, p1, p2) AS rank
         |       FROM rankedp),
         |rf AS (SELECT * FROM rr WHERE rank <= 500),
         |dedup AS (SELECT rank, p1, p2, w,

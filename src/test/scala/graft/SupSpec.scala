@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.er._
+
+class SupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val members = Seq(
+    ("x", 1L, 0), ("x", 2L, 0), ("y", 1L, 0), ("y", 2L, 0), ("y", 3L, 0))
+    .toDF("key", "profile_id", "source_id")
+  private val stats = Seq(("x", 2L, 2L), ("y", 3L, 6L)).toDF("key", "size", "comparisons")
+
+  test("features: cbs, js, raccb, labels") {
+    val gt = Seq((1L, 2L)).toDF("p1", "p2")
+    val f = SupervisedMB.features(members, stats, clean = false, Some(gt))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val f12 = f((1L, 2L))
+    // cbs(1,2)=2; blocks_num=2; nb1=nb2=2 -> cfibf = 2*ln(1)*ln(1) = 0
+    assert(f12.getDouble(2) == 0.0)
+    // raccb = 1/2 + 1/6 = 2/3
+    assert(math.abs(f12.getDouble(3) - (1.0 / 6 + 1.0 / 2)) < 1e-9)
+    // redundant: p1: (2-1)+(3-1)=3, p2 same; js = 2/(3+3-2) = 0.5
+    assert(math.abs(f12.getDouble(4) - 0.5) < 1e-9)
+    assert(f12.getInt(11) == 1)       // is_match
+    assert(f((1L, 3L)).getInt(11) == 0)
+  }
+
+  test("cep keeps global top-k by p_match among positives") {
+    val scored = Seq(
+      (1L, 2L, 0.9, 1), (1L, 3L, 0.7, 0), (2L, 3L, 0.6, 0), (4L, 5L, 0.4, 0))
+      .toDF("p1", "p2", "p_match", "is_match")
+    // K = floor(sum(size)/2) = floor(5/2) = 2
+    val st = Seq(("b", 5L)).toDF("key", "size")
+    val kept = SupervisedMB.cep(scored, st).select("p1", "p2")
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L), (1L, 3L)))
+  }
+
+  test("blast rule: p >= 0.35 * (max1 + max2)") {
+    val scored = Seq(
+      (1L, 2L, 0.9, 0), (1L, 3L, 0.5, 0), (2L, 3L, 0.8, 0))
+      .toDF("p1", "p2", "p_match", "is_match")
+    val kept = SupervisedMB.blast(scored).select("p1", "p2")
+      .as[(Long, Long)].collect().toSet
+    // max1: p1=1 -> .9, p1=2 -> .8; max2: p2=2 -> .9, p2=3 -> .8
+    // (1,2): .9 >= .35*(.9+.9)=.63 ok; (1,3): .5 >= .35*(.9+.8)=.595 no
+    // (2,3): .8 >= .35*(.8+.8)=.56 ok
+    assert(kept == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("cnp OR keeps union of per-side top-k; AND the intersection") {
+    val scored = Seq(
+      (1L, 2L, 0.9, 0), (1L, 3L, 0.8, 0), (1L, 4L, 0.7, 0))
+      .toDF("p1", "p2", "p_match", "is_match")
+    // k = 2*max(1, 3/3) = 2 -> top-2 of p1-side for profile 1 = {2,3}
+    val st = Seq(("b", 3L)).toDF("key", "size")
+    val or = SupervisedMB.cnp(scored, st, 3L, ComparisonType.OR)
+      .select("p2").as[Long].collect().toSet
+    val and = SupervisedMB.cnp(scored, st, 3L, ComparisonType.AND)
+      .select("p2").as[Long].collect().toSet
+    // p2-side top-k: each neighbor profile has single edge -> retained
+    assert(or == Set(2L, 3L, 4L))
+    assert(and == Set(2L, 3L))
+  }
+
+  test("ppsEmission ranks by likelihood then weight") {
+    val weighted = Seq((1L, 2L, 5.0, 5.0), (1L, 3L, 1.0, 1.0), (4L, 5L, 3.0, 3.0))
+      .toDF("p1", "p2", "w1", "w2")
+    val r = Progressive.ppsEmission(weighted, k = 2, limit = 100)
+      .orderBy("rank").select("p1", "p2").as[(Long, Long)].collect()
+    // likelihoods: 1 -> 3.0, 2 -> 5, 3 -> 1, 4 -> 3, 5 -> 3
+    // best profile = 2 (5.0): edge (1,2) first
+    assert(r.head == ((1L, 2L)))
+    assert(r.toSet == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+  }
+
+  test("gspsn: adjacent tokens in sorted stream become weighted candidates") {
+    val keys = Seq(
+      ("aa", 1L, 0), ("ab", 2L, 0), ("zz", 3L, 0))
+      .toDF("key", "profile_id", "source_id")
+    val r = Progressive.gspsn(keys, window = 1, limit = 10)
+      .select("p1", "p2", "w").as[(Long, Long, Double)].collect()
+    // positions: aa->0 (p1), ab->1 (p2), zz->2 (p3); window 1:
+    // (1,2) cbs=1 w=1/(1+1-1)=1; (2,3) cbs=1 w=1
+    assert(r.map(x => (x._1, x._2)).toSet == Set((1L, 2L), (2L, 3L)))
+    assert(r.forall(_._3 == 1.0))
+  }
+
+  test("attribute clustering aligns matching attributes across sources") {
+    // two sources with identical token distributions for 'name', disjoint
+    // for 'other'
+    val attrs = Seq(
+      (1L, 0, "name", "alpha beta gamma delta"),
+      (2L, 0, "name", "alpha beta gamma epsilon"),
+      (3L, 1, "name", "alpha beta gamma delta"),
+      (4L, 1, "name", "alpha beta gamma epsilon"),
+      (1L, 0, "other", "one two three"),
+      (3L, 1, "other", "four five six"))
+      .toDF("profile_id", "source_id", "attribute", "value")
+    val clusters = AttributeClustering.clusterAttributes(attrs, k = 16, bands = 4)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(clusters("0_name") == clusters("1_name"))
+    assert(clusters("0_other") != clusters("0_name") || clusters("1_other") != clusters("1_name"))
+  }
+
+  test("connectedComponents finds min labels") {
+    val verts = Seq("a", "b", "c", "d").toDF("qattr")
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("a1", "a2")
+    val labels = AttributeClustering.connectedComponents(verts, edges)
+      .as[(String, String)].collect().toMap
+    assert(labels("a") == "a" && labels("b") == "a" && labels("c") == "a")
+    assert(labels("d") == "d")
+  }
+}

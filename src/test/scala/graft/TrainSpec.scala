@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+
+class TrainSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("tokenCount / punctRatio / stopwordRatio / meanTokenLen") {
+    val df = docs((1L, "the cat sat!!"), (2L, ""))
+    val r = df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.punctRatio(col("text")).as("p"),
+      TextAnalysis.stopwordRatio(col("text")).as("s"),
+      TextAnalysis.meanTokenLen(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(r(1L)._1 == 3)
+    // "thecatsat!!" 11 non-space chars, 2 punct
+    assert(math.abs(r(1L)._2 - 2.0 / 11.0) < 1e-12)
+    assert(math.abs(r(1L)._3 - 1.0 / 3.0) < 1e-12)
+    // tokens: the(3) cat(3) sat!!(5) -> mean 11/3
+    assert(math.abs(r(1L)._4 - 11.0 / 3.0) < 1e-12)
+    assert(r(2L) == ((0, 0.0, 0.0, 0.0)))
+  }
+
+  test("languageId picks marker-word argmax, und when none") {
+    val df = docs((1L, "the cat and the dog"), (2L, "der hund ist gross"), (3L, "xyzzy"))
+    val r = df.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
+  }
+
+  test("fingerprint is the rolling 31-hash of lower(trim(text))") {
+    val r = docs((1L, " Ab ")).select(TextAnalysis.fingerprint(col("text")))
+      .as[Long].collect().head
+    // "ab": ((0*31+97)%M)*31+98 % M = 97*31+98 = 3105
+    assert(r == 3105L)
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val df = docs((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+    val r = Dedup.exact(df).as[(Long, Long)].collect().toMap
+    assert(r(1L) == 1L && r(2L) == 1L && r(3L) == 3L)
+  }
+
+  test("shingles builds word 3-grams, distinct") {
+    val df = docs((1L, "a b c d"))
+    val r = Dedup.shingles(df, 3).select("shingle").as[String].collect().toSet
+    assert(r == Set("a b c", "b c d"))
+  }
+
+  test("jaccardPairs computes exact shingle jaccard") {
+    val df = docs((1L, "a b c d"), (2L, "a b c e"))
+    // shingles: {abc,bcd} vs {abc,bce} -> jaccard 1/3
+    val r = Dedup.jaccardPairs(Dedup.shingles(df, 3), 0.3)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect()
+    assert(r.length == 1 && r.head._1 == 1L && r.head._2 == 2L)
+    assert(math.abs(r.head._3 - 1.0 / 3.0) < 1e-6)
+  }
+
+  test("minhash LSH finds near-identical docs") {
+    val df = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words here nothing shared at all everything distinct"))
+    val r = Dedup.minhashLsh(Dedup.shingles(df, 3)).select("d1", "d2", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(r.exists(x => x._1 == 1L && x._2 == 2L && x._3 == 1.0))
+    assert(!r.exists(x => x._2 == 3L || x._1 == 3L))
+  }
+
+  test("simhash identical docs share fingerprints; pairs found at distance 0") {
+    val df = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+    val fp = Dedup.simhash(df).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    val pairs = Dedup.simhashPairs(Dedup.simhash(df)).select("d1", "d2", "hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // patch dot/norm to 2 dims by constructing similarity directly
+    val r = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .select("query_id", "nn_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(r == Set((0L, 1L, 1), (0L, 2L, 2)))
+  }
+
+  test("multimodal decode produces deterministic features + frame samples") {
+    val df = docs((1L, "abcd"))
+    val mm = Multimodal.asMultimodal(df)
+    val f = Multimodal.decodeFeatures(mm).collect().head
+    assert(f.getInt(1) == 16 + 4 && f.getInt(2) == 16 && f.getInt(3) == 1 + 4)
+    val mean = (97 + 98 + 99 + 100) / 4.0
+    assert(math.abs(f.getDouble(4) - mean) < 1e-6)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decodeFeatures(mm), stride = 2)
+      .select("frame_idx").as[Int].collect().toSet
+    assert(frames == Set(0, 2, 4))
+  }
+
+  test("sessionize splits on gaps > 30min") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "a", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 7L, "a", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventStreams.sessionize(df)
+      .select("user_id", "session_seq", "n_events", "value_sum")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(r.length == 2)
+    assert(r(0)._3 == 2 && math.abs(r(0)._4 - 3.0) < 1e-9)
+    assert(r(1)._3 == 1 && math.abs(r(1)._4 - 3.0) < 1e-9)
+  }
+}
