@@ -29,16 +29,11 @@ object Dedup {
    * products stay under 2^63 (a * x with a,x < 2^31). */
   val Mod = 2147483647L
 
-  /** Sequential polynomial hash of a string: fold h = (h*31 + ascii) % Mod.
-   * Char stream via sequence+substr, NOT split(s, "") (Spark keeps a
-   * trailing empty string at limit=-1, DuckDB doesn't); guarded for empty
-   * strings because Spark's sequence(1, 0) counts DOWN. */
-  def strHash(s: Column): Column =
-    when(length(s) === 0, lit(0L)).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
-        lit(0L),
-        (acc, c) => pmod(acc * 31 + c, lit(Mod))))
+  /** Sequential polynomial hash of a string: fold h = (h*31 + char) % Mod —
+   * a codegen'd primitive loop (graft.functions.PolyHash31); the
+   * equivalent transform/sequence/ascii/aggregate HOF fold runs
+   * interpreted (CodegenFallback) and dominated the sf0.1 bench. */
+  def strHash(s: Column): Column = graft.functions.PolyHash31(s)
 
   /** Normalized text: lowercase, collapse whitespace runs, trim. */
   def normalize(text: Column): Column =
@@ -90,7 +85,7 @@ object Dedup {
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz1") + col("sz2") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 9).as("jaccard"))
+      .select(col("d1"), col("d2"), graft.functions.FastRound.round(col("jaccard"), 9).as("jaccard"))
   }
 
   /** Deterministic MinHash permutation constants, reproducible in SQL:
@@ -136,7 +131,7 @@ object Dedup {
       .groupBy("d1", "d2")
       .agg((sum(when(col("sig1") === col("sig2"), 1).otherwise(0)).cast("double") / k)
         .as("est_jaccard"))
-      .select(col("d1"), col("d2"), round(col("est_jaccard"), 9).as("est_jaccard"))
+      .select(col("d1"), col("d2"), graft.functions.FastRound.round(col("est_jaccard"), 9).as("est_jaccard"))
   }
 
   /**

@@ -57,7 +57,7 @@ object Progressive {
       .withColumn("keep", row_number().over(
         Window.partitionBy("p1", "p2").orderBy(col("rank").asc)))
       .filter(col("keep") === 1)
-      .select(col("rank"), col("p1"), col("p2"), round(col("w"), 9).as("w"))
+      .select(col("rank"), col("p1"), col("p2"), graft.functions.FastRound.round(col("w"), 9).as("w"))
   }
 
   /** Global token-stream positions: (pos, profile_id) with pos dense over
@@ -85,18 +85,25 @@ object Progressive {
   def gspsn(keys: DataFrame, window: Int = 2, limit: Int = 1000): DataFrame = {
     val pos = tokenPositions(keys).persist()
     val counts = pos.groupBy("profile_id").agg(count(lit(1)).as("np"))
+    // |pa - pb| <= window as an EQUI-join: explode the +-window offsets on
+    // one side and join on the shifted position. A literal range predicate
+    // would plan as a broadcast nested-loop join — O(n^2) over the token
+    // stream, the bench killer at scale; this is O(n * window) rows through
+    // a hash join.
+    val offsets = (-window to window).filter(_ != 0)
     val a = pos.select(col("pos").as("pa"), col("profile_id").as("pa_id"))
+      .withColumn("off", explode(array(offsets.map(lit(_)): _*)))
+      .select((col("pa") + col("off")).as("pb"), col("pa_id"))
     val b = pos.select(col("pos").as("pb"), col("profile_id").as("pb_id"))
-    val cbs = a.join(b,
-        col("pb") >= col("pa") - window && col("pb") <= col("pa") + window &&
-          col("pb") =!= col("pa") && col("pb_id") < col("pa_id"))
+    val cbs = a.join(b, Seq("pb"))
+      .filter(col("pb_id") < col("pa_id"))
       .select(col("pb_id").as("p1"), col("pa_id").as("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("cbs"))
     cbs
       .join(counts.select(col("profile_id").as("p1"), col("np").as("np1")), Seq("p1"))
       .join(counts.select(col("profile_id").as("p2"), col("np").as("np2")), Seq("p2"))
       .select(col("p1"), col("p2"),
-        round(col("cbs").cast("double") / (col("np1") + col("np2") - col("cbs")), 9).as("w"))
+        graft.functions.FastRound.round(col("cbs").cast("double") / (col("np1") + col("np2") - col("cbs")), 9).as("w"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("w").desc, col("p1").asc, col("p2").asc)))
       .filter(col("rank") <= limit)

@@ -108,16 +108,16 @@ object SupervisedMB {
 
     labeled.select(
       col("p1"), col("p2"),
-      round(cbsD * ibf1 * ibf2, 9).as("cfibf"),
-      round(raccb, 9).as("raccb"),
-      round(cbsD / (col("red1") + col("red2") - cbsD), 9).as("js"),
+      graft.functions.FastRound.round(cbsD * ibf1 * ibf2, 9).as("cfibf"),
+      graft.functions.FastRound.round(raccb, 9).as("raccb"),
+      graft.functions.FastRound.round(cbsD / (col("red1") + col("red2") - cbsD), 9).as("js"),
       col("nonred1").as("num_comp_p1"),
       col("nonred2").as("num_comp_p2"),
-      round(col("rs"), 9).as("rs"),
-      round(js1 * log(col("total_comparisons") / col("comp1"))
+      graft.functions.FastRound.round(col("rs"), 9).as("rs"),
+      graft.functions.FastRound.round(js1 * log(col("total_comparisons") / col("comp1"))
         * log(col("total_comparisons") / col("comp2")), 9).as("aejs"),
-      round(col("rs") / (col("invsz1") + col("invsz2") - col("rs")), 9).as("nrs"),
-      round(raccb / (col("invcomp1") + col("invcomp2") - raccb), 9).as("wjs"),
+      graft.functions.FastRound.round(col("rs") / (col("invsz1") + col("invsz2") - col("rs")), 9).as("nrs"),
+      graft.functions.FastRound.round(raccb / (col("invcomp1") + col("invcomp2") - raccb), 9).as("wjs"),
       col("is_match"))
   }
 
@@ -128,7 +128,7 @@ object SupervisedMB {
    */
   def deterministicScore(features: DataFrame): DataFrame =
     features.withColumn("p_match",
-      round((col("js") + col("nrs") + col("wjs")) / 3.0, 9))
+      graft.functions.FastRound.round((col("js") + col("nrs") + col("wjs")) / 3.0, 9))
 
   /** Real classifier path: Spark ML logistic regression over the 9
    * features (the reference delegates to pyspark.ml the same way). */

@@ -51,28 +51,28 @@ object ErQueries {
   def cleaned(spark: SparkSession, dir: String, clean: Boolean): CleanedBlocks =
     cleanedCache.getOrElseUpdate((dir, clean), {
       val cb = Pipeline.cleanBlocks(keys(spark, dir, twoSources = clean), clean, Smooth, FilterR)
-      // localCheckpoint (not persist) at every fan-out point: it both
+      // Snapshot (parquet-on-tmpfs) at every fan-out point: it both
       // caches the rows AND truncates the logical plan. The lazy pipeline
       // builds Catalyst trees so large that analysis + tree-string
-      // generation dominates runtime; persist() alone leaves every
-      // downstream query re-analyzing the full ancestor tree.
+      // generation dominates runtime, and in-memory caching contends on
+      // the MemoryStore lock across 32 local threads (see Snapshot doc).
       cb.copy(
-        stats0 = cb.stats0.localCheckpoint(),
-        stats1 = cb.stats1.localCheckpoint(),
-        profileBlocksF = cb.profileBlocksF.localCheckpoint(),
-        members2 = cb.members2.localCheckpoint(),
-        stats2 = cb.stats2.localCheckpoint())
+        stats0 = graft.util.Snapshot(cb.stats0),
+        stats1 = graft.util.Snapshot(cb.stats1),
+        profileBlocksF = graft.util.Snapshot(cb.profileBlocksF),
+        members2 = graft.util.Snapshot(cb.members2),
+        stats2 = graft.util.Snapshot(cb.stats2))
     })
 
   /** Persisted CBS pair graph / per-profile stats, shared by all weight
    * schemes over the same cleaned block collection. */
   def cachedPairs(spark: SparkSession, dir: String, clean: Boolean): DataFrame =
     pairsCache.getOrElseUpdate((dir, clean),
-      cleaned(spark, dir, clean).pairs().localCheckpoint())
+      graft.util.Snapshot(cleaned(spark, dir, clean).pairs()))
 
   def cachedProfileStats(spark: SparkSession, dir: String, clean: Boolean): DataFrame =
     pstatsCache.getOrElseUpdate((dir, clean),
-      cleaned(spark, dir, clean).profileStats.localCheckpoint())
+      graft.util.Snapshot(cleaned(spark, dir, clean).profileStats))
 
   /** Weighted graph built from the cached pair graph, persisted per scheme:
    * every pruning operator reads it several times (thresholds pass + the
@@ -80,12 +80,12 @@ object ErQueries {
   def weightedCached(s: SparkSession, d: String, clean: Boolean,
                      wt: WeightType.Value): DataFrame =
     weightedCache.getOrElseUpdate((d, clean, wt),
-      MetaBlocking.weightedPairs(cachedPairs(s, d, clean),
+      graft.util.Snapshot(MetaBlocking.weightedPairs(cachedPairs(s, d, clean),
         cachedProfileStats(s, d, clean),
-        cleaned(s, d, clean).numberOfBlocks, wt).localCheckpoint())
+        cleaned(s, d, clean).numberOfBlocks, wt)))
 
   private def w9(df: DataFrame): DataFrame =
-    df.select(col("p1"), col("p2"), round(col("w1"), 9).as("w"))
+    df.select(col("p1"), col("p2"), graft.functions.FastRound.round(col("w1"), 9).as("w"))
 
   private def wRaw(df: DataFrame): DataFrame =
     df.select(col("p1"), col("p2"), col("w1").as("w"))
@@ -100,12 +100,19 @@ object ErQueries {
       .select(concat(lit("P"), col("ka")).as("id1"), concat(lit("P"), col("kb")).as("id2"))
   }
 
-  def gtConverted(spark: SparkSession, dir: String): DataFrame = {
-    val profiles = spark.read.parquet(s"$dir/part.parquet")
-      .select(col("p_partkey").as("profile_id"),
-        concat(lit("P"), col("p_partkey")).as("original_id"))
-    Evaluation.convertGroundTruth(gtOriginal(spark, dir), profiles, profiles)
-  }
+  private val gtCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Converted ground truth, memoized: the p_name self-join is paid by
+   * three different queries otherwise. */
+  def gtConverted(spark: SparkSession, dir: String): DataFrame =
+    gtCache.getOrElseUpdate(dir, {
+      val profiles = spark.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("profile_id"),
+          concat(lit("P"), col("p_partkey")).as("original_id"))
+      graft.util.Snapshot(
+        Evaluation.convertGroundTruth(gtOriginal(spark, dir), profiles, profiles))
+    })
 
   /** All ER queries, keyed as they appear in SparkEntry.queries. */
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -164,7 +171,7 @@ object ErQueries {
       val cb = cleaned(s, d, clean = false)
       MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.ChiSquare), ThresholdType.AVG, ComparisonType.OR,
         WeightType.ChiSquare, chi2divider = 2.0, eps = 1e-9)
-        .select(col("p1"), col("p2"), round(col("w"), 9).as("w"))
+        .select(col("p1"), col("p2"), graft.functions.FastRound.round(col("w"), 9).as("w"))
     }),
 
     "er_wnp_cbs_clean" -> ((s, d) => {

@@ -22,22 +22,22 @@ object SupQueries {
    * attr_clusters and blast_wnp. */
   def clusters(s: SparkSession, d: String): DataFrame =
     clustersCache.getOrElseUpdate(d,
-      AttributeClustering.clusterAttributes(
+      graft.util.Snapshot(AttributeClustering.clusterAttributes(
         ErQueries.partAttrs(s, d, twoSources = true), k = 16, bands = 4,
-        maxFactor = 0.8, computeEntropy = true).localCheckpoint())
+        maxFactor = 0.8, computeEntropy = true)))
 
   /** Supervised-MB features over the dirty cleaned block collection,
    * labeled with the p_name ground truth. */
   def features(s: SparkSession, d: String): DataFrame =
     featCache.getOrElseUpdate(d, {
       val cb = ErQueries.cleaned(s, d, clean = false)
-      SupervisedMB.features(cb.members2, cb.stats2, clean = false,
-        gt = Some(ErQueries.gtConverted(s, d))).localCheckpoint()
+      graft.util.Snapshot(SupervisedMB.features(cb.members2, cb.stats2, clean = false,
+        gt = Some(ErQueries.gtConverted(s, d))))
     })
 
   def scored(s: SparkSession, d: String): DataFrame =
     scoredCache.getOrElseUpdate(d,
-      SupervisedMB.deterministicScore(features(s, d)).localCheckpoint())
+      graft.util.Snapshot(SupervisedMB.deterministicScore(features(s, d))))
 
   private def out(df: DataFrame): DataFrame =
     df.select("p1", "p2", "p_match", "is_match")
@@ -84,30 +84,30 @@ object SupQueries {
 
     "attr_clusters" -> ((s, d) =>
       clusters(s, d).select(col("qattr"), col("cluster_id"),
-        round(col("entropy"), 9).as("entropy"))),
+        graft.functions.FastRound.round(col("entropy"), 9).as("entropy"))),
 
     // full BLAST-style pipeline: cluster-qualified keys -> cleaned blocks
     // -> chi2 WNP with entropy weighting
     "blast_wnp" -> ((s, d) => {
       val attrs = ErQueries.partAttrs(s, d, twoSources = true)
-      val keysEnt = AttributeClustering.clusterKeys(attrs, clusters(s, d)).localCheckpoint()
+      val keysEnt = graft.util.Snapshot(AttributeClustering.clusterKeys(attrs, clusters(s, d)))
       val cb = Pipeline.cleanBlocks(
         keysEnt.select("profile_id", "source_id", "key"), clean = true,
         ErQueries.Smooth, ErQueries.FilterR)
       val cbChk = cb.copy(
-        profileBlocksF = cb.profileBlocksF.localCheckpoint(),
-        members2 = cb.members2.localCheckpoint(),
-        stats2 = cb.stats2.localCheckpoint())
+        profileBlocksF = graft.util.Snapshot(cb.profileBlocksF),
+        members2 = graft.util.Snapshot(cb.members2),
+        stats2 = graft.util.Snapshot(cb.stats2))
       val blockEnt = keysEnt.select("key", "entropy").distinct()
         .groupBy("key").agg(max(col("entropy")).as("entropy"))
-      val weighted = MetaBlocking.weightedPairs(
-        cbChk.pairs(Some(blockEnt)).localCheckpoint(),
-        cbChk.profileStats.localCheckpoint(),
+      val weighted = graft.util.Snapshot(MetaBlocking.weightedPairs(
+        graft.util.Snapshot(cbChk.pairs(Some(blockEnt))),
+        graft.util.Snapshot(cbChk.profileStats),
         cbChk.numberOfBlocks,
-        WeightType.ChiSquare, useEntropy = true).localCheckpoint()
+        WeightType.ChiSquare, useEntropy = true))
       MetaBlocking.wnp(weighted, ThresholdType.MaxFract2, ComparisonType.OR,
         WeightType.ChiSquare, chi2divider = 2.0, eps = 1e-9)
-        .select(col("p1"), col("p2"), round(col("w"), 6).as("w"))
+        .select(col("p1"), col("p2"), graft.functions.FastRound.round(col("w"), 6).as("w"))
     })
   )
 }

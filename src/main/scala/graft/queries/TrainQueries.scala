@@ -28,10 +28,10 @@ object TrainQueries {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def shingles3(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate(d, Dedup.shingles(docs(s, d), n = 3).localCheckpoint())
+    shingleCache.getOrElseUpdate(d, graft.util.Snapshot(Dedup.shingles(docs(s, d), n = 3)))
 
   private def simhashFp(s: SparkSession, d: String): DataFrame =
-    simhashCache.getOrElseUpdate(d, Dedup.simhash(docs(s, d)).localCheckpoint())
+    simhashCache.getOrElseUpdate(d, graft.util.Snapshot(Dedup.simhash(docs(s, d))))
   private def embs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
   private def events(s: SparkSession, d: String): DataFrame =

@@ -26,15 +26,13 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-order dot product of two float vectors, in doubles. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-order dot product in doubles — a codegen'd primitive loop
+   * (graft.functions.VecDot); Catalyst higher-order functions would run
+   * interpreted (CodegenFallback) in this hot path. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot.dot(a, b)
 
   /** L2 norm (sequential sum of squares). */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -51,7 +49,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
-        round(cosine(col("qe"), col("ce")), 9).as("cos"))
+        graft.functions.FastRound.round(cosine(col("qe"), col("ce")), 9).as("cos"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
@@ -59,21 +57,22 @@ object Similarity {
       .select("query_id", "nn_id", "cos", "rn")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-   * a fixed LCG over p * dim + i mapped to [-0.5, 0.5). Reproducible in SQL. */
-  private def planeComponent(p: Int, i: Column, dim: Int): Column = {
-    val s = pmod(lit(1103515245L) * (lit(p.toLong * dim) + i) + 12345L, lit(2147483647L))
-    s.cast("double") / 2147483647.0 - 0.5
-  }
+  /** Deterministic pseudo-random hyperplane for plane p: a fixed LCG over
+   * p * dim + i mapped to [-0.5, 0.5) — computed once on the driver and
+   * shipped as an array literal (identical values to the SQL oracle's
+   * per-row arithmetic, but evaluated zero times per row here). */
+  private def planeArray(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      ((1103515245L * (p.toLong * dim + i) + 12345L) % 2147483647L).toDouble /
+        2147483647.0 - 0.5
+    }
 
   /** Sign-random-projection bucket key from `planes` fixed hyperplanes:
-   * bit p = (embedding · plane_p) >= 0. */
+   * bit p = (embedding · plane_p) >= 0, with the dot a codegen'd VecDot
+   * against the literal plane. */
   def srpBucket(emb: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val d = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * planeComponent(p, i.cast("long"), dim)),
-        lit(0.0), (acc, v) => acc + v)
+      val d = dot(emb, typedLit(planeArray(p, dim)))
       when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -97,7 +96,7 @@ object Similarity {
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
-        round(cosine(col("qe"), col("ce")), 9).as("cos"))
+        graft.functions.FastRound.round(cosine(col("qe"), col("ce")), 9).as("cos"))
       .distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
@@ -115,7 +114,7 @@ object Similarity {
     val a = v.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
     val b = v.select(col("bucket"), col("vec_id").as("v2"), col("embedding").as("e2"))
     a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"), round(cosine(col("e1"), col("e2")), 9).as("cos"))
+      .select(col("v1"), col("v2"), graft.functions.FastRound.round(cosine(col("e1"), col("e2")), 9).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }

@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+
+/**
+ * Profile loaders — the reference's wrapper surface
+ * (python/sparker/wrappers.py: CSVWrapper/JSONWrapper/PandasWrapper and
+ * the scala Wrappers package), Spark-native:
+ *
+ *  - every cell is coerced to string (the reference's schema-free model,
+ *    wrappers.py:41,46,166);
+ *  - JSON arrays explode into repeated key/value attributes
+ *    (wrappers.py:38-43);
+ *  - null/empty values are dropped;
+ *  - an optional `realIdField` column becomes original_id
+ *    (wrappers.py:67-110);
+ *  - profile ids are dense longs starting at `startIdFrom`, assigned by
+ *    zipWithIndex over a deterministic (original_id, then row content)
+ *    order — no single-partition window, scales to any input.
+ *
+ * Output layouts: the nested API layout
+ * (profile_id, original_id, source_id, attributes: array<struct<key,value>>)
+ * and the normalized long layout (profile_id, source_id, attribute, value)
+ * that the blocking operators consume.
+ */
+object Wrappers {
+
+  /** Normalized long layout from any string-ish DataFrame: one row per
+   * non-null, non-empty (profile, attribute). */
+  def toLongLayout(profiles: DataFrame): DataFrame =
+    profiles.select(col("profile_id"), col("source_id"),
+        explode(col("attributes")).as("kv"))
+      .select(col("profile_id"), col("source_id"),
+        col("kv.key").as("attribute"), col("kv.value").as("value"))
+
+  /** Attach dense profile ids with zipWithIndex over a deterministic sort
+   * of the raw rows. */
+  private def withDenseIds(df: DataFrame, startIdFrom: Long,
+                           orderCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val schema = StructType(
+      org.apache.spark.sql.types.StructField("profile_id",
+        org.apache.spark.sql.types.LongType, nullable = false) +: sorted.schema.fields)
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq((startIdFrom + idx) +: row.toSeq)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /**
+   * CSV -> profiles (CSVWrapper.load_profiles, wrappers.py:67-110).
+   * Header row becomes attribute names; all cells cast to string;
+   * `realIdField` (if present) is pulled out as original_id and excluded
+   * from the attribute bag.
+   */
+  def loadProfilesCsv(spark: SparkSession, path: String,
+                      startIdFrom: Long = 0, separator: String = ",",
+                      header: Boolean = true, realIdField: String = "",
+                      sourceId: Int = 0): DataFrame = {
+    val raw = spark.read
+      .option("header", header.toString).option("sep", separator)
+      .csv(path)
+    fromDataFrame(raw, startIdFrom, realIdField, sourceId)
+  }
+
+  /** JSON-lines -> profiles (JSONWrapper.load_profiles, wrappers.py:7-54);
+   * arrays become repeated attribute values. */
+  def loadProfilesJson(spark: SparkSession, path: String,
+                       startIdFrom: Long = 0, realIdField: String = "",
+                       sourceId: Int = 0): DataFrame = {
+    val raw = spark.read.json(path)
+    fromDataFrame(raw, startIdFrom, realIdField, sourceId)
+  }
+
+  /**
+   * Any DataFrame -> profiles (PandasWrapper analog, wrappers.py:137-182).
+   * Array columns explode to multi-valued attributes; everything else is
+   * cast to string; null/empty dropped.
+   */
+  def fromDataFrame(raw: DataFrame, startIdFrom: Long = 0,
+                    realIdField: String = "", sourceId: Int = 0): DataFrame = {
+    val attrCols = raw.schema.fields.filter(_.name != realIdField)
+    val kvArrays = attrCols.map { f =>
+      f.dataType match {
+        case ArrayType(_, _) =>
+          // array column -> one key/value struct per element
+          coalesce(transform(col(f.name).cast(ArrayType(StringType)),
+            v => struct(lit(f.name).as("key"), v.as("value"))),
+            array().cast("array<struct<key:string,value:string>>"))
+        case _ =>
+          array(struct(lit(f.name).as("key"),
+            col(f.name).cast(StringType).as("value")))
+      }
+    }
+    val allAttrs = filter(concat(kvArrays: _*),
+      kv => kv.getField("value").isNotNull && length(kv.getField("value")) > 0)
+    val originalId =
+      if (realIdField.nonEmpty && raw.columns.contains(realIdField))
+        col(realIdField).cast(StringType)
+      else lit(null).cast(StringType)
+    val combined = raw
+      .withColumn("_all_attrs", allAttrs)
+      .withColumn("original_id", originalId)
+      .select(col("original_id"), col("_all_attrs").as("attributes"))
+    val withIds = withDenseIds(
+      combined.withColumn("_ord", to_json(col("attributes"))),
+      startIdFrom, Seq("original_id", "_ord"))
+    withIds
+      .select(col("profile_id"),
+        coalesce(col("original_id"), col("profile_id").cast(StringType)).as("original_id"),
+        lit(sourceId).as("source_id"), col("attributes"))
+  }
+
+  /** Ground-truth loaders (wrappers.py:56-64, :112-134): pairs of original
+   * ids under fixed column names (id1, id2). */
+  def loadGroundTruthCsv(spark: SparkSession, path: String,
+                         id1: String = "id1", id2: String = "id2",
+                         separator: String = ",", header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("sep", separator)
+      .csv(path)
+      .select(col(id1).cast(StringType).as("id1"), col(id2).cast(StringType).as("id2"))
+
+  def loadGroundTruthJson(spark: SparkSession, path: String,
+                          firstAttr: String = "id1", secondAttr: String = "id2"): DataFrame =
+    spark.read.json(path)
+      .select(col(firstAttr).cast(StringType).as("id1"),
+        col(secondAttr).cast(StringType).as("id2"))
+}

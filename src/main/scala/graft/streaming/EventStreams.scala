@@ -35,7 +35,7 @@ object EventStreams {
   def windowedAggBatch(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), (sum(round(col("value") * 100).cast("long")) / 100.0).as("value_sum"))
+      .agg(count(lit(1)).as("n"), (sum(graft.functions.FastRound.round(col("value") * 100, 0).cast("long")) / 100.0).as("value_sum"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
 
   /**
@@ -65,7 +65,7 @@ object EventStreams {
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), (sum(round(col("value") * 100).cast("long")) / 100.0).as("value_sum"))
+      .agg(count(lit(1)).as("n"), (sum(graft.functions.FastRound.round(col("value") * 100, 0).cast("long")) / 100.0).as("value_sum"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
     val name = s"events_windowed_${System.nanoTime()}"
     val q = agg.writeStream
@@ -96,6 +96,6 @@ object EventStreams {
       .withColumn("session_seq", sum(col("new_session")).over(byUser))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"), (sum(round(col("value") * 100).cast("long")) / 100.0).as("value_sum"))
+        count(lit(1)).as("n_events"), (sum(graft.functions.FastRound.round(col("value") * 100, 0).cast("long")) / 100.0).as("value_sum"))
   }
 }

@@ -72,7 +72,7 @@ object TextAnalysis {
     val lenTerm = least(length(text).cast("double") / 500.0, lit(1.0))
     val stopTerm = least(stopwordRatio(text) * 5.0, lit(1.0))
     val punctTerm = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
-    round((lenTerm + stopTerm + punctTerm) / 3.0, 9)
+    graft.functions.FastRound.round((lenTerm + stopTerm + punctTerm) / 3.0, 9)
   }
 
   /** Per-language marker-word sets for the n-gram/stopword language-id
@@ -114,17 +114,9 @@ object TextAnalysis {
    */
   def fingerprint(text: Column): Column = charFold(lower(trim(text)))
 
-  /** Sequential polynomial fold over the characters of `s` (see Dedup.strHash
-   * — same hash, shared with the SQL oracle). Char stream via
-   * sequence+substr, NOT split(s, ""): Spark's split keeps a trailing empty
-   * string at limit=-1, DuckDB's doesn't. Guarded for empty strings (Spark's
-   * sequence(1, 0) counts DOWN). */
-  private def charFold(s: Column): Column =
-    when(length(s) === 0, lit(0L)).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
-        lit(0L),
-        (acc, c) => pmod(acc * 31 + c, lit(FpMod))))
+  /** Sequential polynomial fold over the characters of `s` — same hash as
+   * Dedup.strHash (codegen'd primitive loop, shared with the SQL oracle). */
+  private def charFold(s: Column): Column = graft.functions.PolyHash31(s)
 
   /** All analyses as named columns over a text column. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
@@ -133,9 +125,9 @@ object TextAnalysis {
       col("doc_id"),
       tokenCount(t).as("n_tokens"),
       bpeTokenEstimate(t).as("n_bpe_tokens"),
-      round(punctRatio(t), 9).as("punct_ratio"),
-      round(stopwordRatio(t), 9).as("stopword_ratio"),
-      round(meanTokenLen(t), 9).as("mean_token_len"),
+      graft.functions.FastRound.round(punctRatio(t), 9).as("punct_ratio"),
+      graft.functions.FastRound.round(stopwordRatio(t), 9).as("stopword_ratio"),
+      graft.functions.FastRound.round(meanTokenLen(t), 9).as("mean_token_len"),
       qualityScore(t).as("quality"),
       languageId(t).as("lang_id"),
       fingerprint(t).as("fingerprint"))

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.sources.Wrappers
+import graft.er.Converters
+
+class WrappersSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  test("CSV loader: header attrs, string coercion, dense ids, real id field") {
+    val dir = Files.createTempDirectory("csvw").toFile
+    val f = new java.io.File(dir, "d.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "rid,name,qty\nr2,beta,2\nr1,alpha,1\nr3,,3\n")
+    val p = Wrappers.loadProfilesCsv(spark, f.getAbsolutePath,
+      startIdFrom = 10, realIdField = "rid", sourceId = 7)
+    val rows = p.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getSeq[org.apache.spark.sql.Row](3).map(kv => (kv.getString(0), kv.getString(1))).toSet))
+    // ordered by original_id: r1, r2, r3 -> ids 10, 11, 12
+    assert(rows.map(_._1).toSeq == Seq(10L, 11L, 12L))
+    assert(rows.map(_._2).toSeq == Seq("r1", "r2", "r3"))
+    assert(rows.forall(_._3 == 7))
+    assert(rows(0)._4 == Set(("name", "alpha"), ("qty", "1")))
+    assert(rows(2)._4 == Set(("qty", "3"))) // empty name dropped
+  }
+
+  test("JSON loader: arrays explode to repeated attributes") {
+    val dir = Files.createTempDirectory("jsonw").toFile
+    val f = new java.io.File(dir, "d.json")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"rid":"a","tags":["x","y"],"n":1}""" + "\n")
+    val p = Wrappers.loadProfilesJson(spark, f.getAbsolutePath, realIdField = "rid")
+    val attrs = Wrappers.toLongLayout(p)
+      .select("attribute", "value").as[(String, String)].collect().toSet
+    assert(attrs == Set(("tags", "x"), ("tags", "y"), ("n", "1")))
+  }
+
+  test("ground-truth loaders") {
+    val dir = Files.createTempDirectory("gtw").toFile
+    val f = new java.io.File(dir, "gt.csv")
+    java.nio.file.Files.writeString(f.toPath, "id1,id2\na,b\nc,d\n")
+    val gt = Wrappers.loadGroundTruthCsv(spark, f.getAbsolutePath)
+    assert(gt.as[(String, String)].collect().toSet == Set(("a", "b"), ("c", "d")))
+  }
+
+  test("converters round-trip blocks <-> profile blocks") {
+    val members = Seq(("x", 1L, 0), ("x", 2L, 0), ("y", 2L, 0), ("y", 3L, 0))
+      .toDF("key", "profile_id", "source_id")
+    val stats = Seq(("x", 2L, 2L), ("y", 2L, 2L)).toDF("key", "size", "comparisons")
+    val pb = Converters.blocksToProfileBlocks(members, stats)
+    assert(pb.count() == 4)
+    val back = Converters.profileBlocksToBlocks(pb, clean = false)
+    assert(back.select("key", "profile_id").as[(String, Long)].collect().toSet ==
+      members.select("key", "profile_id").as[(String, Long)].collect().toSet)
+    val nested = Converters.profileBlocksNested(members, stats)
+    val m = nested.collect().map(r => r.getLong(0) -> r.getSeq[Any](1).size).toMap
+    assert(m == Map(1L -> 1, 2L -> 2, 3L -> 1))
+  }
+}
