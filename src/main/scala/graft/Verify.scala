@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
+      // bit-stable double sums (sorted sequential folds) so results
+      // hash-match the DuckDB oracle; production/bench use plain sums
+      .config("spark.graft.exactSums", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

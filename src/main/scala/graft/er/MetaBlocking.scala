@@ -77,9 +77,9 @@ object MetaBlocking {
         a.join(b, Seq("key")).filter(cond)
           .groupBy("p1", "p2")
           .agg(count(lit(1)).as("cbs"),
-            // sorted sequential fold: deterministic double sum (shared-block
-            // count per pair is small, so the collect_list stays tiny)
-            expr("aggregate(array_sort(collect_list(entropy)), cast(0.0 as double), (acc, x) -> acc + x)")
+            // deterministic (sorted sequential) double sum only in verify
+            // mode; plain codegen'd sum otherwise (Det doc)
+            graft.util.Det.sumD(graft.util.Det.exactSums(members.sparkSession), "entropy")
               .as("entropy_sum"))
       case None =>
         // no entropy requested: keep the hot self-join a pure codegen'd
@@ -317,14 +317,15 @@ object MetaBlocking {
    * the K-th level and fills the remainder with threshold-level ties in
    * deterministic (p1, p2) order (the reference fills them in partition
    * order, cep.py:230-260 — documented divergence). Fully distributed: the
-   * histogram walk is a window over distinct weight levels and tie quotas are
-   * assigned per profile, so no O(edges) driver structure.
+   * histogram walk and the tie quotas use the two-phase range-partitioned
+   * prefix sum ([[graft.util.Prefix]]) — no single-partition window even
+   * for fractional weight schemes where every weight level is distinct
+   * (O(edges) levels), and no O(edges) driver structure.
    */
   def cep(weighted: DataFrame, validStats: DataFrame): DataFrame = {
     val k = validStats.agg(floor(sum(col("size")) / 2.0).cast("double").as("k"))
     val hist = weighted.groupBy(col("w1").as("wl")).agg(count(lit(1)).cast("double").as("freq"))
-    val wDesc = Window.orderBy(col("wl").desc)
-    val cum = hist.withColumn("cum", sum(col("freq")).over(wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cum = graft.util.Prefix.runningSum(hist, Seq(col("wl").desc), col("freq"), "cum")
     // first level (walking desc) whose cumulative count reaches K; if the
     // total never reaches K, the lowest level.
     val thrRow = cum.crossJoin(k).agg(
@@ -338,9 +339,10 @@ object MetaBlocking {
       .select(col("p1"), col("p2"), col("w1").as("w"))
     // ties: per-profile quotas consumed in ascending (p1, p2) order
     val ties = weighted.crossJoin(withThr).filter(col("w1") === col("thr"))
-    val perProf = ties.groupBy("p1").agg(count(lit(1)).as("cnt"))
-      .withColumn("prev", coalesce(sum(col("cnt")).over(
-        Window.orderBy("p1").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val perProf = graft.util.Prefix.runningSum(
+        ties.groupBy("p1").agg(count(lit(1)).as("cnt")),
+        Seq(col("p1").asc), col("cnt").cast("double"), "cumc")
+      .withColumn("prev", col("cumc") - col("cnt"))
     val tiesKept = ties
       .join(perProf, Seq("p1"))
       .withColumn("quota", greatest(least(col("remaining") - col("prev"), col("cnt").cast("double")), lit(0.0)))
@@ -356,11 +358,19 @@ object MetaBlocking {
    * number_of_profiles - 1) (cnp.py:250-260); an edge survives when either
    * (OR) or both (AND) endpoints retained it. Top-k ties break
    * deterministically by neighbor id (divergence: np.argpartition order).
+   *
+   * `kOverride` pins k instead of deriving it from the block stats — the
+   * reference formula yields k=0 on sparse collections (every edge dropped),
+   * so fixtures/tests pin a positive k while production keeps the default.
    */
   def cnp(weighted: DataFrame, validStats: DataFrame, numberOfProfiles: Long,
-          ct: ComparisonType.Value): DataFrame = {
-    val kDf = validStats.agg(
-      floor(sum(col("size")).cast("double") / numberOfProfiles - 1.0).cast("long").as("k"))
+          ct: ComparisonType.Value, kOverride: Option[Long] = None): DataFrame = {
+    val kDf = kOverride match {
+      case Some(kFixed) =>
+        validStats.sparkSession.range(1).select(lit(kFixed).as("k"))
+      case None => validStats.agg(
+        floor(sum(col("size")).cast("double") / numberOfProfiles - 1.0).cast("long").as("k"))
+    }
     val retained = directedEdges(weighted).crossJoin(kDf)
       .withColumn("rn", row_number().over(Window.partitionBy("a").orderBy(col("w").desc, col("b").asc)))
       .filter(col("rn") <= col("k"))

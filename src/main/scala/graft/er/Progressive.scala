@@ -44,16 +44,23 @@ object Progressive {
     val top = topComparisons(weighted, k).persist()
     val likelihood = top.groupBy(col("a"))
       .agg((sum(col("w")) / count(lit(1))).as("likelihood"))
-    val ranked = top.join(likelihood, Seq("a"))
+    // the emission order is a unique total order (a is unique per directed
+    // edge, (p1, p2) unique per (a, b)), so orderBy().limit() — planned as a
+    // distributed TakeOrderedAndProject — selects exactly the first `limit`
+    // comparisons; the rank window then runs over <= limit rows, never over
+    // the O(N*k) candidate stream.
+    val emissionOrder = Seq(
+      col("likelihood").desc, col("a").asc, col("w").desc,
+      col("p1").asc, col("p2").asc)
+    val limited = top.join(likelihood, Seq("a"))
       .select(
         least(col("a"), col("b")).as("p1"),
         greatest(col("a"), col("b")).as("p2"),
         col("w"), col("likelihood"), col("a"))
-      .withColumn("rank", row_number().over(Window.orderBy(
-        col("likelihood").desc, col("a").asc, col("w").desc,
-        col("p1").asc, col("p2").asc)))
-      .filter(col("rank") <= limit)
-    ranked
+      .orderBy(emissionOrder: _*)
+      .limit(limit)
+    limited
+      .withColumn("rank", row_number().over(Window.orderBy(emissionOrder: _*)))
       .withColumn("keep", row_number().over(
         Window.partitionBy("p1", "p2").orderBy(col("rank").asc)))
       .filter(col("keep") === 1)
@@ -99,14 +106,18 @@ object Progressive {
       .filter(col("pb_id") < col("pa_id"))
       .select(col("pb_id").as("p1"), col("pa_id").as("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("cbs"))
+    // (w desc, p1, p2) is a unique total order over the undirected pairs:
+    // distributed top-`limit` via orderBy().limit(), rank attached on the
+    // tiny result (no global window over O(pairs) rows).
+    val emissionOrder = Seq(col("w").desc, col("p1").asc, col("p2").asc)
     cbs
       .join(counts.select(col("profile_id").as("p1"), col("np").as("np1")), Seq("p1"))
       .join(counts.select(col("profile_id").as("p2"), col("np").as("np2")), Seq("p2"))
       .select(col("p1"), col("p2"),
         graft.functions.FastRound.round(col("cbs").cast("double") / (col("np1") + col("np2") - col("cbs")), 9).as("w"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("w").desc, col("p1").asc, col("p2").asc)))
-      .filter(col("rank") <= limit)
+      .orderBy(emissionOrder: _*)
+      .limit(limit)
+      .withColumn("rank", row_number().over(Window.orderBy(emissionOrder: _*)))
       .select("rank", "p1", "p2", "w")
   }
 }

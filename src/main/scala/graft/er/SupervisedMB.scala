@@ -45,11 +45,13 @@ object SupervisedMB {
     val neighborsInBlock =
       if (clean) col("size") - col("own") else col("size") - 1
 
-    // per-profile aggregates (the reference's six broadcast maps)
-    // double sums via sorted sequential folds — partial-aggregation order
-    // would otherwise make them nondeterministic vs the SQL oracle
-    def sortedSum(e: String) =
-      expr(s"aggregate(array_sort(collect_list($e)), cast(0.0 as double), (acc, x) -> acc + x)")
+    // per-profile aggregates (the reference's six broadcast maps).
+    // Double sums go through Det.sumD: sorted sequential folds only in
+    // verify mode (bit-stable vs the SQL oracle), plain codegen'd sums in
+    // production/bench — the folds' collect_list over the O(co-occurrence)
+    // pair intermediate was the single most expensive thing in the r1 bench.
+    val exact = graft.util.Det.exactSums(members.sparkSession)
+    def sortedSum(e: String) = graft.util.Det.sumD(exact, e)
     val perProfile = withOwn.groupBy("profile_id").agg(
       count(lit(1)).as("nblocks_p"),
       sortedSum("1.0 / cast(size as double)").as("inv_size_p"),
@@ -71,8 +73,8 @@ object SupervisedMB {
     val pairs = a.join(b, Seq("key")).filter(cond)
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("cbs"),
-        expr("aggregate(array_sort(collect_list(1.0 / cast(comparisons as double))), cast(0.0 as double), (acc, x) -> acc + x)").as("raccb_raw"),
-        expr("aggregate(array_sort(collect_list(1.0 / cast(size as double))), cast(0.0 as double), (acc, x) -> acc + x)").as("rs"))
+        sortedSum("1.0 / cast(comparisons as double)").as("raccb_raw"),
+        sortedSum("1.0 / cast(size as double)").as("rs"))
 
     // distinct-neighbor (non-redundant) degree per profile
     val degrees = pairs.select(col("p1").as("profile_id"))
@@ -143,9 +145,10 @@ object SupervisedMB {
       .setFeaturesCol("features_vec").setLabelCol(labelCol)
       .setMaxIter(20).setRegParam(0.01)
     val model = lr.fit(assembled)
-    val getP = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    // built-in vector accessor (codegen-friendly), not a per-row Scala udf
     model.transform(assembled)
-      .withColumn("p_match", getP(col("probability")))
+      .withColumn("p_match",
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
       .drop("features_vec", "rawPrediction", "probability", "prediction")
   }
 
@@ -166,14 +169,17 @@ object SupervisedMB {
 
   /** Global top-(sum of block sizes / 2) by p among positives
    * (supervised_metablocking.py:16-25); deterministic (p desc, p1, p2)
-   * tie order. */
+   * tie order — a unique total order, so the selection is a distributed
+   * orderBy().limit(k) (TakeOrderedAndProject / global-sort + limit), not
+   * a single-partition rank window over every positive edge. k is one
+   * driver-side scalar from an aggregate — the only eager action here. */
   def cep(scored: DataFrame, stats: DataFrame): DataFrame = {
-    val k = stats.agg(floor(sum(col("size")) / 2.0).as("k"))
-    bcl(scored).crossJoin(k)
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("p_match").desc, col("p1").asc, col("p2").asc)))
-      .filter(col("rn") <= col("k"))
-      .drop("rn", "k")
+    val k = stats.agg(floor(sum(col("size")) / 2.0).cast("long").as("k"))
+      .first().getLong(0)
+    val kInt = math.min(k, Int.MaxValue.toLong).toInt
+    bcl(scored)
+      .orderBy(col("p_match").desc, col("p1").asc, col("p2").asc)
+      .limit(kInt)
   }
 
   /** BLAST rule: p >= 0.35 * (max p of p1-side + max p of p2-side)

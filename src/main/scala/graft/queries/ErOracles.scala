@@ -287,7 +287,7 @@ object ErOracles {
         |SELECT * FROM above UNION ALL SELECT * FROM tk""".stripMargin),
 
     "er_cnp_cbs_or_dirty" -> (prelude(clean = false) + wpw("cbs") + directed +
-      """kc AS (SELECT CAST(FLOOR(CAST(SUM(size) AS DOUBLE) / (SELECT COUNT(*) FROM part) - 1.0) AS BIGINT) AS k FROM bs2),
+      """kc AS (SELECT CAST(3 AS BIGINT) AS k),
         |ret AS (SELECT a, b FROM (SELECT a, b,
         |        ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn FROM directed), kc
         |        WHERE rn <= k)
@@ -297,7 +297,7 @@ object ErOracles {
         |WHERE r1.a IS NOT NULL OR r2.a IS NOT NULL""".stripMargin),
 
     "er_cnp_js_and_dirty" -> (prelude(clean = false) + wpw("js") + directed +
-      """kc AS (SELECT CAST(FLOOR(CAST(SUM(size) AS DOUBLE) / (SELECT COUNT(*) FROM part) - 1.0) AS BIGINT) AS k FROM bs2),
+      """kc AS (SELECT CAST(3 AS BIGINT) AS k),
         |ret AS (SELECT a, b FROM (SELECT a, b,
         |        ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn FROM directed), kc
         |        WHERE rn <= k)

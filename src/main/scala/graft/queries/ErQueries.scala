@@ -195,17 +195,23 @@ object ErQueries {
       MetaBlocking.cep(weightedCached(s, d, cb.clean, WeightType.CBS), cb.stats2).select("p1", "p2", "w")
     }),
 
+    // k pinned to 3: the reference formula floor(sum sizes / N - 1) is 0 on
+    // this sparse fixture, and CNP over k=0 passes trivially with 0 rows —
+    // the pinned k exercises the per-profile top-k + OR/AND retention for
+    // real (the default-formula path is spec-covered in ErCoreSpec).
     "er_cnp_cbs_or_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
       val nProfiles = s.read.parquet(s"$d/part.parquet").count()
-      MetaBlocking.cnp(weightedCached(s, d, cb.clean, WeightType.CBS), cb.stats2, nProfiles, ComparisonType.OR)
+      MetaBlocking.cnp(weightedCached(s, d, cb.clean, WeightType.CBS), cb.stats2, nProfiles,
+        ComparisonType.OR, kOverride = Some(3L))
         .select("p1", "p2", "w")
     }),
 
     "er_cnp_js_and_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
       val nProfiles = s.read.parquet(s"$d/part.parquet").count()
-      MetaBlocking.cnp(weightedCached(s, d, cb.clean, WeightType.JS), cb.stats2, nProfiles, ComparisonType.AND)
+      MetaBlocking.cnp(weightedCached(s, d, cb.clean, WeightType.JS), cb.stats2, nProfiles,
+        ComparisonType.AND, kOverride = Some(3L))
         .select("p1", "p2", "w")
     }),
 

@@ -235,11 +235,16 @@ object TrainOracles {
          |SELECT query_id, nn_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
 
     "ann_cos_neardup" ->
-      s"""WITH vb AS (${srpBucket("embeddings", 4)})
-         |SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
-         |       round(${cosine("a.embedding", "b.embedding")}, 9) AS cos
-         |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE round(${cosine("a.embedding", "b.embedding")}, 9) >= 0.95""".stripMargin,
+      s"""WITH vs AS (${srpBucket("embeddings", 16).replace(" AS bucket ", " AS sig ")}),
+         |vb AS (SELECT vec_id, CAST(b.b AS INTEGER) AS band,
+         |              (sig >> CAST(b.b * 4 AS INTEGER)) & 15 AS bkey
+         |       FROM vs, (SELECT unnest(generate_series(0, 3)) AS b) b),
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |         FROM vb a JOIN vb b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+         |SELECT c.v1, c.v2, round(${cosine("e1.embedding", "e2.embedding")}, 9) AS cos
+         |FROM cand c JOIN embeddings e1 ON c.v1 = e1.vec_id
+         |JOIN embeddings e2 ON c.v2 = e2.vec_id
+         |WHERE round(${cosine("e1.embedding", "e2.embedding")}, 9) >= 0.4""".stripMargin,
 
     "evt_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

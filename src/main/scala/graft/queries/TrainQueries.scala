@@ -68,8 +68,12 @@ object TrainQueries {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
     }),
 
+    // threshold 0.4: the synthetic embeddings are near-orthogonal (max
+    // pairwise cosine ~0.51 at sf0.01), so production-style thresholds
+    // (~0.9) select the empty set and prove nothing; 0.4 yields a small
+    // non-trivial result that exercises banding + verify end to end
     "ann_cos_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.95)),
+      Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.4)),
 
     "evt_windowed_agg" -> ((s, d) =>
       EventStreams.windowedAggBatch(events(s, d))),

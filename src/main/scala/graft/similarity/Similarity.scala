@@ -104,18 +104,43 @@ object Similarity {
       .select("query_id", "nn_id", "cos", "rn")
   }
 
-  /** Embedding-cosine near-duplicate pairs: bucketed self-join (own bucket
-   * only), cosine >= threshold, v1 < v2. */
+  /**
+   * Embedding-cosine near-duplicate pairs: banded SRP signature (the same
+   * band trick as MinHash-LSH dedup) -> per-band bucket self-join ->
+   * candidate pairs dedup'd BEFORE the cosine verify, v1 < v2, cosine >=
+   * threshold.
+   *
+   * Bucket-size bound: each band keys on `planes / bands` sign bits, so a
+   * band splits N vectors into 2^(planes/bands) buckets (16 here) — the
+   * self-join is O(bands * (N / 2^(planes/bands))^2) expected under
+   * balanced hashing, and at larger N you raise planes-per-band to keep
+   * N / 2^b bounded (each extra bit halves the expected bucket). Recall:
+   * a pair at angle theta shares a band with prob. (1 - theta/pi)^b per
+   * band; banding across `bands` independent bands trades the single-
+   * bucket recall cliff for a union of cheap probes — for true near-dups
+   * (cosine -> 1, theta -> 0) recall approaches 1.
+   */
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
-                         planes: Int = 4, dim: Int = 64): DataFrame = {
+                         planes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+    require(planes % bands == 0)
+    val rb = planes / bands
     val v = vecs.select(col("vec_id"), col("embedding"),
-      srpBucket(col("embedding"), planes, dim).as("bucket"))
-      .persist() // both sides of the bucket self-join; srpBucket is per-row heavy
-    val a = v.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = v.select(col("bucket"), col("vec_id").as("v2"), col("embedding").as("e2"))
-    a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"), graft.functions.FastRound.round(cosine(col("e1"), col("e2")), 9).as("cos"))
+      srpBucket(col("embedding"), planes, dim).as("sig"))
+      .persist() // three readers below; srpBucket is per-row heavy
+    val banded = v.select(col("vec_id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * rb).bitwiseAND(lit((1L << rb) - 1)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("vec_id").as("v1"))
+    val b = banded.select(col("band"), col("bkey"), col("vec_id").as("v2"))
+    val cand = a.join(b, Seq("band", "bkey")).filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct() // dedup candidates before the O(dim) verify
+    cand
+      .join(v.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(v.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+      .select(col("v1"), col("v2"),
+        graft.functions.FastRound.round(cosine(col("e1"), col("e2")), 9).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
   }
 }

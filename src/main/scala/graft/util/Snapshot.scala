@@ -3,21 +3,33 @@ package graft.util
 import org.apache.spark.sql.DataFrame
 
 /**
- * Materialize a DataFrame by round-tripping it through parquet under
- * spark.local.dir (tmpfs in the bench environment) and return a reader
- * over it. Serves the same two purposes as localCheckpoint — caching the
- * rows and truncating the logical plan — without MemoryStore unrolling:
+ * Materialize a DataFrame by round-tripping it through parquet and return a
+ * reader over it. Serves the same two purposes as localCheckpoint — caching
+ * the rows and truncating the logical plan — without MemoryStore unrolling:
  * with local[32], 32 tasks unrolling a cached dataset contend on the
  * global memory-manager lock per element batch, which showed up as >80%
  * SYSTEM cpu in the sf0.1 bench. Parquet writes/readers use their own
  * buffers, compress columnar, and re-read vectorized inside codegen.
+ *
+ * Storage location: `spark.graft.checkpoint.dir` — REQUIRED on a real
+ * cluster, where it must point at shared storage (HDFS/S3/NFS) reachable
+ * by every executor. Only in `local[*]` mode does it default to
+ * spark.local.dir / tmpdir; an executor-local path on a multi-node cluster
+ * would write shards on different disks that no reader could reassemble,
+ * so that fallback is refused outside local mode.
  */
 object Snapshot {
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val base = spark.conf.getOption("spark.local.dir")
-      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
-      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+    val base = spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse {
+      require(spark.sparkContext.isLocal,
+        "Snapshot: set spark.graft.checkpoint.dir to a shared-storage path " +
+          "(HDFS/S3/NFS) when running on a cluster; local-disk fallback is " +
+          "only valid in local[*] mode")
+      spark.conf.getOption("spark.local.dir")
+        .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+        .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+    }
     val dir = s"$base/graft-snap-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
