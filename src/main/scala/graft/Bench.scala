@@ -12,13 +12,21 @@ object Bench {
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shared memoized caches built up front as their own timed entry, so
+    // per-query numbers are steady-state (r1 misattributed the whole
+    // supervised pipeline to whichever query ran first)
+    val w0 = System.nanoTime()
+    try queries.Warmup.run(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    val warmupSec = (System.nanoTime() - w0) / 1e9
+    System.err.println(f"[bench] warmup_caches $warmupSec%.2fs")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name $dt%.2fs")
       name -> dt
-    }
+    } ++ Map("warmup_caches" -> warmupSec)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -126,16 +126,20 @@ object AttributeClustering {
   }
 
   /**
-   * Full clustering: returns (qattr, cluster_id, entropy). Clustered
-   * components get ids 0..n-1 ordered by their min attribute name;
-   * unclustered attributes fall into the default cluster (id = n), like
-   * the reference's leftover cluster. Entropy (if computed) is the mean
-   * Shannon entropy (log2) of the token distributions of the cluster's
-   * attributes (attribute_clustering.py:263-313).
+   * Full clustering: returns (qattr, cluster_id, entropy, is_default).
+   * Clustered components get ids 0..n-1 ordered by their min attribute
+   * name; unclustered attributes fall into the default cluster (id = n,
+   * is_default = true), like the reference's leftover cluster. Entropy (if
+   * computed) is the mean Shannon entropy (log2) of the token
+   * distributions of the cluster's attributes
+   * (attribute_clustering.py:263-313); `normalizeEntropy` divides each
+   * attribute's entropy by log2(total token occurrences of the attribute)
+   * before the cluster mean (attribute_clustering.py:276-279).
    */
   def clusterAttributes(attrs: DataFrame, k: Int = 16, bands: Int = 4,
                         maxFactor: Double = 0.8,
-                        computeEntropy: Boolean = true): DataFrame = {
+                        computeEntropy: Boolean = true,
+                        normalizeEntropy: Boolean = false): DataFrame = {
     val tokens = attrTokens(attrs).localCheckpoint()
     val sig = signatures(tokens, k)
     val cand = candidatePairs(sig, k, bands)
@@ -151,7 +155,9 @@ object AttributeClustering {
     val assigned = clusteredLabels.join(ids, Seq("lbl")).select("qattr", "cluster_id")
     val allAssigned = vertices.join(assigned, Seq("qattr"), "left")
       .na.fill(Map("cluster_id" -> nClusters))
+      .withColumn("is_default", col("cluster_id") === lit(nClusters))
     if (!computeEntropy) return allAssigned.withColumn("entropy", lit(1.0))
+      .select("qattr", "cluster_id", "entropy", "is_default")
 
     // per-attribute token counts over profile occurrences (non-distinct)
     val occurrences = attrs
@@ -162,36 +168,50 @@ object AttributeClustering {
     val tokenCounts = occurrences.groupBy("qattr", "token").agg(count(lit(1)).as("c"))
     val attrTotals = tokenCounts.groupBy("qattr").agg(sum(col("c")).as("tot"))
     // sorted sequential folds: double-sum order must match the SQL oracle
+    val rawEntropy =
+      -expr("aggregate(array_sort(collect_list(term)), cast(0.0 as double), (acc, x) -> acc + x)")
     val attrEntropy = tokenCounts.join(attrTotals, Seq("qattr"))
       .withColumn("p", col("c").cast("double") / col("tot"))
       .withColumn("term", col("p") * log2(col("p")))
-      .groupBy("qattr")
-      .agg((-expr("aggregate(array_sort(collect_list(term)), cast(0.0 as double), (acc, x) -> acc + x)"))
-        .as("attr_entropy"))
+      .groupBy(col("qattr"), col("tot"))
+      .agg((if (normalizeEntropy) rawEntropy / log2(col("tot").cast("double"))
+            else rawEntropy).as("attr_entropy"))
+      .select("qattr", "attr_entropy")
     val clusterEntropy = allAssigned.join(attrEntropy, Seq("qattr"), "left")
       .na.fill(Map("attr_entropy" -> 0.0))
       .groupBy("cluster_id")
       .agg((expr("aggregate(array_sort(collect_list(attr_entropy)), cast(0.0 as double), (acc, x) -> acc + x)")
         / count(lit(1))).as("entropy"))
     allAssigned.join(clusterEntropy, Seq("cluster_id"))
-      .select("qattr", "cluster_id", "entropy")
+      .select("qattr", "cluster_id", "entropy", "is_default")
   }
 
   /**
    * Cluster-qualified blocking keys (Blocking.create_blocks_clusters,
    * python/sparker/blockers.py:8-79): token keys suffixed with the LSH
    * cluster id of their source-qualified attribute; the block inherits the
-   * cluster entropy. clusters: (qattr, cluster_id, entropy) — broadcast
-   * joined (tiny).
+   * cluster entropy. clusters: (qattr, cluster_id, entropy[, is_default])
+   * — broadcast joined (tiny). `excludeDefaultCluster` drops keys of the
+   * leftover cluster (ref TokenBlocking.scala:223-229 filters blocks whose
+   * key ends with the default cluster id — same result, applied at the key
+   * source).
    */
-  def clusterKeys(attrs: DataFrame, clusters: DataFrame): DataFrame = {
+  def clusterKeys(attrs: DataFrame, clusters: DataFrame,
+                  excludeDefaultCluster: Boolean = false): DataFrame = {
+    val cl =
+      if (!excludeDefaultCluster) clusters
+      else {
+        require(clusters.columns.contains("is_default"),
+          "excludeDefaultCluster needs the is_default column from clusterAttributes")
+        clusters.filter(!col("is_default"))
+      }
     val toks = attrs
       .filter(col("attribute").isNotNull && col("value").isNotNull)
       .select(col("profile_id"), col("source_id"),
         qualify(col("source_id"), col("attribute")).as("qattr"),
         explode(split(lower(col("value")), Blocking.TokenSplitRe)).as("token"))
       .filter(length(col("token")) > 0)
-    toks.join(broadcast(clusters), Seq("qattr"))
+    toks.join(broadcast(cl), Seq("qattr"))
       .select(col("profile_id"), col("source_id"),
         concat(col("token"), lit("_"), col("cluster_id")).as("key"),
         col("entropy"))

@@ -33,18 +33,29 @@ object Blocking {
    * non-ASCII input. */
   val TokenSplitRe = "[^a-zA-Z0-9_]+"
 
+  /** The reference's removeBadWords stopword list: Spark ML's default
+   * english stopwords (scala ref TokenBlocking.scala:18-24). */
+  lazy val EnglishStopWords: Seq[String] =
+    org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english").toSeq
+
   /**
    * Token blocking keys: lowercase, split on non-word chars, drop empties and
    * excluded keys, distinct per profile.
    * Mirrors BlockingKeysStrategies.token_blocking
    * (python/sparker/blocking_strategies.py:33-55); `attrQualified = true`
-   * mirrors token_blocking_w_attr (`attr_token` keys, :6-31).
+   * mirrors token_blocking_w_attr (`attr_token` keys, :6-31);
+   * `removeStopWords = true` mirrors removeBadWords (scala ref
+   * TokenBlocking.scala:18-24): keep only all-letter or all-digit tokens
+   * not in the default english stopword list. (Divergence: the reference
+   * filters the final key string, which with attr-qualified keys would drop
+   * every key because of the '_'; we filter the token.)
    */
   def tokenKeys(
       attrs: DataFrame,
       attributesToExclude: Seq[String] = Nil,
       keysToExclude: Seq[String] = Nil,
-      attrQualified: Boolean = false): DataFrame = {
+      attrQualified: Boolean = false,
+      removeStopWords: Boolean = false): DataFrame = {
     val base = attrs
       .filter(col("attribute").isNotNull && col("value").isNotNull)
       .filter(if (attributesToExclude.isEmpty) lit(true)
@@ -54,6 +65,9 @@ object Blocking {
       .filter(length(col("token")) > 0)
       .filter(if (keysToExclude.isEmpty) lit(true)
               else !col("token").isin(keysToExclude: _*))
+      .filter(if (!removeStopWords) lit(true)
+              else (col("token").rlike("^[a-z]+$") || col("token").rlike("^[0-9]+$")) &&
+                !col("token").isin(EnglishStopWords: _*))
     val keyed =
       if (attrQualified)
         base.select(col("profile_id"), col("source_id"),

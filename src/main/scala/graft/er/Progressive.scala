@@ -67,6 +67,48 @@ object Progressive {
       .select(col("rank"), col("p1"), col("p2"), graft.functions.FastRound.round(col("w"), 9).as("w"))
   }
 
+  /**
+   * Incremental best-first consumption — the reference's `get_next()`
+   * mini-batch refill semantics (progressive.py:234-280): the emission
+   * order is sorted ONCE, distributed; `toLocalIterator` then fetches one
+   * partition at a time, so the driver never holds more than a partition
+   * of comparisons, and consumers pull batches until they stop — no full
+   * rank materialization, no driver-side priority queue over the stream.
+   */
+  final class EmissionStream private[er] (ordered: DataFrame) {
+    private val it = ordered.toLocalIterator()
+    /** Next mini-batch of at most `n` (p1, p2, w) rows, in emission order. */
+    def getNext(n: Int): Seq[org.apache.spark.sql.Row] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      while (buf.size < n && it.hasNext) buf += it.next()
+      buf.toSeq
+    }
+    def hasNext: Boolean = it.hasNext
+  }
+
+  /** PPS as an incremental stream: same emission order as [[ppsEmission]]
+   * (without the prefix limit), duplicates resolved by a per-pair window
+   * (partitioned by the pair — never a global window). */
+  def ppsStream(weighted: DataFrame, k: Int = 20): EmissionStream = {
+    val top = topComparisons(weighted, k)
+    val likelihood = top.groupBy(col("a"))
+      .agg((sum(col("w")) / count(lit(1))).as("likelihood"))
+    val emissionOrder = Seq(
+      col("likelihood").desc, col("a").asc, col("w").desc,
+      col("p1").asc, col("p2").asc)
+    val all = top.join(likelihood, Seq("a"))
+      .select(
+        least(col("a"), col("b")).as("p1"),
+        greatest(col("a"), col("b")).as("p2"),
+        col("w"), col("likelihood"), col("a"))
+    val dedup = all
+      .withColumn("keep", row_number().over(
+        Window.partitionBy("p1", "p2").orderBy(emissionOrder: _*)))
+      .filter(col("keep") === 1)
+    new EmissionStream(
+      dedup.orderBy(emissionOrder: _*).select("p1", "p2", "w"))
+  }
+
   /** Global token-stream positions: (pos, profile_id) with pos dense over
    * (key, profile_id) order. zipWithIndex on the RDD bridge — no
    * single-partition window at scale; values equal ROW_NUMBER() - 1. */

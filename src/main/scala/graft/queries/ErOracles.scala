@@ -28,6 +28,17 @@ object ErOracles {
   private val smooth = "1.005"
   private val r = "0.8"
 
+  /** Sorted sequential double fold — matches Spark's exact-mode
+   * aggregate(array_sort(collect_list(...))). */
+  private def esfold(e: String): String =
+    s"list_reduce(list_prepend(0.0, list_sort(list($e))), (acc, x) -> acc + x)"
+
+  /** SQL literal list of the same default english stopwords the Spark side
+   * uses (Blocking.EnglishStopWords) — one source of truth, escaped. */
+  private lazy val stopwordList: String =
+    graft.er.Blocking.EnglishStopWords
+      .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+
   /** attrs + toks + blocks + purging + filtering + valid blocks + pairs +
    * per-profile stats + the fat `wp` join all weight schemes read from. */
   private[queries] def prelude(clean: Boolean): String = {
@@ -209,6 +220,48 @@ object ErOracles {
          |WHERE $keep""".stripMargin
   }
 
+  private def wepSql(clean: Boolean, scheme: String, eps: String): String =
+    prelude(clean) + wpw(scheme) + directed +
+      s"""gthr AS (SELECT SUM(w) / COUNT(*) AS t FROM directed)
+         |SELECT p1, p2, w1 AS w FROM wpw, gthr WHERE w1 >= t - $eps""".stripMargin
+
+  private def cepSql(clean: Boolean): String =
+    prelude(clean) + wpw("cbs") +
+      """kk AS (SELECT CAST(FLOOR(SUM(size) / 2.0) AS DOUBLE) AS k FROM bs2),
+        |hist AS (SELECT w1 AS wl, CAST(COUNT(*) AS DOUBLE) AS freq FROM wpw GROUP BY w1),
+        |cum1 AS (SELECT wl, freq,
+        |         SUM(freq) OVER (ORDER BY wl DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |         FROM hist),
+        |thr0 AS (SELECT COALESCE(MAX(CASE WHEN cum >= k THEN wl END), MIN(wl)) AS thr, MAX(k) AS k
+        |         FROM cum1, kk),
+        |rem AS (SELECT thr, freq - (cum - k) AS remaining FROM cum1, thr0 WHERE wl = thr),
+        |above AS (SELECT p1, p2, w1 AS w FROM wpw, thr0 WHERE w1 > thr),
+        |ties AS (SELECT p1, p2, w1, remaining FROM wpw, rem WHERE w1 = thr),
+        |pp AS (SELECT p1, CAST(COUNT(*) AS BIGINT) AS cnt FROM ties GROUP BY p1),
+        |pp2 AS (SELECT p1, cnt,
+        |        COALESCE(SUM(cnt) OVER (ORDER BY p1 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |        FROM pp),
+        |tord AS (SELECT p1, p2, w1, remaining,
+        |         ROW_NUMBER() OVER (PARTITION BY p1 ORDER BY p2) AS rn FROM ties),
+        |tk AS (SELECT t.p1, t.p2, t.w1 AS w FROM tord t JOIN pp2 ON t.p1 = pp2.p1
+        |       WHERE rn <= GREATEST(LEAST(remaining - prev, CAST(cnt AS DOUBLE)), 0.0))
+        |SELECT * FROM above UNION ALL SELECT * FROM tk""".stripMargin
+
+  /** CNP with the fixture-pinned k=3 (see ErQueries comment). */
+  private def cnpSql(clean: Boolean, scheme: String, ct: String): String = {
+    val cond = if (ct == "OR") "r1.a IS NOT NULL OR r2.a IS NOT NULL"
+               else "r1.a IS NOT NULL AND r2.a IS NOT NULL"
+    prelude(clean) + wpw(scheme) + directed +
+      s"""kc AS (SELECT CAST(3 AS BIGINT) AS k),
+         |ret AS (SELECT a, b FROM (SELECT a, b,
+         |        ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn FROM directed), kc
+         |        WHERE rn <= k)
+         |SELECT wpw.p1, wpw.p2, wpw.w1 AS w FROM wpw
+         |LEFT JOIN ret r1 ON wpw.p1 = r1.a AND wpw.p2 = r1.b
+         |LEFT JOIN ret r2 ON wpw.p2 = r2.a AND wpw.p1 = r2.b
+         |WHERE $cond""".stripMargin
+  }
+
   def all: Map[String, String] = raw.map { case (k, v) => k -> materializeCtes(v) }
 
   private def raw: Map[String, String] = Map(
@@ -217,6 +270,22 @@ object ErOracles {
 
     "er_tokens" -> (prelude(clean = false) +
       "x AS (SELECT 1) SELECT profile_id, key FROM toks"),
+
+    "er_tokens_attr" -> (prelude(clean = false) +
+      """atoks AS (
+        |  SELECT DISTINCT profile_id, attribute || '_' || tok AS key FROM (
+        |    SELECT profile_id, attribute,
+        |           unnest(regexp_split_to_array(lower(value), '[^a-zA-Z0-9_]+')) AS tok
+        |    FROM attrs WHERE value IS NOT NULL) u
+        |  WHERE tok <> '')
+        |SELECT profile_id, key FROM atoks""".stripMargin),
+
+    "er_tokens_sw" -> (prelude(clean = false) +
+      s"""swtoks AS (
+         |  SELECT profile_id, key FROM toks
+         |  WHERE (regexp_full_match(key, '[a-z]+') OR regexp_full_match(key, '[0-9]+'))
+         |    AND key NOT IN ($stopwordList))
+         |SELECT profile_id, key FROM swtoks""".stripMargin),
 
     "er_blocks_dirty" -> (prelude(clean = false) +
       "x AS (SELECT 1) SELECT key, size, comparisons FROM bs0"),
@@ -257,54 +326,28 @@ object ErOracles {
     "er_wnp_chisq_dirty" -> wnpSql(clean = false, "chisq", "avg", "chisqrule", "0.000000001", roundW = true),
     "er_wnp_cbs_clean" -> wnpSql(clean = true, "cbs", "avg", "or", "0.0", roundW = false),
 
-    "er_wep_cbs_dirty" -> (prelude(clean = false) + wpw("cbs") + directed +
-      """gthr AS (SELECT SUM(w) / COUNT(*) AS t FROM directed)
-        |SELECT p1, p2, w1 AS w FROM wpw, gthr WHERE w1 >= t - 0.0""".stripMargin),
+    "er_wep_cbs_dirty" -> wepSql(clean = false, "cbs", "0.0"),
+    "er_wep_cbs_clean" -> wepSql(clean = true, "cbs", "0.0"),
 
-    "er_wep_js_dirty" -> (prelude(clean = false) + wpw("js") + directed +
-      """gthr AS (SELECT SUM(w) / COUNT(*) AS t FROM directed)
-        |SELECT p1, p2, w1 AS w FROM wpw, gthr WHERE w1 >= t - 0.000000001""".stripMargin),
+    "er_wep_js_dirty" -> wepSql(clean = false, "js", "0.000000001"),
 
-    "er_cep_cbs_dirty" -> (prelude(clean = false) + wpw("cbs") +
-      """kk AS (SELECT CAST(FLOOR(SUM(size) / 2.0) AS DOUBLE) AS k FROM bs2),
-        |hist AS (SELECT w1 AS wl, CAST(COUNT(*) AS DOUBLE) AS freq FROM wpw GROUP BY w1),
-        |cum1 AS (SELECT wl, freq,
-        |         SUM(freq) OVER (ORDER BY wl DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |         FROM hist),
-        |thr0 AS (SELECT COALESCE(MAX(CASE WHEN cum >= k THEN wl END), MIN(wl)) AS thr, MAX(k) AS k
-        |         FROM cum1, kk),
-        |rem AS (SELECT thr, freq - (cum - k) AS remaining FROM cum1, thr0 WHERE wl = thr),
-        |above AS (SELECT p1, p2, w1 AS w FROM wpw, thr0 WHERE w1 > thr),
-        |ties AS (SELECT p1, p2, w1, remaining FROM wpw, rem WHERE w1 = thr),
-        |pp AS (SELECT p1, CAST(COUNT(*) AS BIGINT) AS cnt FROM ties GROUP BY p1),
-        |pp2 AS (SELECT p1, cnt,
-        |        COALESCE(SUM(cnt) OVER (ORDER BY p1 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
-        |        FROM pp),
-        |tord AS (SELECT p1, p2, w1, remaining,
-        |         ROW_NUMBER() OVER (PARTITION BY p1 ORDER BY p2) AS rn FROM ties),
-        |tk AS (SELECT t.p1, t.p2, t.w1 AS w FROM tord t JOIN pp2 ON t.p1 = pp2.p1
-        |       WHERE rn <= GREATEST(LEAST(remaining - prev, CAST(cnt AS DOUBLE)), 0.0))
-        |SELECT * FROM above UNION ALL SELECT * FROM tk""".stripMargin),
+    "er_cep_cbs_dirty" -> cepSql(clean = false),
+    "er_cep_cbs_clean" -> cepSql(clean = true),
 
-    "er_cnp_cbs_or_dirty" -> (prelude(clean = false) + wpw("cbs") + directed +
-      """kc AS (SELECT CAST(3 AS BIGINT) AS k),
-        |ret AS (SELECT a, b FROM (SELECT a, b,
-        |        ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn FROM directed), kc
-        |        WHERE rn <= k)
-        |SELECT wpw.p1, wpw.p2, wpw.w1 AS w FROM wpw
-        |LEFT JOIN ret r1 ON wpw.p1 = r1.a AND wpw.p2 = r1.b
-        |LEFT JOIN ret r2 ON wpw.p2 = r2.a AND wpw.p1 = r2.b
-        |WHERE r1.a IS NOT NULL OR r2.a IS NOT NULL""".stripMargin),
+    "er_cnp_cbs_or_dirty" -> cnpSql(clean = false, "cbs", "OR"),
+    "er_cnp_cbs_or_clean" -> cnpSql(clean = true, "cbs", "OR"),
+    "er_cnp_js_and_dirty" -> cnpSql(clean = false, "js", "AND"),
 
-    "er_cnp_js_and_dirty" -> (prelude(clean = false) + wpw("js") + directed +
-      """kc AS (SELECT CAST(3 AS BIGINT) AS k),
-        |ret AS (SELECT a, b FROM (SELECT a, b,
-        |        ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn FROM directed), kc
-        |        WHERE rn <= k)
-        |SELECT wpw.p1, wpw.p2, wpw.w1 AS w FROM wpw
-        |LEFT JOIN ret r1 ON wpw.p1 = r1.a AND wpw.p2 = r1.b
-        |LEFT JOIN ret r2 ON wpw.p2 = r2.a AND wpw.p1 = r2.b
-        |WHERE r1.a IS NOT NULL AND r2.a IS NOT NULL""".stripMargin),
+    "er_block_entropy" -> (prelude(clean = false) +
+      s"""bocc AS (SELECT m.key, p.key AS other_key
+         |         FROM m2 m JOIN pbf p ON m.profile_id = p.profile_id),
+         |bcnt AS (SELECT key, other_key, CAST(COUNT(*) AS DOUBLE) AS s
+         |         FROM bocc GROUP BY key, other_key),
+         |btot AS (SELECT key, SUM(s) AS n FROM bcnt GROUP BY key),
+         |bent AS (SELECT key,
+         |         (-${esfold("(s / n) * ln(s / n)")}) / n AS entropy
+         |         FROM bcnt JOIN btot USING (key) GROUP BY key, n)
+         |SELECT key, round(entropy, 9) AS entropy FROM bent""".stripMargin),
 
     "er_gt_convert" ->
       """WITH gt AS (

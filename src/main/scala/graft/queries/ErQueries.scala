@@ -121,6 +121,14 @@ object ErQueries {
 
     "er_tokens" -> ((s, d) => keys(s, d, twoSources = false).select("profile_id", "key")),
 
+    "er_tokens_attr" -> ((s, d) =>
+      Blocking.tokenKeys(partAttrs(s, d, twoSources = false), attrQualified = true)
+        .select("profile_id", "key")),
+
+    "er_tokens_sw" -> ((s, d) =>
+      Blocking.tokenKeys(partAttrs(s, d, twoSources = false), removeStopWords = true)
+        .select("profile_id", "key")),
+
     "er_blocks_dirty" -> ((s, d) =>
       cleaned(s, d, clean = false).stats0.select("key", "size", "comparisons")),
 
@@ -195,6 +203,24 @@ object ErQueries {
       MetaBlocking.cep(weightedCached(s, d, cb.clean, WeightType.CBS), cb.stats2).select("p1", "p2", "w")
     }),
 
+    "er_cep_cbs_clean" -> ((s, d) => {
+      val cb = cleaned(s, d, clean = true)
+      MetaBlocking.cep(weightedCached(s, d, cb.clean, WeightType.CBS), cb.stats2).select("p1", "p2", "w")
+    }),
+
+    "er_wep_cbs_clean" -> ((s, d) => {
+      val cb = cleaned(s, d, clean = true)
+      MetaBlocking.wep(weightedCached(s, d, cb.clean, WeightType.CBS)).select("p1", "p2", "w")
+    }),
+
+    "er_cnp_cbs_or_clean" -> ((s, d) => {
+      val cb = cleaned(s, d, clean = true)
+      val nProfiles = s.read.parquet(s"$d/part.parquet").count()
+      MetaBlocking.cnp(weightedCached(s, d, cb.clean, WeightType.CBS), cb.stats2, nProfiles,
+        ComparisonType.OR, kOverride = Some(3L))
+        .select("p1", "p2", "w")
+    }),
+
     // k pinned to 3: the reference formula floor(sum sizes / N - 1) is 0 on
     // this sparse fixture, and CNP over k=0 passes trivially with 0 rows —
     // the pinned k exercises the per-profile top-k + OR/AND retention for
@@ -213,6 +239,14 @@ object ErQueries {
       MetaBlocking.cnp(weightedCached(s, d, cb.clean, WeightType.JS), cb.stats2, nProfiles,
         ComparisonType.AND, kOverride = Some(3L))
         .select("p1", "p2", "w")
+    }),
+
+    "er_block_entropy" -> ((s, d) => {
+      val cb = cleaned(s, d, clean = false)
+      Statistics.estimateBlockEntropy(
+          cb.members2.select("key", "profile_id"),
+          cb.profileBlocksF.select("profile_id", "key"))
+        .select(col("key"), graft.functions.FastRound.round(col("entropy"), 9).as("entropy"))
     }),
 
     "er_gt_convert" -> ((s, d) => gtConverted(s, d)),

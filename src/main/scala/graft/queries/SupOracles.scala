@@ -27,18 +27,38 @@ object SupOracles {
   private def sfold(e: String): String =
     s"list_reduce(list_prepend(0.0, list_sort(list($e))), (acc, x) -> acc + x)"
 
-  /** Supervised-feature CTEs on top of the dirty ER prelude (mstat ->
-   * perprof -> spairs -> sdeg -> gtc -> feat -> scored -> overt). */
-  private val supPrelude: String =
-    ErOracles.prelude(clean = false) +
-    s"""mstat AS (SELECT m.profile_id, m.key, s.size, s.comparisons
-       |          FROM m2 m JOIN bs2 s USING (key)),
+  /** Supervised-feature CTEs on top of the ER prelude (mstat -> perprof ->
+   * spairs -> sdeg -> gtc -> feat -> scored -> overt). Clean ER: redundant
+   * comparisons count only cross-source neighbors (size - own-source
+   * count) and pairs are cross-source. */
+  private def supPrelude(clean: Boolean = false): String = {
+    val redundant =
+      if (clean) "CAST(SUM(size - own) AS BIGINT)" else "CAST(SUM(size - 1) AS BIGINT)"
+    val mown =
+      if (clean)
+        """mown AS (SELECT key, source_id, CAST(COUNT(*) AS BIGINT) AS own
+          |         FROM m2 GROUP BY key, source_id),
+          |""".stripMargin
+      else ""
+    val mstatSel =
+      if (clean)
+        """mstat AS (SELECT m.profile_id, m.source_id, m.key, s.size, s.comparisons, o.own
+          |          FROM m2 m JOIN bs2 s USING (key) JOIN mown o USING (key, source_id)),"""
+          .stripMargin
+      else
+        """mstat AS (SELECT m.profile_id, m.source_id, m.key, s.size, s.comparisons, 1 AS own
+          |          FROM m2 m JOIN bs2 s USING (key)),""".stripMargin
+    val pairCond =
+      if (clean) "a.key = b.key AND a.profile_id < b.profile_id AND a.source_id <> b.source_id"
+      else "a.key = b.key AND a.profile_id < b.profile_id"
+    ErOracles.prelude(clean) + mown +
+    s"""$mstatSel
        |perprof AS (
        |  SELECT profile_id, CAST(COUNT(*) AS BIGINT) AS nblocks_p,
        |         ${sfold("1.0 / CAST(size AS DOUBLE)")} AS inv_size_p,
        |         CAST(SUM(comparisons) AS BIGINT) AS comp_p,
        |         ${sfold("1.0 / CAST(comparisons AS DOUBLE)")} AS inv_comp_p,
-       |         CAST(SUM(size - 1) AS BIGINT) AS redundant_p
+       |         $redundant AS redundant_p
        |  FROM mstat GROUP BY profile_id),
        |gstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS blocks_num,
        |                CAST(SUM(comparisons) AS DOUBLE) AS total_comparisons FROM bs2),
@@ -46,7 +66,7 @@ object SupOracles {
        |  SELECT a.profile_id AS p1, b.profile_id AS p2, CAST(COUNT(*) AS BIGINT) AS cbs,
        |         ${sfold("1.0 / CAST(a.comparisons AS DOUBLE)")} AS raccb_raw,
        |         ${sfold("1.0 / CAST(a.size AS DOUBLE)")} AS rs_raw
-       |  FROM mstat a JOIN mstat b ON a.key = b.key AND a.profile_id < b.profile_id
+       |  FROM mstat a JOIN mstat b ON $pairCond
        |  GROUP BY 1, 2),
        |sdeg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS nonred
        |         FROM (SELECT p1 AS p FROM spairs UNION ALL SELECT p2 FROM spairs) GROUP BY p),
@@ -81,20 +101,26 @@ object SupOracles {
        |scored AS (SELECT *, round((js + nrs + wjs) / 3.0, 9) AS p_match FROM feat),
        |overt AS (SELECT p1, p2, p_match, is_match FROM scored WHERE p_match >= 0.5),
        |""".stripMargin
+  }
 
   private val eps = "0.000000001"
 
-  /** Cluster-pipeline CTEs (shared by attr_clusters and blast_wnp): attrs
-   * with parity sources -> attr tokens -> minhash -> band pairs -> best
-   * edges -> recursive-CTE connected components -> cluster ids + entropy. */
-  private val clusterPrelude: String =
-    s"""WITH RECURSIVE cattrs AS (
+  /** Cluster-pipeline CTEs (shared by attr_clusters / blast_wnp and their
+   * option-parity variants): attrs with parity sources -> attr tokens ->
+   * minhash -> band pairs -> best edges -> recursive-CTE connected
+   * components -> cluster ids + entropy. `normalize` divides each
+   * attribute entropy by log2(total occurrences); `attrFilter` restricts
+   * the attribute universe (for the unclustered-attribute fixture). */
+  private def clusterPrelude(normalize: Boolean = false,
+                             attrFilter: String = "TRUE"): String =
+    s"""WITH RECURSIVE cattrs0 AS (
        |  SELECT p_partkey AS profile_id, CAST(p_partkey % 2 AS INTEGER) AS source_id, 'name' AS attribute, p_name AS value FROM part
        |  UNION ALL SELECT p_partkey, CAST(p_partkey % 2 AS INTEGER), 'brand', p_brand FROM part
        |  UNION ALL SELECT p_partkey, CAST(p_partkey % 2 AS INTEGER), 'type', p_type FROM part
        |  UNION ALL SELECT p_partkey, CAST(p_partkey % 2 AS INTEGER), 'size', CAST(p_size AS VARCHAR) FROM part
        |  UNION ALL SELECT p_partkey, CAST(p_partkey % 2 AS INTEGER), 'price', CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) FROM part
        |),
+       |cattrs AS (SELECT * FROM cattrs0 WHERE $attrFilter),
        |occ AS (
        |  SELECT profile_id, source_id,
        |         CAST(source_id AS VARCHAR) || '_' || attribute AS qattr, tok AS token
@@ -149,8 +175,8 @@ object SupOracles {
        |tc AS (SELECT qattr, token, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2),
        |tot AS (SELECT qattr, CAST(SUM(c) AS BIGINT) AS tot FROM tc GROUP BY 1),
        |aent AS (
-       |  SELECT qattr, -${sfold("CAST(c AS DOUBLE) / tot * log2(CAST(c AS DOUBLE) / tot)")} AS attr_entropy
-       |  FROM tc JOIN tot USING (qattr) GROUP BY qattr),
+       |  SELECT qattr, -${sfold("CAST(c AS DOUBLE) / tot * log2(CAST(c AS DOUBLE) / tot)")}${if (normalize) " / log2(CAST(tot AS DOUBLE))" else ""} AS attr_entropy
+       |  FROM tc JOIN tot USING (qattr) GROUP BY qattr, tot),
        |clent AS (
        |  SELECT a.cluster_id,
        |         ${sfold("COALESCE(e.attr_entropy, 0.0)")} / COUNT(*) AS entropy
@@ -161,25 +187,30 @@ object SupOracles {
        |""".stripMargin
 
   def all: Map[String, String] = Map(
-    "sup_features" -> (supPrelude +
+    "sup_features" -> (supPrelude() +
       """x AS (SELECT 1)
         |SELECT p1, p2, cfibf, raccb, js, num_comp_p1, num_comp_p2, rs, aejs, nrs, wjs, is_match
         |FROM feat""".stripMargin),
 
-    "sup_bcl" -> (supPrelude +
+    "sup_features_clean" -> (supPrelude(clean = true) +
+      """x AS (SELECT 1)
+        |SELECT p1, p2, cfibf, raccb, js, num_comp_p1, num_comp_p2, rs, aejs, nrs, wjs, is_match
+        |FROM feat""".stripMargin),
+
+    "sup_bcl" -> (supPrelude() +
       "x AS (SELECT 1) SELECT p1, p2, p_match, is_match FROM overt"),
 
-    "sup_wep" -> (supPrelude +
+    "sup_wep" -> (supPrelude() +
       s"""swthr AS (SELECT SUM(p_match) / COUNT(*) AS t FROM overt)
          |SELECT p1, p2, p_match, is_match FROM overt, swthr WHERE p_match >= t - $eps""".stripMargin),
 
-    "sup_cep" -> (supPrelude +
+    "sup_cep" -> (supPrelude() +
       s"""kk AS (SELECT CAST(FLOOR(SUM(size) / 2.0) AS BIGINT) AS k FROM bs2),
          |ranked AS (SELECT p1, p2, p_match, is_match,
          |           ROW_NUMBER() OVER (ORDER BY p_match DESC, p1, p2) AS rn FROM overt)
          |SELECT p1, p2, p_match, is_match FROM ranked, kk WHERE rn <= k""".stripMargin),
 
-    "sup_blast" -> (supPrelude +
+    "sup_blast" -> (supPrelude() +
       s"""m1 AS (SELECT p1, MAX(p_match) AS mx1 FROM overt GROUP BY p1),
          |m2x AS (SELECT p2, MAX(p_match) AS mx2 FROM overt GROUP BY p2)
          |SELECT o.p1, o.p2, o.p_match, o.is_match
@@ -189,7 +220,7 @@ object SupOracles {
     "sup_cnp" -> supCnp("OR"),
     "sup_rcnp" -> supCnp("AND"),
 
-    "sup_stats" -> (supPrelude +
+    "sup_stats" -> (supPrelude() +
       """nm AS (SELECT CAST(SUM(CASE WHEN is_match = 1 THEN 1 ELSE 0 END) AS BIGINT) AS num_matches,
         |              CAST(COUNT(*) AS BIGINT) AS num_edges FROM overt),
         |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gtc)
@@ -236,17 +267,32 @@ object SupOracles {
         |gr AS (SELECT p1, p2, w, ROW_NUMBER() OVER (ORDER BY w DESC, p1, p2) AS rank FROM gw)
         |SELECT rank, p1, p2, w FROM gr WHERE rank <= 500""".stripMargin),
 
-    "attr_clusters" -> (clusterPrelude +
+    "attr_clusters" -> (clusterPrelude() +
       """x AS (SELECT 1)
         |SELECT qattr, cluster_id, round(entropy, 9) AS entropy FROM clusters""".stripMargin),
 
-    "blast_wnp" -> (clusterPrelude + blastPipeline)
+    "attr_clusters_norm" -> (clusterPrelude(normalize = true) +
+      """x AS (SELECT 1)
+        |SELECT qattr, cluster_id, round(entropy, 9) AS entropy FROM clusters""".stripMargin),
+
+    // fixture drops source-1 'type' so 0_type has no cross-source LSH
+    // partner -> lands in the default cluster -> its keys are excluded
+    "blast_keys_nodefault" -> (
+      clusterPrelude(attrFilter = "NOT (source_id = 1 AND attribute = 'type')") +
+      """ckeysx AS (
+        |  SELECT DISTINCT o.profile_id,
+        |         o.token || '_' || CAST(c.cluster_id AS VARCHAR) AS key
+        |  FROM occ o JOIN clusters c ON o.qattr = c.qattr, nclu
+        |  WHERE c.cluster_id <> nclu.c)
+        |SELECT profile_id, key FROM ckeysx""".stripMargin),
+
+    "blast_wnp" -> (clusterPrelude() + blastPipeline)
   ).map { case (k, v) => k -> ErOracles.materializeCtes(v) }
 
   private def supCnp(ct: String): String = {
     val cond = if (ct == "OR") "t1.p1 IS NOT NULL OR t2.p1 IS NOT NULL"
                else "t1.p1 IS NOT NULL AND t2.p1 IS NOT NULL"
-    supPrelude +
+    supPrelude() +
     s"""kk AS (SELECT CAST(FLOOR(2.0 * GREATEST(1.0, CAST(SUM(size) AS DOUBLE) / (SELECT COUNT(*) FROM part))) AS BIGINT) AS k FROM bs2),
        |t1r AS (SELECT p1, p2 FROM (
        |  SELECT p1, p2, ROW_NUMBER() OVER (PARTITION BY p1 ORDER BY p_match DESC, p2) AS rn

@@ -39,11 +39,28 @@ object SupQueries {
     scoredCache.getOrElseUpdate(d,
       graft.util.Snapshot(SupervisedMB.deterministicScore(features(s, d))))
 
+  private val mlScoredCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The reference's real workflow: LR trained on the labeled features,
+   * pruning driven by its probabilities (Generalized Supervised
+   * Meta-blocking notebook). LBFGS isn't bit-reproducible in SQL, so this
+   * path gets a rows-only driver check, not a hash oracle. */
+  def mlScored(s: SparkSession, d: String): DataFrame =
+    mlScoredCache.getOrElseUpdate(d,
+      graft.util.Snapshot(SupervisedMB.mlScore(features(s, d))))
+
   private def out(df: DataFrame): DataFrame =
     df.select("p1", "p2", "p_match", "is_match")
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sup_features" -> ((s, d) => features(s, d)),
+
+    "sup_features_clean" -> ((s, d) => {
+      val cb = ErQueries.cleaned(s, d, clean = true)
+      SupervisedMB.features(cb.members2, cb.stats2, clean = true,
+        gt = Some(ErQueries.gtConverted(s, d)))
+    }),
 
     "sup_bcl" -> ((s, d) => out(SupervisedMB.bcl(scored(s, d)))),
 
@@ -66,6 +83,12 @@ object SupQueries {
         ErQueries.cleaned(s, d, clean = false).stats2, n, ComparisonType.AND))
     }),
 
+    // no oracle entry (classifier probabilities aren't SQL-reproducible):
+    // the driver records a rows-only check. Emits the full scored edge set
+    // (always non-empty) — thresholded pruning over ML probabilities is
+    // spec-covered in SupSpec ("mlScore trains LR ...").
+    "sup_ml_scored" -> ((s, d) => out(mlScored(s, d))),
+
     "sup_stats" -> ((s, d) => {
       val gtSize = ErQueries.gtConverted(s, d).count()
       SupervisedMB.stats(SupervisedMB.bcl(scored(s, d)), gtSize)
@@ -85,6 +108,25 @@ object SupQueries {
     "attr_clusters" -> ((s, d) =>
       clusters(s, d).select(col("qattr"), col("cluster_id"),
         graft.functions.FastRound.round(col("entropy"), 9).as("entropy"))),
+
+    "attr_clusters_norm" -> ((s, d) =>
+      AttributeClustering.clusterAttributes(
+        ErQueries.partAttrs(s, d, twoSources = true), k = 16, bands = 4,
+        maxFactor = 0.8, computeEntropy = true, normalizeEntropy = true)
+        .select(col("qattr"), col("cluster_id"),
+          graft.functions.FastRound.round(col("entropy"), 9).as("entropy"))),
+
+    // excludeDefaultCluster parity: source-1 'type' removed from the
+    // attribute universe so 0_type stays unclustered (default cluster) and
+    // its keys must disappear from the blocking key space
+    "blast_keys_nodefault" -> ((s, d) => {
+      val attrs2 = ErQueries.partAttrs(s, d, twoSources = true)
+        .filter(!(col("source_id") === 1 && col("attribute") === "type"))
+      val cl = AttributeClustering.clusterAttributes(attrs2, k = 16, bands = 4,
+        maxFactor = 0.8, computeEntropy = true)
+      AttributeClustering.clusterKeys(attrs2, cl, excludeDefaultCluster = true)
+        .select("profile_id", "key").distinct()
+    }),
 
     // full BLAST-style pipeline: cluster-qualified keys -> cleaned blocks
     // -> chi2 WNP with entropy weighting

@@ -32,6 +32,11 @@ object TrainQueries {
 
   private def simhashFp(s: SparkSession, d: String): DataFrame =
     simhashCache.getOrElseUpdate(d, graft.util.Snapshot(Dedup.simhash(docs(s, d))))
+  /** Pre-builds the memoized shingle/simhash caches (Warmup). */
+  def warm(s: SparkSession, d: String): Unit = {
+    shingles3(s, d); simhashFp(s, d); ()
+  }
+
   private def embs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
   private def events(s: SparkSession, d: String): DataFrame =

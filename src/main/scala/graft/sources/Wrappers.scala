@@ -59,35 +59,58 @@ object Wrappers {
   def loadProfilesCsv(spark: SparkSession, path: String,
                       startIdFrom: Long = 0, separator: String = ",",
                       header: Boolean = true, realIdField: String = "",
-                      sourceId: Int = 0): DataFrame = {
+                      sourceId: Int = 0,
+                      explodeInnerFields: Boolean = false,
+                      innerSeparator: String = ","): DataFrame = {
     val raw = spark.read
       .option("header", header.toString).option("sep", separator)
       .csv(path)
-    fromDataFrame(raw, startIdFrom, realIdField, sourceId)
+    fromDataFrame(raw, startIdFrom, realIdField, sourceId,
+      explodeInnerFields = explodeInnerFields, innerSeparator = innerSeparator)
   }
 
   /** JSON-lines -> profiles (JSONWrapper.load_profiles, wrappers.py:7-54);
-   * arrays become repeated attribute values. */
+   * arrays become repeated attribute values. `fieldsToKeep` projects the
+   * attribute bag at load (scala ref JSONWrapper.scala:23,42: key !=
+   * realIdField && (fieldsToKeep empty || contains(key))). */
   def loadProfilesJson(spark: SparkSession, path: String,
                        startIdFrom: Long = 0, realIdField: String = "",
-                       sourceId: Int = 0): DataFrame = {
+                       sourceId: Int = 0,
+                       fieldsToKeep: Seq[String] = Nil): DataFrame = {
     val raw = spark.read.json(path)
-    fromDataFrame(raw, startIdFrom, realIdField, sourceId)
+    fromDataFrame(raw, startIdFrom, realIdField, sourceId, fieldsToKeep = fieldsToKeep)
   }
 
   /**
    * Any DataFrame -> profiles (PandasWrapper analog, wrappers.py:137-182).
    * Array columns explode to multi-valued attributes; everything else is
    * cast to string; null/empty dropped.
+   *
+   *  - `fieldsToKeep` (non-empty): only these columns enter the attribute
+   *    bag (ref JSONWrapper.scala:23,42);
+   *  - `explodeInnerFields`/`innerSeparator`: string cells are split on the
+   *    (regex) separator into one attribute value per piece — multi-valued
+   *    cells like "actor1,actor2" (ref CSVWrapper.scala:26-37 +
+   *    WrapperTrait.rowToAttributes:44-53, which passes the separator to
+   *    String.split, also regex semantics).
    */
   def fromDataFrame(raw: DataFrame, startIdFrom: Long = 0,
-                    realIdField: String = "", sourceId: Int = 0): DataFrame = {
+                    realIdField: String = "", sourceId: Int = 0,
+                    fieldsToKeep: Seq[String] = Nil,
+                    explodeInnerFields: Boolean = false,
+                    innerSeparator: String = ","): DataFrame = {
     val attrCols = raw.schema.fields.filter(_.name != realIdField)
+      .filter(f => fieldsToKeep.isEmpty || fieldsToKeep.contains(f.name))
     val kvArrays = attrCols.map { f =>
       f.dataType match {
         case ArrayType(_, _) =>
           // array column -> one key/value struct per element
           coalesce(transform(col(f.name).cast(ArrayType(StringType)),
+            v => struct(lit(f.name).as("key"), v.as("value"))),
+            array().cast("array<struct<key:string,value:string>>"))
+        case _ if explodeInnerFields =>
+          // multi-valued cell -> one key/value struct per split piece
+          coalesce(transform(split(col(f.name).cast(StringType), innerSeparator),
             v => struct(lit(f.name).as("key"), v.as("value"))),
             array().cast("array<struct<key:string,value:string>>"))
         case _ =>

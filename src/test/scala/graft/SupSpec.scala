@@ -67,6 +67,26 @@ class SupSpec extends AnyFunSuite {
     assert(and == Set(2L, 3L))
   }
 
+  test("mlScore trains LR on labeled features and drives pruning end to end") {
+    // separable fixture: matches have high Jaccard-family features
+    val feats = (1 to 40).map { i =>
+      val m = i % 2
+      val base = 0.1 + m * 0.6 + (i % 5) * 0.01
+      (i.toLong, (i + 100).toLong,
+        base * 10, base, base, base, base * 5, base, base, m)
+    }.toDF("p1", "p2", "cfibf", "raccb", "js", "rs", "aejs", "nrs", "wjs", "is_match")
+    val scored = SupervisedMB.mlScore(feats)
+    assert(scored.columns.contains("p_match"))
+    val byLabel = scored.groupBy("is_match").agg(avg("p_match").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(byLabel(1) > byLabel(0)) // classifier separates the labels
+    assert(scored.filter(col("p_match") < 0 || col("p_match") > 1).count() == 0)
+    // probabilities drive the pruning family end to end
+    val kept = SupervisedMB.bcl(scored)
+    assert(kept.count() > 0 && kept.count() < 40)
+    assert(SupervisedMB.wep(scored).count() <= kept.count())
+  }
+
   test("ppsEmission ranks by likelihood then weight") {
     val weighted = Seq((1L, 2L, 5.0, 5.0), (1L, 3L, 1.0, 1.0), (4L, 5L, 3.0, 3.0))
       .toDF("p1", "p2", "w1", "w2")
@@ -76,6 +96,57 @@ class SupSpec extends AnyFunSuite {
     // best profile = 2 (5.0): edge (1,2) first
     assert(r.head == ((1L, 2L)))
     assert(r.toSet == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+  }
+
+  test("ppsStream consumes the emission order in mini-batches") {
+    val weighted = Seq((1L, 2L, 5.0, 5.0), (1L, 3L, 1.0, 1.0), (4L, 5L, 3.0, 3.0))
+      .toDF("p1", "p2", "w1", "w2")
+    val expected = Progressive.ppsEmission(weighted, k = 2, limit = 100)
+      .orderBy("rank").select("p1", "p2").as[(Long, Long)].collect().toSeq
+    val stream = Progressive.ppsStream(weighted, k = 2)
+    val got = (stream.getNext(2) ++ stream.getNext(10))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == expected)
+    assert(!stream.hasNext)
+    assert(stream.getNext(5).isEmpty)
+  }
+
+  test("clusterAttributes: normalizeEntropy shrinks, default cluster flagged") {
+    val attrs = Seq(
+      (1L, 0, "name", "alpha beta gamma delta"),
+      (2L, 0, "name", "alpha beta gamma epsilon"),
+      (3L, 1, "name", "alpha beta gamma delta"),
+      (4L, 1, "name", "alpha beta gamma epsilon"),
+      (1L, 0, "other", "one two three"),
+      (3L, 1, "other", "four five six"))
+      .toDF("profile_id", "source_id", "attribute", "value")
+    val raw = AttributeClustering.clusterAttributes(attrs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val norm = AttributeClustering.clusterAttributes(attrs, normalizeEntropy = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // disjoint-token 'other' attrs have no cross-source partner -> default
+    assert(raw("0_other").getBoolean(3) && raw("1_other").getBoolean(3))
+    assert(!raw("0_name").getBoolean(3))
+    // normalized entropy = raw / log2(#occurrences) < raw for >2 tokens
+    assert(norm("0_name") < raw("0_name").getDouble(2))
+
+    // excludeDefaultCluster drops every key of the default cluster
+    val clusters = AttributeClustering.clusterAttributes(attrs)
+    val keys = AttributeClustering.clusterKeys(attrs, clusters, excludeDefaultCluster = true)
+      .select("key").as[String].collect()
+    val nameToks = Set("alpha", "beta", "gamma", "delta", "epsilon")
+    assert(keys.nonEmpty && keys.forall(k => nameToks.contains(k.split("_")(0))))
+  }
+
+  test("estimateBlockEntropy: reference quirk (Shannon sum / n)") {
+    val members = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L), ("y", 3L))
+      .toDF("key", "profile_id")
+    val pb = members.select(col("profile_id"), col("key"))
+    val ent = Statistics.estimateBlockEntropy(members, pb)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // block x members {1,2}; their block lists: {x,y},{x,y} -> counts
+    // x:2, y:2 of n=4 -> shannon = -2*(0.5*ln 0.5) = ln 2; quirk: / n
+    assert(math.abs(ent("x") - math.log(2.0) / 4.0) < 1e-12)
   }
 
   test("gspsn: adjacent tokens in sorted stream become weighted candidates") {

@@ -39,6 +39,43 @@ class WrappersSpec extends AnyFunSuite {
     assert(attrs == Set(("tags", "x"), ("tags", "y"), ("n", "1")))
   }
 
+  test("CSV loader: explodeInnerFields splits multi-valued cells") {
+    val dir = Files.createTempDirectory("csvx").toFile
+    val f = new java.io.File(dir, "d.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "rid,actors\nr1,alice;bob;carol\n")
+    val p = Wrappers.loadProfilesCsv(spark, f.getAbsolutePath,
+      realIdField = "rid", explodeInnerFields = true, innerSeparator = ";")
+    val attrs = Wrappers.toLongLayout(p)
+      .select("attribute", "value").as[(String, String)].collect().toSet
+    assert(attrs == Set(("actors", "alice"), ("actors", "bob"), ("actors", "carol")))
+    // without the flag the cell stays one value
+    val whole = Wrappers.loadProfilesCsv(spark, f.getAbsolutePath, realIdField = "rid")
+    assert(Wrappers.toLongLayout(whole).count() == 1)
+  }
+
+  test("JSON loader: fieldsToKeep projects the attribute bag") {
+    val dir = Files.createTempDirectory("jsonk").toFile
+    val f = new java.io.File(dir, "d.json")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"rid":"a","keep":"x","drop":"y"}""" + "\n")
+    val p = Wrappers.loadProfilesJson(spark, f.getAbsolutePath,
+      realIdField = "rid", fieldsToKeep = Seq("keep"))
+    val attrs = Wrappers.toLongLayout(p)
+      .select("attribute", "value").as[(String, String)].collect().toSet
+    assert(attrs == Set(("keep", "x")))
+  }
+
+  test("tokenKeys removeStopWords drops stopwords and mixed tokens") {
+    val attrs = Seq((1L, 0, "t", "the Quick brown42 fox 99 and"))
+      .toDF("profile_id", "source_id", "attribute", "value")
+    val keys = graft.er.Blocking.tokenKeys(attrs, removeStopWords = true)
+      .select("key").as[String].collect().toSet
+    // 'the'/'and' are stopwords; 'brown42' is mixed alpha-digit; kept:
+    // quick, fox, 99
+    assert(keys == Set("quick", "fox", "99"))
+  }
+
   test("ground-truth loaders") {
     val dir = Files.createTempDirectory("gtw").toFile
     val f = new java.io.File(dir, "gt.csv")
