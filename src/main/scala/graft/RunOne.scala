@@ -17,11 +17,13 @@ object RunOne {
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tc = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
+    val buildSec = (System.nanoTime() - tc) / 1e9
     if (explain) df.explain("formatted")
     val t0 = System.nanoTime()
     val n = df.count()
-    println(f"[runone] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    println(f"[runone] $name rows=$n build=$buildSec%.2fs count=${(System.nanoTime() - t0) / 1e9}%.2fs")
     spark.stop()
   }
 }

@@ -137,8 +137,13 @@ object Dedup {
   /**
    * 32-bit SimHash fingerprints: per distinct token, hash; per bit b,
    * +1/-1 vote by bit value; fingerprint bit = majority (> 0). Returns
-   * (doc_id, simhash). The 32 votes are one explode + groupBy with
-   * map-side partial sums.
+   * (doc_id, simhash).
+   *
+   * The 32 votes are 32 bit-count aggregate COLUMNS in a single groupBy —
+   * no 32-way row explode (r1 shipped token-rows x32 through the shuffle:
+   * 59s at sf0.1 for this query alone). The +1/-1 vote sum for bit b
+   * equals 2*count(bit set) - n(tokens), so per doc the shuffle carries
+   * one row of 33 longs, all inside whole-stage codegen.
    */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
@@ -146,15 +151,15 @@ object Dedup {
         explode(filter(split(normalize(col(textCol)), " "), t => length(t) > 0)).as("tok"))
       .distinct()
       .select(col("doc_id"), strHash(col("tok")).as("h"))
-    toks.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
-      .select(col("doc_id"), col("b"),
-        when(expr("shiftright(h, cast(b as int)) & 1") === 1, lit(1))
-          .otherwise(lit(-1)).as("vote"))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("vote")).as("v"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), cast(b as int))"))
-        .otherwise(0L)).as("simhash"))
+    val bitCounts = (0 until 32).map(b =>
+      sum(expr(s"shiftright(h, $b) & 1")).as(s"_c$b"))
+    val fingerprint = (0 until 32).map { b =>
+      // vote sum = 2*c_b - n; bit set on strict majority (> 0)
+      when(lit(2) * col(s"_c$b") - col("_n") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("_n"), bitCounts: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
   /**
