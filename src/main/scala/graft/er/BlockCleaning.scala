@@ -31,6 +31,11 @@ object BlockCleaning {
     val levels = stats.groupBy(col("comparisons").cast("double").as("lvl"))
       .agg(sum(col("comparisons")).cast("double").as("cc_l"),
            sum(col("size")).cast("double").as("bc_l"))
+    // The global window below runs over DISTINCT comparison levels — one
+    // row per distinct block size, already aggregated: bounded by the
+    // largest block's cardinality (~1e5 even at 100 TB), not by the number
+    // of blocks or rows, so a single-partition scan is safe here. (The
+    // O(edges)-input windows elsewhere use util.Prefix / orderBy().limit.)
     val wAsc = Window.orderBy("lvl")
     val cum = levels
       .withColumn("cc", sum(col("cc_l")).over(wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

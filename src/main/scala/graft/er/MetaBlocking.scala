@@ -269,14 +269,72 @@ object MetaBlocking {
     weighted.select(col("p1").as("a"), col("p2").as("b"), col("w1").as("w"))
       .union(weighted.select(col("p2").as("a"), col("p1").as("b"), col("w2").as("w")))
 
+  /**
+   * Self-comparison weights — a faithful DIRTY-ER reference quirk: every
+   * first_step=True pass (WNP thresholds, WEP's global weight sum
+   * wep.py:122-128, CNP's retention lists cnp.py:159) enumerates the
+   * profile ITSELF as a neighbor, because calc_cbs admits profile_id ==
+   * neighbor_id when first_step is set (common_node_pruning.py:139). The
+   * self edge has CBS = the number of the profile's valid filtered blocks
+   * and gets the full weight-scheme formula like any other edge, so it
+   * shifts AVG/MAX thresholds, the WEP global mean, and consumes CNP top-k
+   * slots. Clean ER is unaffected: get_all_neighbors returns only
+   * other-source profiles (pruning_utils.py:29-53), which excludes self.
+   *
+   * Returns (profile_id, w) computed via the SAME weightColumn as real
+   * edges (bit-identical arithmetic): cbs = nb_valid, both endpoint block
+   * counts = bp, degrees = the profile's own degree. `selfEntropies`
+   * supplies entropy_sum (sum of the profile's valid-block entropies) for
+   * useEntropy schemes; EJS additionally needs `pairs` for the degrees.
+   */
+  def selfWeights(profStats: DataFrame, numberOfBlocks: DataFrame, wt: WeightType.Value,
+                  useEntropy: Boolean = false,
+                  selfEntropies: Option[DataFrame] = None,
+                  pairs: Option[DataFrame] = None): DataFrame = {
+    var df = profStats.filter(col("nb_valid") > 0)
+      .select(col("profile_id"),
+        col("nb_valid").as("cbs"),
+        col("bp").as("bp_a"), col("bp").as("bp_b"),
+        col("nb_valid").as("nb_valid_a"), col("arcs_denom").as("arcs_denom_a"))
+      .crossJoin(numberOfBlocks)
+    df = selfEntropies match {
+      case Some(ent) => df.join(ent, Seq("profile_id"), "left")
+        .withColumn("entropy_sum", coalesce(col("entropy_sum"), lit(0.0)))
+      case None => df.withColumn("entropy_sum", lit(0.0))
+    }
+    df =
+      if (wt == WeightType.EJS) {
+        val (degrees, total) = edgeStatistics(pairs.getOrElse(
+          sys.error("EJS self weights need the pair graph for degrees")))
+        df.join(degrees.select(col("p").as("profile_id"),
+            col("degree").as("degree_a"), col("degree").as("degree_b")), Seq("profile_id"))
+          .crossJoin(total)
+      } else
+        df.withColumn("degree_a", lit(0L)).withColumn("degree_b", lit(0L))
+          .withColumn("number_of_edges", lit(0.0))
+    df.withColumn("w", weightColumn(wt, useEntropy)).select("profile_id", "w")
+  }
+
+  /** Self edges as (a, b, w) rows with a == b, for unioning into the
+   * first_step=True directed views. */
+  private def selfDirected(selfW: DataFrame): DataFrame =
+    selfW.select(col("profile_id").as("a"), col("profile_id").as("b"), col("w"))
+
   /** Per-profile local thresholds (python/sparker/wnp.py:192-229): AVG =
-   * mean of incident directed weights, MaxFract2 = max / 2. */
-  def localThresholds(weighted: DataFrame, tt: ThresholdType.Value): DataFrame = {
+   * mean of incident directed weights, MaxFract2 = max / 2. `selfW` (dirty
+   * ER): the reference's thresholds pass counts the profile itself as a
+   * neighbor — see [[selfWeights]]. */
+  def localThresholds(weighted: DataFrame, tt: ThresholdType.Value,
+                      selfW: Option[DataFrame] = None): DataFrame = {
     val agg = tt match {
       case ThresholdType.AVG => (sum(col("w")) / count(lit(1))).as("theta")
       case ThresholdType.MaxFract2 => (max(col("w")) / 2.0).as("theta")
     }
-    directedEdges(weighted).groupBy(col("a").as("profile_id")).agg(agg)
+    val directed = selfW match {
+      case Some(sw) => directedEdges(weighted).union(selfDirected(sw))
+      case None => directedEdges(weighted)
+    }
+    directed.groupBy(col("a").as("profile_id")).agg(agg)
   }
 
   /**
@@ -288,8 +346,9 @@ object MetaBlocking {
    * thresholds are order-dependent double sums (0 for exact weights).
    */
   def wnp(weighted: DataFrame, tt: ThresholdType.Value, ct: ComparisonType.Value,
-          wt: WeightType.Value, chi2divider: Double = 2.0, eps: Double = 0.0): DataFrame = {
-    val th = localThresholds(weighted, tt)
+          wt: WeightType.Value, chi2divider: Double = 2.0, eps: Double = 0.0,
+          selfW: Option[DataFrame] = None): DataFrame = {
+    val th = localThresholds(weighted, tt, selfW)
     val j = weighted
       .join(th.select(col("profile_id").as("p1"), col("theta").as("t1")), Seq("p1"))
       .join(th.select(col("profile_id").as("p2"), col("theta").as("t2")), Seq("p2"))
@@ -304,9 +363,16 @@ object MetaBlocking {
   }
 
   /** Weighted Edge Pruning (python/sparker/wep.py): keep edges with weight >=
-   * the mean over all directed incident weights (sum(w) / 2E). */
-  def wep(weighted: DataFrame, eps: Double = 0.0): DataFrame = {
-    val thr = directedEdges(weighted).agg((sum(col("w")) / count(lit(1))).as("gthr"))
+   * the mean over all directed incident weights — including, for dirty ER,
+   * each profile's self edge (wep.py:122-128 runs calc_cbs with
+   * first_step=True): threshold = (sum w + sum w_self) / (2E + N). */
+  def wep(weighted: DataFrame, eps: Double = 0.0,
+          selfW: Option[DataFrame] = None): DataFrame = {
+    val directed = selfW match {
+      case Some(sw) => directedEdges(weighted).union(selfDirected(sw))
+      case None => directedEdges(weighted)
+    }
+    val thr = directed.agg((sum(col("w")) / count(lit(1))).as("gthr"))
     weighted.crossJoin(thr).filter(col("w1") >= col("gthr") - eps)
       .select(col("p1"), col("p2"), col("w1").as("w"))
   }
@@ -364,14 +430,23 @@ object MetaBlocking {
    * so fixtures/tests pin a positive k while production keeps the default.
    */
   def cnp(weighted: DataFrame, validStats: DataFrame, numberOfProfiles: Long,
-          ct: ComparisonType.Value, kOverride: Option[Long] = None): DataFrame = {
+          ct: ComparisonType.Value, kOverride: Option[Long] = None,
+          selfW: Option[DataFrame] = None): DataFrame = {
     val kDf = kOverride match {
       case Some(kFixed) =>
         validStats.sparkSession.range(1).select(lit(kFixed).as("k"))
       case None => validStats.agg(
         floor(sum(col("size")).cast("double") / numberOfProfiles - 1.0).cast("long").as("k"))
     }
-    val retained = directedEdges(weighted).crossJoin(kDf)
+    // dirty ER: the reference's retention pass (cnp.py:159, first_step=True)
+    // ranks the profile's SELF edge among its neighbors, so a high self
+    // weight consumes one of the k slots (see selfWeights); the (p, p) row
+    // can never match a real p1<p2 edge in the retention join below.
+    val directed = selfW match {
+      case Some(sw) => directedEdges(weighted).union(selfDirected(sw))
+      case None => directedEdges(weighted)
+    }
+    val retained = directed.crossJoin(kDf)
       .withColumn("rn", row_number().over(Window.partitionBy("a").orderBy(col("w").desc, col("b").asc)))
       .filter(col("rn") <= col("k"))
       .select(col("a"), col("b"))

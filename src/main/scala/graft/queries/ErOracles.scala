@@ -191,10 +191,62 @@ object ErOracles {
   private[queries] def wpw(scheme: String): String =
     s"wpw AS (SELECT p1, p2, cbs, ${wExpr(scheme, 1)} AS w1, ${wExpr(scheme, 2)} AS w2 FROM wp),\n"
 
+  /** Self-edge weight expression — wExpr with both endpoints the same
+   * profile: cbs = nb_valid, both block counts = bp, both degrees = the
+   * profile's degree (MetaBlocking.selfWeights; the dirty-ER
+   * first_step=True quirk of common_node_pruning.py:139). */
+  private def selfWExpr(scheme: String): String = {
+    val v = "CAST(nb_valid AS DOUBLE)"
+    val b = "CAST(bp AS DOUBLE)"
+    val nb = "CAST(nblocks AS DOUBLE)"
+    val js = s"$v / ($b + $b - $v)"
+    scheme match {
+      case "cbs" => v
+      case "js" => js
+      case "ecbs" => s"$v * log10($nb / $b) * log10($nb / $b)"
+      case "arcs" => s"$v / arcs_denom"
+      case "chisq" =>
+        val (c00, c01, c10, c11) =
+          (v, s"($b - $v)", s"($b - $v)", s"($nb - (($b + $b) - $v))")
+        val (r0, r1, k0, k1) = (b, s"($nb - $b)", b, s"($nb - $b)")
+        def term(obs: String, rs: String, ks: String) =
+          s"(POWER($obs - ($rs * $ks) / $nb, 2.0) / (($rs * $ks) / $nb))"
+        s"(${term(c00, r0, k0)} + ${term(c01, r0, k1)} + ${term(c10, r1, k0)} + ${term(c11, r1, k1)})"
+      case "ejs" =>
+        val deg = "CAST(degree AS DOUBLE)"
+        val inner = s"log10(e / ($deg + 0.00000000001))"
+        s"(CASE WHEN e <= 0.0 OR $inner <= 0.0 THEN 0.0 ELSE ($js) * log10(e / ($deg * $inner)) END)"
+    }
+  }
+
+  /** Self-edge CTE over the dirty prelude's per-profile stats. */
+  private def selfwCte(scheme: String): String =
+    s"""selfw AS (
+       |  SELECT bp.profile_id, ${selfWExpr(scheme)} AS w
+       |  FROM bp JOIN parcs ON bp.profile_id = parcs.profile_id
+       |  JOIN deg ON bp.profile_id = deg.p
+       |  CROSS JOIN nbt CROSS JOIN ne
+       |  WHERE parcs.nb_valid > 0),
+       |""".stripMargin
+
   private[queries] val directed =
     """directed AS (SELECT p1 AS a, p2 AS b, w1 AS w FROM wpw
       |             UNION ALL SELECT p2, p1, w2 FROM wpw),
       |""".stripMargin
+
+  /** Directed view including the self edges — what the reference's
+   * first_step=True passes (WNP thresholds, WEP sum, CNP retention)
+   * enumerate in dirty ER. */
+  private def directedSelf(scheme: String): String =
+    selfwCte(scheme) +
+    """directed AS (SELECT p1 AS a, p2 AS b, w1 AS w FROM wpw
+      |             UNION ALL SELECT p2, p1, w2 FROM wpw
+      |             UNION ALL SELECT profile_id, profile_id, w FROM selfw),
+      |""".stripMargin
+
+  /** directed view for a pipeline flavor: dirty gets the self edges. */
+  private def directedFor(clean: Boolean, scheme: String): String =
+    if (clean) directed else directedSelf(scheme)
 
   private def wnpSql(clean: Boolean, scheme: String, tt: String, ct: String,
                      eps: String, roundW: Boolean, chi2divider: String = "2.0"): String = {
@@ -213,7 +265,7 @@ object ErOracles {
       }
     val agg = if (tt == "avg") "SUM(w) / COUNT(*)" else "MAX(w) / 2.0"
     val out = if (roundW) "ROUND(w1, 9)" else "w1"
-    prelude(clean) + wpw(scheme) + directed +
+    prelude(clean) + wpw(scheme) + directedFor(clean, scheme) +
       s"""th AS (SELECT a, $agg AS theta FROM directed GROUP BY a)
          |SELECT wpw.p1, wpw.p2, $out AS w
          |FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
@@ -221,7 +273,7 @@ object ErOracles {
   }
 
   private def wepSql(clean: Boolean, scheme: String, eps: String): String =
-    prelude(clean) + wpw(scheme) + directed +
+    prelude(clean) + wpw(scheme) + directedFor(clean, scheme) +
       s"""gthr AS (SELECT SUM(w) / COUNT(*) AS t FROM directed)
          |SELECT p1, p2, w1 AS w FROM wpw, gthr WHERE w1 >= t - $eps""".stripMargin
 
@@ -251,7 +303,7 @@ object ErOracles {
   private def cnpSql(clean: Boolean, scheme: String, ct: String): String = {
     val cond = if (ct == "OR") "r1.a IS NOT NULL OR r2.a IS NOT NULL"
                else "r1.a IS NOT NULL AND r2.a IS NOT NULL"
-    prelude(clean) + wpw(scheme) + directed +
+    prelude(clean) + wpw(scheme) + directedFor(clean, scheme) +
       s"""kc AS (SELECT CAST(3 AS BIGINT) AS k),
          |ret AS (SELECT a, b FROM (SELECT a, b,
          |        ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn FROM directed), kc
@@ -358,7 +410,7 @@ object ErOracles {
         |       GREATEST(m1.profile_id, m2.profile_id) AS p2
         |FROM gt JOIN prof m1 ON gt.id1 = m1.original_id JOIN prof m2 ON gt.id2 = m2.original_id""".stripMargin,
 
-    "er_pcpq_wnp_dirty" -> (prelude(clean = false) + wpw("cbs") + directed +
+    "er_pcpq_wnp_dirty" -> (prelude(clean = false) + wpw("cbs") + directedFor(clean = false, "cbs") +
       """th AS (SELECT a, SUM(w) / COUNT(*) AS theta FROM directed GROUP BY a),
         |cand AS (SELECT DISTINCT wpw.p1, wpw.p2
         |         FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a

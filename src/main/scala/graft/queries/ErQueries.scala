@@ -84,6 +84,18 @@ object ErQueries {
         cachedProfileStats(s, d, clean),
         cleaned(s, d, clean).numberOfBlocks, wt)))
 
+  private val selfWCache =
+    scala.collection.concurrent.TrieMap.empty[(String, WeightType.Value), DataFrame]
+
+  /** Dirty-ER self-comparison weights (MetaBlocking.selfWeights — the
+   * first_step=True reference quirk), memoized per scheme; the clean-ER
+   * queries pass None. */
+  def selfWeightsCached(s: SparkSession, d: String, wt: WeightType.Value): DataFrame =
+    selfWCache.getOrElseUpdate((d, wt), graft.util.Snapshot(
+      MetaBlocking.selfWeights(cachedProfileStats(s, d, clean = false),
+        cleaned(s, d, clean = false).numberOfBlocks, wt,
+        pairs = Some(cachedPairs(s, d, clean = false)))))
+
   private def w9(df: DataFrame): DataFrame =
     df.select(col("p1"), col("p2"), graft.functions.FastRound.round(col("w1"), 9).as("w"))
 
@@ -159,26 +171,30 @@ object ErQueries {
 
     "er_wnp_cbs_avg_or_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
-      MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.CBS), ThresholdType.AVG, ComparisonType.OR, WeightType.CBS)
+      MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.CBS), ThresholdType.AVG, ComparisonType.OR, WeightType.CBS,
+        selfW = Some(selfWeightsCached(s, d, WeightType.CBS)))
         .select("p1", "p2", "w")
     }),
 
     "er_wnp_cbs_avg_and_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
-      MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.CBS), ThresholdType.AVG, ComparisonType.AND, WeightType.CBS)
+      MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.CBS), ThresholdType.AVG, ComparisonType.AND, WeightType.CBS,
+        selfW = Some(selfWeightsCached(s, d, WeightType.CBS)))
         .select("p1", "p2", "w")
     }),
 
     "er_wnp_js_max2_or_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
       MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.JS), ThresholdType.MaxFract2, ComparisonType.OR,
-        WeightType.JS, eps = 1e-9).select("p1", "p2", "w")
+        WeightType.JS, eps = 1e-9,
+        selfW = Some(selfWeightsCached(s, d, WeightType.JS))).select("p1", "p2", "w")
     }),
 
     "er_wnp_chisq_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
       MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.ChiSquare), ThresholdType.AVG, ComparisonType.OR,
-        WeightType.ChiSquare, chi2divider = 2.0, eps = 1e-9)
+        WeightType.ChiSquare, chi2divider = 2.0, eps = 1e-9,
+        selfW = Some(selfWeightsCached(s, d, WeightType.ChiSquare)))
         .select(col("p1"), col("p2"), graft.functions.FastRound.round(col("w"), 9).as("w"))
     }),
 
@@ -190,12 +206,14 @@ object ErQueries {
 
     "er_wep_cbs_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
-      MetaBlocking.wep(weightedCached(s, d, cb.clean, WeightType.CBS)).select("p1", "p2", "w")
+      MetaBlocking.wep(weightedCached(s, d, cb.clean, WeightType.CBS),
+        selfW = Some(selfWeightsCached(s, d, WeightType.CBS))).select("p1", "p2", "w")
     }),
 
     "er_wep_js_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
-      MetaBlocking.wep(weightedCached(s, d, cb.clean, WeightType.JS), eps = 1e-9).select("p1", "p2", "w")
+      MetaBlocking.wep(weightedCached(s, d, cb.clean, WeightType.JS), eps = 1e-9,
+        selfW = Some(selfWeightsCached(s, d, WeightType.JS))).select("p1", "p2", "w")
     }),
 
     "er_cep_cbs_dirty" -> ((s, d) => {
@@ -229,7 +247,8 @@ object ErQueries {
       val cb = cleaned(s, d, clean = false)
       val nProfiles = s.read.parquet(s"$d/part.parquet").count()
       MetaBlocking.cnp(weightedCached(s, d, cb.clean, WeightType.CBS), cb.stats2, nProfiles,
-        ComparisonType.OR, kOverride = Some(3L))
+        ComparisonType.OR, kOverride = Some(3L),
+        selfW = Some(selfWeightsCached(s, d, WeightType.CBS)))
         .select("p1", "p2", "w")
     }),
 
@@ -237,7 +256,8 @@ object ErQueries {
       val cb = cleaned(s, d, clean = false)
       val nProfiles = s.read.parquet(s"$d/part.parquet").count()
       MetaBlocking.cnp(weightedCached(s, d, cb.clean, WeightType.JS), cb.stats2, nProfiles,
-        ComparisonType.AND, kOverride = Some(3L))
+        ComparisonType.AND, kOverride = Some(3L),
+        selfW = Some(selfWeightsCached(s, d, WeightType.JS)))
         .select("p1", "p2", "w")
     }),
 
@@ -254,7 +274,8 @@ object ErQueries {
     "er_pcpq_wnp_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
       val cand = MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.CBS), ThresholdType.AVG,
-        ComparisonType.OR, WeightType.CBS)
+        ComparisonType.OR, WeightType.CBS,
+        selfW = Some(selfWeightsCached(s, d, WeightType.CBS)))
       Evaluation.pcPq(cand, gtConverted(s, d))
     }),
 
