@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
 object Blocking {
 
   /** Tokenizer equivalent to the reference's `re.split('\W+', value.lower())`
-   * (python/sparker/blocking_strategies.py:52). ASCII word characters; the
-   * reference uses Python's unicode-aware \W, a documented divergence for
-   * non-ASCII input. */
-  val TokenSplitRe = "[^a-zA-Z0-9_]+"
+   * (python/sparker/blocking_strategies.py:52). Unicode-aware like Python's
+   * \W: word characters are letters, digits and underscore in any script
+   * (verified against the reference on its own accented-author datasets —
+   * QualityParitySpec). The same character class is used in the DuckDB
+   * oracles (RE2 \p{L}\p{N}). */
+  val TokenSplitRe = "[^\\p{L}\\p{N}_]+"
 
   /** The reference's removeBadWords stopword list: Spark ML's default
    * english stopwords (scala ref TokenBlocking.scala:18-24). */

@@ -85,7 +85,7 @@ object ErOracles {
        |toks AS (
        |  SELECT DISTINCT profile_id, source_id, tok AS key FROM (
        |    SELECT profile_id, source_id,
-       |           unnest(regexp_split_to_array(lower(value), '[^a-zA-Z0-9_]+')) AS tok
+       |           unnest(regexp_split_to_array(lower(value), '[^\\p{L}\\p{N}_]+')) AS tok
        |    FROM attrs WHERE value IS NOT NULL) u
        |  WHERE tok <> ''
        |),
@@ -327,7 +327,7 @@ object ErOracles {
       """atoks AS (
         |  SELECT DISTINCT profile_id, attribute || '_' || tok AS key FROM (
         |    SELECT profile_id, attribute,
-        |           unnest(regexp_split_to_array(lower(value), '[^a-zA-Z0-9_]+')) AS tok
+        |           unnest(regexp_split_to_array(lower(value), '[^\p{L}\p{N}_]+')) AS tok
         |    FROM attrs WHERE value IS NOT NULL) u
         |  WHERE tok <> '')
         |SELECT profile_id, key FROM atoks""".stripMargin),
@@ -433,7 +433,7 @@ object ErOracles {
       """WITH ntoks AS (
         |  SELECT DISTINCT profile_id, tok FROM (
         |    SELECT p_partkey AS profile_id,
-        |           unnest(regexp_split_to_array(lower(p_name), '[^a-zA-Z0-9_]+')) AS tok
+        |           unnest(regexp_split_to_array(lower(p_name), '[^\p{L}\p{N}_]+')) AS tok
         |    FROM part) u WHERE tok <> ''),
         |padded AS (SELECT profile_id, '___' || tok || '___' AS p FROM ntoks),
         |ng AS (SELECT DISTINCT profile_id, substr(p, CAST(i AS INTEGER), 4) AS key

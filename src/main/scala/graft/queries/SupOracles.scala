@@ -125,7 +125,7 @@ object SupOracles {
        |  SELECT profile_id, source_id,
        |         CAST(source_id AS VARCHAR) || '_' || attribute AS qattr, tok AS token
        |  FROM (SELECT profile_id, source_id, attribute,
-       |               unnest(regexp_split_to_array(lower(value), '[^a-zA-Z0-9_]+')) AS tok
+       |               unnest(regexp_split_to_array(lower(value), '[^\\p{L}\\p{N}_]+')) AS tok
        |        FROM cattrs WHERE value IS NOT NULL AND attribute IS NOT NULL) u
        |  WHERE tok <> ''),
        |qat AS (SELECT DISTINCT qattr, token FROM occ),
