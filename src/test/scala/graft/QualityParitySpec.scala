@@ -103,6 +103,24 @@ class QualityParitySpec extends AnyFunSuite {
     // vs deterministic (p1, p2) order here (documented divergence in
     // MetaBlocking.cep), so the match count may differ by the tie choice.
     // Reference: 8521 edges / 7940 matches.
+    // fractional weight schemes, same pipeline: JS / ECBS / chi-square
+    // (the chi2 rule replaces OR/AND for the chi-square scheme). Reference
+    // values: JS 51369/16897, ECBS 58423/16878, CHI2 34362/16684.
+    for ((wt, refEdges, refMatches) <- Seq(
+        (WeightType.JS, 51369L, 16897L),
+        (WeightType.ECBS, 58423L, 16878L),
+        (WeightType.ChiSquare, 34362L, 16684L))) {
+      val w = graft.util.Snapshot(
+        MetaBlocking.weightedPairs(pairs, profStats, cb.numberOfBlocks, wt))
+      val sw = Some(graft.util.Snapshot(
+        MetaBlocking.selfWeights(profStats, cb.numberOfBlocks, wt)))
+      val kept = graft.util.Snapshot(MetaBlocking.wnp(
+        w, ThresholdType.AVG, ComparisonType.OR, wt, selfW = sw))
+      assert(kept.count() == refEdges, s"WNP $wt edges")
+      assert(kept.join(gtc, Seq("p1", "p2"), "left_semi").count() == refMatches,
+        s"WNP $wt matches")
+    }
+
     val cep = graft.util.Snapshot(MetaBlocking.cep(weighted, cb.stats2))
     assert(cep.count() == 8521L)
     // integer CBS weights put a large tie pool AT the K-th level; which
