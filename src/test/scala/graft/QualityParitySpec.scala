@@ -35,8 +35,14 @@ class QualityParitySpec extends AnyFunSuite {
 
   test("cora dirty pipeline: exact PC/PQ parity with the reference") {
     assume(available, "reference datasets not present")
-    val profiles = Wrappers.loadProfilesCsv(spark, s"$coraDir/cora.csv", realIdField = "id")
-      .persist()
+    import org.apache.spark.sql.functions.{col, lpad}
+    // zero-pad the original ids so our deterministic string-ordered dense
+    // ids coincide with the reference's numeric file-order ids: the
+    // "smaller endpoint" convention matters for the ASYMMETRIC weight
+    // schemes (ARCS prunes with the smaller id's denominator)
+    val raw = spark.read.option("header", "true").csv(s"$coraDir/cora.csv")
+      .withColumn("id", lpad(col("id"), 6, "0"))
+    val profiles = Wrappers.fromDataFrame(raw, realIdField = "id").persist()
     val attrs = Wrappers.toLongLayout(profiles)
     val keys = Blocking.tokenKeys(attrs)
     val cb = Pipeline.cleanBlocks(keys, clean = false,
@@ -47,6 +53,7 @@ class QualityParitySpec extends AnyFunSuite {
     assert(cb.stats2.count() == 865L)   // regenerated after filtering
 
     val gt = Wrappers.loadGroundTruthCsv(spark, s"$coraDir/groundtruth.csv")
+      .select(lpad(col("id1"), 6, "0").as("id1"), lpad(col("id2"), 6, "0").as("id2"))
     val prof = profiles.select("original_id", "profile_id")
     val gtc = Evaluation.convertGroundTruth(gt, prof, prof).persist()
     assert(gtc.count() == 17184L)
@@ -103,22 +110,30 @@ class QualityParitySpec extends AnyFunSuite {
     // vs deterministic (p1, p2) order here (documented divergence in
     // MetaBlocking.cep), so the match count may differ by the tie choice.
     // Reference: 8521 edges / 7940 matches.
-    // fractional weight schemes, same pipeline: JS / ECBS / chi-square
-    // (the chi2 rule replaces OR/AND for the chi-square scheme). Reference
-    // values: JS 51369/16897, ECBS 58423/16878, CHI2 34362/16684.
-    for ((wt, refEdges, refMatches) <- Seq(
-        (WeightType.JS, 51369L, 16897L),
-        (WeightType.ECBS, 58423L, 16878L),
-        (WeightType.ChiSquare, 34362L, 16684L))) {
+    // fractional weight schemes, same pipeline: JS / ECBS / ARCS /
+    // chi-square (the chi2 rule replaces OR/AND for the chi-square
+    // scheme). JS/ECBS/chi2 are exact. ARCS carries a tiny ulp margin:
+    // the reference's denominator is applied as SEQUENTIAL divisions in
+    // Python-set block order ((cbs/c1)/c2/...), ours divides once by a
+    // sorted product — last-ulp rounding flips a handful of edges sitting
+    // exactly on a threshold (9 of 99597 observed). Reference values:
+    // JS 51369/16897, ECBS 58423/16878, ARCS 99597/16881,
+    // CHI2 34362/16684.
+    for ((wt, refEdges, refMatches, ulpTol) <- Seq(
+        (WeightType.JS, 51369L, 16897L, 0L),
+        (WeightType.ECBS, 58423L, 16878L, 0L),
+        (WeightType.ARCS, 99597L, 16881L, 60L),
+        (WeightType.ChiSquare, 34362L, 16684L, 0L))) {
       val w = graft.util.Snapshot(
         MetaBlocking.weightedPairs(pairs, profStats, cb.numberOfBlocks, wt))
       val sw = Some(graft.util.Snapshot(
         MetaBlocking.selfWeights(profStats, cb.numberOfBlocks, wt)))
       val kept = graft.util.Snapshot(MetaBlocking.wnp(
         w, ThresholdType.AVG, ComparisonType.OR, wt, selfW = sw))
-      assert(kept.count() == refEdges, s"WNP $wt edges")
-      assert(kept.join(gtc, Seq("p1", "p2"), "left_semi").count() == refMatches,
-        s"WNP $wt matches")
+      val n = kept.count()
+      assert(math.abs(n - refEdges) <= ulpTol, s"WNP $wt edges $n vs $refEdges")
+      val m = kept.join(gtc, Seq("p1", "p2"), "left_semi").count()
+      assert(math.abs(m - refMatches) <= ulpTol, s"WNP $wt matches $m vs $refMatches")
     }
 
     val cep = graft.util.Snapshot(MetaBlocking.cep(weighted, cb.stats2))
