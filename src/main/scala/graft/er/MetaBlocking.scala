@@ -229,6 +229,84 @@ object MetaBlocking {
       .select("p1", "p2", "cbs", "entropy_sum", "w1", "w2")
   }
 
+  /** Lower-case column suffix for a weight scheme in the wide weighted
+   * graph ([[weightedPairsAll]]): w1_cbs, w2_ejs, ... */
+  def schemeName(wt: WeightType.Value): String = wt.toString.toLowerCase
+
+  /**
+   * The WIDE weighted graph: every weight scheme computed in ONE pass over
+   * the pair graph — one stats join, one degree aggregation, twelve weight
+   * columns (`w1_<scheme>`, `w2_<scheme>`) in a single codegen'd projection.
+   * At 100 TB this is the difference between one shuffle over the O(edges)
+   * pair graph and six: the schemes share all their inputs (cbs, per-profile
+   * block counts, EJS degrees), so deriving a scheme is a column select on
+   * the materialized result, not a recomputation. The per-scheme arithmetic
+   * is [[weightColumn]]/[[swapWeight]] verbatim — bit-identical to the
+   * narrow [[weightedPairs]] path.
+   */
+  def weightedPairsAll(
+      pairs: DataFrame,
+      profStats: DataFrame,
+      numberOfBlocks: DataFrame,
+      useEntropy: Boolean = false): DataFrame = {
+    val s1 = profStats.select(col("profile_id").as("p1"), col("bp").as("bp_a"),
+      col("nb_valid").as("nb_valid_a"), col("arcs_denom").as("arcs_denom_a"))
+    val s2 = profStats.select(col("profile_id").as("p2"), col("bp").as("bp_b"),
+      col("nb_valid").as("nb_valid_b"), col("arcs_denom").as("arcs_denom_b"))
+    val (degrees, total) = edgeStatistics(pairs)
+    val df = pairs.join(s1, Seq("p1")).join(s2, Seq("p2")).crossJoin(numberOfBlocks)
+      .join(degrees.select(col("p").as("p1"), col("degree").as("degree_a")), Seq("p1"))
+      .join(degrees.select(col("p").as("p2"), col("degree").as("degree_b")), Seq("p2"))
+      .crossJoin(total)
+    val wCols = WeightType.values.toSeq.flatMap { wt =>
+      Seq(weightColumn(wt, useEntropy).as(s"w1_${schemeName(wt)}"),
+        swapWeight(wt, useEntropy).as(s"w2_${schemeName(wt)}"))
+    }
+    df.select(Seq(col("p1"), col("p2"), col("cbs"), col("entropy_sum")) ++ wCols: _*)
+  }
+
+  /** One scheme's (p1, p2, cbs, entropy_sum, w1, w2) view of the wide graph
+   * — a pruned column select, bit-identical to [[weightedPairs]] output. */
+  def schemeView(wide: DataFrame, wt: WeightType.Value): DataFrame = {
+    val n = schemeName(wt)
+    wide.select(col("p1"), col("p2"), col("cbs"), col("entropy_sum"),
+      col(s"w1_$n").as("w1"), col(s"w2_$n").as("w2"))
+  }
+
+  /**
+   * Wide dirty-ER self-comparison weights: [[selfWeights]] for every scheme
+   * in one pass — (profile_id, w_cbs, ..., w_ejs). Shares the stats scan and
+   * the EJS degree aggregation across schemes the same way
+   * [[weightedPairsAll]] does for the real edges.
+   */
+  def selfWeightsAll(profStats: DataFrame, numberOfBlocks: DataFrame,
+                     pairs: DataFrame,
+                     useEntropy: Boolean = false,
+                     selfEntropies: Option[DataFrame] = None): DataFrame = {
+    var df = profStats.filter(col("nb_valid") > 0)
+      .select(col("profile_id"),
+        col("nb_valid").as("cbs"),
+        col("bp").as("bp_a"), col("bp").as("bp_b"),
+        col("nb_valid").as("nb_valid_a"), col("arcs_denom").as("arcs_denom_a"))
+      .crossJoin(numberOfBlocks)
+    df = selfEntropies match {
+      case Some(ent) => df.join(ent, Seq("profile_id"), "left")
+        .withColumn("entropy_sum", coalesce(col("entropy_sum"), lit(0.0)))
+      case None => df.withColumn("entropy_sum", lit(0.0))
+    }
+    val (degrees, total) = edgeStatistics(pairs)
+    df = df.join(degrees.select(col("p").as("profile_id"),
+        col("degree").as("degree_a"), col("degree").as("degree_b")), Seq("profile_id"))
+      .crossJoin(total)
+    val wCols = WeightType.values.toSeq.map(wt =>
+      weightColumn(wt, useEntropy).as(s"w_${schemeName(wt)}"))
+    df.select(col("profile_id") +: wCols: _*)
+  }
+
+  /** One scheme's (profile_id, w) view of [[selfWeightsAll]]. */
+  def selfSchemeView(wide: DataFrame, wt: WeightType.Value): DataFrame =
+    wide.select(col("profile_id"), col(s"w_${schemeName(wt)}").as("w"))
+
   /** weightColumn with the endpoint roles swapped (p2's perspective). */
   private def swapWeight(wt: WeightType.Value, useEntropy: Boolean): Column = {
     val cbs = col("cbs").cast("double")

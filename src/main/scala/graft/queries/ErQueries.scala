@@ -74,27 +74,39 @@ object ErQueries {
     pstatsCache.getOrElseUpdate((dir, clean),
       graft.util.Snapshot(cleaned(spark, dir, clean).profileStats))
 
-  /** Weighted graph built from the cached pair graph, persisted per scheme:
-   * every pruning operator reads it several times (thresholds pass + the
-   * pruning join read the same edges). */
+  private val wideCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean), DataFrame]
+
+  /** The WIDE weighted graph — all six schemes in one pass over the cached
+   * pair graph, ONE snapshot (MetaBlocking.weightedPairsAll). Per-scheme
+   * graphs are column selects over it: at 100 TB that's one shuffle over
+   * the O(edges) graph instead of six, and here it collapses six snapshot
+   * write+read round-trips into one. */
+  def wideWeighted(s: SparkSession, d: String, clean: Boolean): DataFrame =
+    wideCache.getOrElseUpdate((d, clean),
+      graft.util.Snapshot(MetaBlocking.weightedPairsAll(cachedPairs(s, d, clean),
+        cachedProfileStats(s, d, clean),
+        cleaned(s, d, clean).numberOfBlocks)))
+
+  /** One scheme's weighted graph: a pruned column select over the wide
+   * snapshot (bit-identical to building the scheme alone). */
   def weightedCached(s: SparkSession, d: String, clean: Boolean,
                      wt: WeightType.Value): DataFrame =
     weightedCache.getOrElseUpdate((d, clean, wt),
-      graft.util.Snapshot(MetaBlocking.weightedPairs(cachedPairs(s, d, clean),
-        cachedProfileStats(s, d, clean),
-        cleaned(s, d, clean).numberOfBlocks, wt)))
+      MetaBlocking.schemeView(wideWeighted(s, d, clean), wt))
 
-  private val selfWCache =
-    scala.collection.concurrent.TrieMap.empty[(String, WeightType.Value), DataFrame]
+  private val selfWideCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** Dirty-ER self-comparison weights (MetaBlocking.selfWeights — the
-   * first_step=True reference quirk), memoized per scheme; the clean-ER
-   * queries pass None. */
+  /** Dirty-ER self-comparison weights (the first_step=True reference
+   * quirk), all schemes in one snapshot (MetaBlocking.selfWeightsAll);
+   * per-scheme views are column selects. Clean-ER queries pass None. */
   def selfWeightsCached(s: SparkSession, d: String, wt: WeightType.Value): DataFrame =
-    selfWCache.getOrElseUpdate((d, wt), graft.util.Snapshot(
-      MetaBlocking.selfWeights(cachedProfileStats(s, d, clean = false),
-        cleaned(s, d, clean = false).numberOfBlocks, wt,
-        pairs = Some(cachedPairs(s, d, clean = false)))))
+    MetaBlocking.selfSchemeView(
+      selfWideCache.getOrElseUpdate(d, graft.util.Snapshot(
+        MetaBlocking.selfWeightsAll(cachedProfileStats(s, d, clean = false),
+          cleaned(s, d, clean = false).numberOfBlocks,
+          pairs = cachedPairs(s, d, clean = false)))), wt)
 
   private def w9(df: DataFrame): DataFrame =
     df.select(col("p1"), col("p2"), graft.functions.FastRound.round(col("w1"), 9).as("w"))

@@ -19,10 +19,9 @@ object Warmup {
     ErQueries.cachedPairs(s, d, clean = true)
     ErQueries.cachedProfileStats(s, d, clean = false)
     ErQueries.cachedProfileStats(s, d, clean = true)
-    Seq(WeightType.CBS, WeightType.JS, WeightType.ECBS, WeightType.ARCS,
-        WeightType.ChiSquare, WeightType.EJS)
-      .foreach(wt => ErQueries.weightedCached(s, d, clean = false, wt))
-    ErQueries.weightedCached(s, d, clean = true, WeightType.CBS)
+    ErQueries.wideWeighted(s, d, clean = false)
+    ErQueries.wideWeighted(s, d, clean = true)
+    ErQueries.selfWeightsCached(s, d, WeightType.CBS)
     ErQueries.gtConverted(s, d)
     SupQueries.clusters(s, d)
     SupQueries.features(s, d)
