@@ -234,6 +234,29 @@ object TrainOracles {
          |  FROM cand)
          |SELECT query_id, nn_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
 
+    "ann_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+         |asg0 AS (
+         |  SELECT c.vec_id AS nn_id, c.embedding AS ce, cent.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |           ORDER BY round(${cosine("c.embedding", "cent.centroid")}, 9) DESC, cent.cid ASC) AS rn
+         |  FROM embeddings c CROSS JOIN cent),
+         |asg AS (SELECT nn_id, ce, cid FROM asg0 WHERE rn = 1),
+         |pr0 AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qe, cent.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |           ORDER BY round(${cosine("q.embedding", "cent.centroid")}, 9) DESC, cent.cid ASC) AS rn
+         |  FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 10),
+         |pr AS (SELECT query_id, qe, cid FROM pr0 WHERE rn <= 4),
+         |cand AS (
+         |  SELECT pr.query_id, asg.nn_id, round(${cosine("pr.qe", "asg.ce")}, 9) AS cos
+         |  FROM asg JOIN pr USING (cid) WHERE pr.query_id <> asg.nn_id),
+         |ranked AS (
+         |  SELECT query_id, nn_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rn
+         |  FROM cand)
+         |SELECT query_id, nn_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+
     "ann_cos_neardup" ->
       s"""WITH vs AS (${srpBucket("embeddings", 16).replace(" AS bucket ", " AS sig ")}),
          |vb AS (SELECT vec_id, CAST(b.b AS INTEGER) AS band,
@@ -259,6 +282,24 @@ object TrainOracles {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "evt_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flags AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |seq AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq_h
+        |  FROM flags)
+        |SELECT user_id, CAST(session_seq_h AS BIGINT) AS session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+        |FROM seq GROUP BY user_id, CAST(session_seq_h AS BIGINT)""".stripMargin,
+
+    "evt_sessions_stream" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,
         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -73,6 +73,11 @@ object TrainQueries {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
     }),
 
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
     // threshold 0.4: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ~0.51 at sf0.01), so production-style thresholds
     // (~0.9) select the empty set and prove nothing; 0.4 yields a small
@@ -87,6 +92,8 @@ object TrainQueries {
       EventStreams.windowedAggStreaming(s, d)),
 
     "evt_sessions" -> ((s, d) => EventStreams.sessionize(events(s, d))),
+
+    "evt_sessions_stream" -> ((s, d) => EventStreams.sessionizeStreaming(s, d)),
 
     // content_hash (xxhash64) is Spark-specific — tested in ScalaTest, not
     // part of the oracle projection

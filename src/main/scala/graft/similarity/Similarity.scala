@@ -105,6 +105,55 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k — the classic ANN scale path
+   * beside SRP-LSH: a coarse quantizer partitions the corpus into
+   * `nCentroids` inverted lists; a query probes only the `nProbe` nearest
+   * lists and ranks their members by exact cosine.
+   *
+   * Centroids are deterministic (the corpus vectors with the lowest ids) so
+   * the DuckDB oracle reproduces assignments bit-for-bit; production would
+   * plug k-means centroids in — the dataflow (assign = argmax over a
+   * broadcast centroid table, candidates = equi-join on the list id) is
+   * unchanged. Scale shape: assignment is O(N·C) with the centroid table
+   * broadcast (never shuffled); candidate generation is an equi-join on
+   * `cid`, so the shuffle carries O(N) rows and each query scores only
+   * ~nProbe/nCentroids of the corpus.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cent = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    // inverted lists: nearest centroid per corpus vector (rounded cosine,
+    // ties to the lower centroid id — same total order as the oracle)
+    val assigned = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(cent))
+      .select(col("nn_id"), col("ce"), col("cid"),
+        graft.functions.FastRound.round(cosine(col("ce"), col("centroid")), 9).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("nn_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select("nn_id", "ce", "cid")
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qe"), col("cid"),
+        graft.functions.FastRound.round(cosine(col("qe"), col("centroid")), 9).as("qcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("qcos").desc, col("cid").asc)))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qe", "cid")
+    // each corpus vector lives in exactly one list and probes are distinct
+    // lists per query, so (query_id, nn_id) is already unique — no distinct
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        graft.functions.FastRound.round(cosine(col("qe"), col("ce")), 9).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rn") <= k)
+      .select("query_id", "nn_id", "cos", "rn")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: banded SRP signature (the same
    * band trick as MinHash-LSH dedup) -> per-band bucket self-join ->
    * candidate pairs dedup'd BEFORE the cosine verify, v1 < v2, cosine >=

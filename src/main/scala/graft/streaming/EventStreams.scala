@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /**
  * Structured Streaming surface over the `events` table. The reference has
@@ -84,6 +84,135 @@ object EventStreams {
    * form of this shape would be flatMapGroupsWithState with a session
    * timeout.
    */
+  /** Per-event input row for the stateful stream. Carries the watermarked
+   * timestamp column itself — projecting it into a derived value (e.g. a
+   * .map to epoch micros) would strip the event-time watermark tag the
+   * stateful operator requires. */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+  /** Open-session state held per user between micro-batches. */
+  case class SessState(startUs: Long, endUs: Long, n: Long, cents: Long, seq: Long)
+
+  /** Completed session emitted by the stateful stream. */
+  case class SessOut(user_id: Long, session_seq: Long, session_start_us: Long,
+                             session_end_us: Long, n_events: Long, value_sum: Double)
+
+  /** Round-half-away-from-zero cents — the Scala twin of
+   * FastRound.round(value*100, 0), so the streamed value_sum is
+   * bit-identical to the batch/oracle integer-cents sum. */
+  private def cents(v: Double): Long = {
+    val y = v * 100.0
+    math.copySign(math.floor(math.abs(y) + 0.5), y).toLong
+  }
+
+  /**
+   * Sessionization as a REAL stateful stream: groupByKey(user) →
+   * flatMapGroupsWithState with EventTimeTimeout. Completed sessions (gap
+   * closed by a newer event) are emitted inside the batch; the trailing
+   * open session per user is held in GroupState with a timeout at
+   * session_end + gap, and flushed when the event-time watermark passes it.
+   * State is O(1) per active user — this is the unbounded-stream shape the
+   * memory-sink/complete-mode windowed demo is not.
+   *
+   * Determinism harness (AvailableNow drain): the file source reads the
+   * events table plus one sentinel event stamped past
+   * max(ts) + gap + watermark delay, so the final watermark provably fires
+   * every real user's timeout before the query stops (Spark runs the extra
+   * no-data batch because the stateful operator requires it). The sentinel
+   * user is filtered from the output. Emitted sessions match the batch
+   * gaps-and-islands twin [[sessionize]] row for row.
+   */
+  def sessionizeStreaming(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
+    // max real event time (one scalar batch read; a production deploy would
+    // just pick a watermark delay and let late sessions flush continuously)
+    val maxTsUs = {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val tsUs = if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts"))
+      raw.select(max(tsUs)).head.getLong(0)
+    }
+    val streamDir = {
+      import java.nio.file.{Files, Paths}
+      val d = Files.createTempDirectory("events_sessions_")
+      Files.createSymbolicLink(d.resolve("events.parquet"),
+        Paths.get(s"$dir/events.parquet"))
+      d.toString
+    }
+    // sentinel: one event 1h past every possible timeout, sentinel user -1
+    val sentinelUs = maxTsUs + gapUs + 3600L * 1000000L
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      (if (tsIsLong) (lit(sentinelUs) * 1000L).as("ts")
+       else timestamp_micros(lit(sentinelUs)).as("ts")),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit(null.asInstanceOf[String]).as("props"))
+    sentinel.write.mode("append").parquet(streamDir)
+
+    val raw = spark.readStream.schema(schema).parquet(streamDir)
+    val stream =
+      if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val evs = stream
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[Ev]
+
+    def flush(s: SessState, user: Long): SessOut =
+      SessOut(user, s.seq, s.startUs, s.endUs, s.n, s.cents / 100.0)
+
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(_, user))
+            state.remove()
+            out.iterator
+          } else {
+            val evsSorted = it.map(e => (tsMicros(e.ts), e.event_id, e.value))
+              .toArray.sortBy(e => (e._1, e._2))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+            var st = state.getOption
+            evsSorted.foreach { case (tUs, _, v) =>
+              st match {
+                case Some(s) if tUs - s.endUs > gapUs =>
+                  out += flush(s, user)
+                  st = Some(SessState(tUs, tUs, 1L, cents(v), s.seq + 1))
+                case Some(s) =>
+                  st = Some(s.copy(endUs = math.max(s.endUs, tUs),
+                    n = s.n + 1, cents = s.cents + cents(v)))
+                case None =>
+                  st = Some(SessState(tUs, tUs, 1L, cents(v), 1L))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L + 1L)
+            }
+            out.iterator
+          }
+      }
+    val name = s"events_sessions_${System.nanoTime()}"
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_seq"),
+        timestamp_micros(col("session_start_us")).as("session_start"),
+        timestamp_micros(col("session_end_us")).as("session_end"),
+        col("n_events"), col("value_sum"))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -111,6 +111,30 @@ class TrainSpec extends AnyFunSuite {
     assert(frames == Set(0, 2, 4))
   }
 
+  test("ivfTopK probes nearest inverted lists; full probe set equals brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    // probing every list makes IVF exhaustive -> must equal brute force
+    val ivfAll = Similarity.ivfTopK(e, q, k = 5, nCentroids = 4, nProbe = 4)
+      .select("query_id", "nn_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "nn_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(ivfAll == brute)
+    // partial probing returns k results per query from the probed lists only
+    val ivf1 = Similarity.ivfTopK(e, q, k = 5, nCentroids = 4, nProbe = 1)
+    assert(ivf1.groupBy("query_id").count().select("count").as[Long].collect().forall(_ <= 5))
+  }
+
+  test("sessionizeStreaming (flatMapGroupsWithState) matches the batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.sessionizeStreaming(spark, dir)
+      .select("user_id", "session_seq", "session_start", "session_end", "n_events", "value_sum")
+    val batch = EventStreams.sessionize(EventStreams.loadEvents(spark, dir))
+      .select("user_id", "session_seq", "session_start", "session_end", "n_events", "value_sum")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sessionize splits on gaps > 30min") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a", 1.0, "{}"),
