@@ -76,11 +76,13 @@ object Evaluation {
   /** candidates: (p1, p2) with p1 < p2; gt: (p1, p2) with p1 < p2.
    * Returns 1 row (num_candidates, num_matches, num_gt, pc, pq, f1). */
   def pcPq(candidates: DataFrame, gt: DataFrame): DataFrame = {
-    // localCheckpoint both inputs: each feeds 2-3 of the count aggregates
-    // below, and `candidates` is typically an expensive pruning-pipeline
-    // plan whose re-analysis alone is costly (see ErQueries.cleaned note)
-    val cand = candidates.select("p1", "p2").distinct().localCheckpoint()
-    val gtd = gt.select("p1", "p2").distinct().localCheckpoint()
+    // Snapshot both inputs: each feeds 2-3 of the count aggregates below,
+    // and `candidates` is typically an expensive pruning-pipeline plan
+    // whose re-analysis alone is costly. Snapshot (parquet) rather than
+    // localCheckpoint: 32 local tasks unrolling into the MemoryStore
+    // contend on the memory-manager lock (see Snapshot doc).
+    val cand = graft.util.Snapshot(candidates.select("p1", "p2").distinct())
+    val gtd = graft.util.Snapshot(gt.select("p1", "p2").distinct())
     val matches = cand.join(gtd, Seq("p1", "p2"), "left_semi")
     val nc = cand.agg(count(lit(1)).as("num_candidates"))
     val nm = matches.agg(count(lit(1)).as("num_matches"))

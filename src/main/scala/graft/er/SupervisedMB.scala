@@ -133,18 +133,36 @@ object SupervisedMB {
       graft.functions.FastRound.round((col("js") + col("nrs") + col("wjs")) / 3.0, 9))
 
   /** Real classifier path: Spark ML logistic regression over the 9
-   * features (the reference delegates to pyspark.ml the same way). */
-  def mlScore(features: DataFrame, labelCol: String = "is_match"): DataFrame = {
+   * features (the reference delegates to pyspark.ml the same way, training
+   * on a labeled sample — Generalized Supervised Meta-blocking notebook).
+   * Training runs on all positives plus a deterministic hash-sampled
+   * negative set (~`negRatio` negatives per positive): every LBFGS pass
+   * then scans O(sample) rows instead of the full O(edges) graph — at 100
+   * TB the difference between a 20-pass full-graph scan and seconds —
+   * while scoring still transforms EVERY edge. */
+  def mlScore(features: DataFrame, labelCol: String = "is_match",
+              negRatio: Double = 10.0): DataFrame = {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.classification.LogisticRegression
     val cols = Array("cfibf", "raccb", "js", "rs", "aejs", "nrs", "wjs")
     val assembled = new VectorAssembler()
       .setInputCols(cols).setOutputCol("features_vec")
       .transform(features)
+    val counts = features.agg(
+      sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("pos"),
+      count(lit(1)).as("all")).first()
+    val (nPos, nAll) = (math.max(counts.getLong(0), 1L), counts.getLong(1))
+    val nNeg = nAll - nPos
+    // keep every ~1/mod-th negative via a deterministic pair hash
+    val mod = math.max(1L, math.round(nNeg / (negRatio * nPos)))
+    val train = assembled.filter(col(labelCol) === 1 ||
+        pmod(xxhash64(col("p1"), col("p2")), lit(mod)) === 0)
+      .persist()
     val lr = new LogisticRegression()
       .setFeaturesCol("features_vec").setLabelCol(labelCol)
       .setMaxIter(20).setRegParam(0.01)
-    val model = lr.fit(assembled)
+    val model = lr.fit(train)
+    train.unpersist()
     // built-in vector accessor (codegen-friendly), not a per-row Scala udf
     model.transform(assembled)
       .withColumn("p_match",

@@ -41,8 +41,8 @@ object ErOracles {
 
   /** attrs + toks + blocks + purging + filtering + valid blocks + pairs +
    * per-profile stats + the fat `wp` join all weight schemes read from. */
-  private[queries] def prelude(clean: Boolean): String = {
-    val src = if (clean) "p_partkey % 2" else "0"
+  private[queries] def prelude(clean: Boolean, numSources: Int = 2): String = {
+    val src = if (clean) s"p_partkey % $numSources" else "0"
     val bs0 =
       if (!clean)
         """bs0 AS (
@@ -64,11 +64,11 @@ object ErOracles {
           |         CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE) AS arcs_comparisons
           |  FROM pbf GROUP BY key HAVING COUNT(*) > 1),""".stripMargin
       else
-        """bsrc2 AS (SELECT key, source_id, CAST(COUNT(*) AS BIGINT) AS s FROM pbf GROUP BY key, source_id),
+        s"""bsrc2 AS (SELECT key, source_id, CAST(COUNT(*) AS BIGINT) AS s FROM pbf GROUP BY key, source_id),
           |bs2 AS (
           |  SELECT key, CAST(SUM(s) AS BIGINT) AS size,
           |         CAST(CAST(SUM(s) * SUM(s) - SUM(s * s) AS BIGINT) / 2 AS BIGINT) AS comparisons,
-          |         CASE WHEN COUNT(*) < 2 THEN 0.0
+          |         CASE WHEN COUNT(*) < $numSources THEN 0.0
           |              ELSE list_reduce(list_sort(list(CAST(s AS DOUBLE))), (a, x) -> a * x) END AS arcs_comparisons
           |  FROM bsrc2 GROUP BY key
           |  HAVING SUM(s) > 1 AND MIN(source_id) <> MAX(source_id)),""".stripMargin
@@ -249,7 +249,8 @@ object ErOracles {
     if (clean) directed else directedSelf(scheme)
 
   private def wnpSql(clean: Boolean, scheme: String, tt: String, ct: String,
-                     eps: String, roundW: Boolean, chi2divider: String = "2.0"): String = {
+                     eps: String, roundW: Boolean, chi2divider: String = "2.0",
+                     numSources: Int = 2): String = {
     val thetaAgg = tt match {
       case "avg" => "SUM(w) / COUNT(*)"
       case "max2" => "MAX(w) / 2.0"
@@ -265,7 +266,7 @@ object ErOracles {
       }
     val agg = if (tt == "avg") "SUM(w) / COUNT(*)" else "MAX(w) / 2.0"
     val out = if (roundW) "ROUND(w1, 9)" else "w1"
-    prelude(clean) + wpw(scheme) + directedFor(clean, scheme) +
+    prelude(clean, numSources) + wpw(scheme) + directedFor(clean, scheme) +
       s"""th AS (SELECT a, $agg AS theta FROM directed GROUP BY a)
          |SELECT wpw.p1, wpw.p2, $out AS w
          |FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
@@ -345,6 +346,9 @@ object ErOracles {
     "er_blocks_clean" -> (prelude(clean = true) +
       "x AS (SELECT 1) SELECT key, size, comparisons FROM bs0"),
 
+    "er_blocks_3src" -> (prelude(clean = true, numSources = 3) +
+      "x AS (SELECT 1) SELECT key, size, comparisons FROM bs0"),
+
     "er_purged_dirty" -> (prelude(clean = false) +
       "x AS (SELECT 1) SELECT key, size, comparisons FROM bs1"),
 
@@ -377,6 +381,12 @@ object ErOracles {
     "er_wnp_js_max2_or_dirty" -> wnpSql(clean = false, "js", "max2", "or", "0.000000001", roundW = false),
     "er_wnp_chisq_dirty" -> wnpSql(clean = false, "chisq", "avg", "chisqrule", "0.000000001", roundW = true),
     "er_wnp_cbs_clean" -> wnpSql(clean = true, "cbs", "avg", "or", "0.0", roundW = false),
+    // N-source record linkage (the reference's multi-data-source mode,
+    // old_versions/multi-data-source-sparker/README.md:1-3): 3 sources by
+    // partkey mod 3 — blocks need >= 2 distinct sources, neighbors are
+    // cross-source only
+    "er_wnp_cbs_3src" -> wnpSql(clean = true, "cbs", "avg", "or", "0.0",
+      roundW = false, numSources = 3),
 
     "er_wep_cbs_dirty" -> wepSql(clean = false, "cbs", "0.0"),
     "er_wep_cbs_clean" -> wepSql(clean = true, "cbs", "0.0"),

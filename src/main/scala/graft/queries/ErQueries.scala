@@ -34,9 +34,10 @@ object ErQueries {
   private val weightedCache =
     scala.collection.concurrent.TrieMap.empty[(String, Boolean, WeightType.Value), DataFrame]
 
-  def partAttrs(spark: SparkSession, dir: String, twoSources: Boolean): DataFrame = {
+  def partAttrs(spark: SparkSession, dir: String, twoSources: Boolean,
+                numSources: Int = 2): DataFrame = {
     val part = spark.read.parquet(s"$dir/part.parquet")
-    val src = if (twoSources) (col("p_partkey") % 2).cast("int") else lit(0).cast("int")
+    val src = if (twoSources) (col("p_partkey") % numSources).cast("int") else lit(0).cast("int")
     part.select(col("p_partkey").as("profile_id"), src.as("source_id"),
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
       .selectExpr("profile_id", "source_id",
@@ -108,6 +109,17 @@ object ErQueries {
           cleaned(s, d, clean = false).numberOfBlocks,
           pairs = cachedPairs(s, d, clean = false)))), wt)
 
+  private val wnpCbsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The WNP(CBS, AVG, OR) dirty candidate set — consumed by both the
+   * pruning query and the PC/PQ evaluation; snapshot once. */
+  def wnpCbsAvgOrDirty(s: SparkSession, d: String): DataFrame =
+    wnpCbsCache.getOrElseUpdate(d, graft.util.Snapshot(
+      MetaBlocking.wnp(weightedCached(s, d, clean = false, WeightType.CBS),
+        ThresholdType.AVG, ComparisonType.OR, WeightType.CBS,
+        selfW = Some(selfWeightsCached(s, d, WeightType.CBS)))))
+
   private def w9(df: DataFrame): DataFrame =
     df.select(col("p1"), col("p2"), graft.functions.FastRound.round(col("w1"), 9).as("w"))
 
@@ -159,6 +171,26 @@ object ErQueries {
     "er_blocks_clean" -> ((s, d) =>
       cleaned(s, d, clean = true).stats0.select("key", "size", "comparisons")),
 
+    // N-source record linkage (3 sources by partkey mod 3): valid blocks
+    // need >= 2 distinct sources; comparison counts sum the cross-source
+    // products — the same code path as 2-source clean, no special casing
+    "er_blocks_3src" -> ((s, d) => {
+      val keys3 = Blocking.tokenKeys(partAttrs(s, d, twoSources = true, numSources = 3))
+      Blocking.blockStats(Blocking.validBlocks(keys3, clean = true), clean = true,
+          numSources = 3)
+        .select("key", "size", "comparisons")
+    }),
+
+    // full canonical pipeline + WNP over 3 sources — neighbors are
+    // cross-source pairs from ANY two distinct sources
+    "er_wnp_cbs_3src" -> ((s, d) => {
+      val keys3 = Blocking.tokenKeys(partAttrs(s, d, twoSources = true, numSources = 3))
+      val cb = Pipeline.cleanBlocks(keys3, clean = true, Smooth, FilterR, numSources = 3)
+      MetaBlocking.wnp(cb.weighted(WeightType.CBS), ThresholdType.AVG,
+          ComparisonType.OR, WeightType.CBS)
+        .select("p1", "p2", "w")
+    }),
+
     "er_purged_dirty" -> ((s, d) =>
       cleaned(s, d, clean = false).stats1.select("key", "size", "comparisons")),
 
@@ -181,12 +213,8 @@ object ErQueries {
 
     "er_ejs_dirty" -> ((s, d) => w9(weightedCached(s, d, clean = false, WeightType.EJS))),
 
-    "er_wnp_cbs_avg_or_dirty" -> ((s, d) => {
-      val cb = cleaned(s, d, clean = false)
-      MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.CBS), ThresholdType.AVG, ComparisonType.OR, WeightType.CBS,
-        selfW = Some(selfWeightsCached(s, d, WeightType.CBS)))
-        .select("p1", "p2", "w")
-    }),
+    "er_wnp_cbs_avg_or_dirty" -> ((s, d) =>
+      wnpCbsAvgOrDirty(s, d).select("p1", "p2", "w")),
 
     "er_wnp_cbs_avg_and_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
@@ -283,13 +311,8 @@ object ErQueries {
 
     "er_gt_convert" -> ((s, d) => gtConverted(s, d)),
 
-    "er_pcpq_wnp_dirty" -> ((s, d) => {
-      val cb = cleaned(s, d, clean = false)
-      val cand = MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.CBS), ThresholdType.AVG,
-        ComparisonType.OR, WeightType.CBS,
-        selfW = Some(selfWeightsCached(s, d, WeightType.CBS)))
-      Evaluation.pcPq(cand, gtConverted(s, d))
-    }),
+    "er_pcpq_wnp_dirty" -> ((s, d) =>
+      Evaluation.pcPq(wnpCbsAvgOrDirty(s, d), gtConverted(s, d))),
 
     "er_ngram_blocks" -> ((s, d) => {
       val attrs = partAttrs(s, d, twoSources = false).filter(col("attribute") === "name")

@@ -53,6 +53,31 @@ object SupQueries {
   private def out(df: DataFrame): DataFrame =
     df.select("p1", "p2", "p_match", "is_match")
 
+  private val blastCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The BLAST chi2+entropy weighted graph (cluster-qualified keys ->
+   * cleaned blocks -> entropy-weighted chi2 pairs), snapshot once per dir. */
+  def blastWeighted(s: SparkSession, d: String): DataFrame =
+    blastCache.getOrElseUpdate(d, {
+      val attrs = ErQueries.partAttrs(s, d, twoSources = true)
+      val keysEnt = graft.util.Snapshot(AttributeClustering.clusterKeys(attrs, clusters(s, d)))
+      val cb = Pipeline.cleanBlocks(
+        keysEnt.select("profile_id", "source_id", "key"), clean = true,
+        ErQueries.Smooth, ErQueries.FilterR)
+      val cbChk = cb.copy(
+        profileBlocksF = graft.util.Snapshot(cb.profileBlocksF),
+        members2 = graft.util.Snapshot(cb.members2),
+        stats2 = graft.util.Snapshot(cb.stats2))
+      val blockEnt = keysEnt.select("key", "entropy").distinct()
+        .groupBy("key").agg(max(col("entropy")).as("entropy"))
+      graft.util.Snapshot(MetaBlocking.weightedPairs(
+        graft.util.Snapshot(cbChk.pairs(Some(blockEnt))),
+        graft.util.Snapshot(cbChk.profileStats),
+        cbChk.numberOfBlocks,
+        WeightType.ChiSquare, useEntropy = true))
+    })
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sup_features" -> ((s, d) => features(s, d)),
 
@@ -130,26 +155,9 @@ object SupQueries {
 
     // full BLAST-style pipeline: cluster-qualified keys -> cleaned blocks
     // -> chi2 WNP with entropy weighting
-    "blast_wnp" -> ((s, d) => {
-      val attrs = ErQueries.partAttrs(s, d, twoSources = true)
-      val keysEnt = graft.util.Snapshot(AttributeClustering.clusterKeys(attrs, clusters(s, d)))
-      val cb = Pipeline.cleanBlocks(
-        keysEnt.select("profile_id", "source_id", "key"), clean = true,
-        ErQueries.Smooth, ErQueries.FilterR)
-      val cbChk = cb.copy(
-        profileBlocksF = graft.util.Snapshot(cb.profileBlocksF),
-        members2 = graft.util.Snapshot(cb.members2),
-        stats2 = graft.util.Snapshot(cb.stats2))
-      val blockEnt = keysEnt.select("key", "entropy").distinct()
-        .groupBy("key").agg(max(col("entropy")).as("entropy"))
-      val weighted = graft.util.Snapshot(MetaBlocking.weightedPairs(
-        graft.util.Snapshot(cbChk.pairs(Some(blockEnt))),
-        graft.util.Snapshot(cbChk.profileStats),
-        cbChk.numberOfBlocks,
-        WeightType.ChiSquare, useEntropy = true))
-      MetaBlocking.wnp(weighted, ThresholdType.MaxFract2, ComparisonType.OR,
+    "blast_wnp" -> ((s, d) =>
+      MetaBlocking.wnp(blastWeighted(s, d), ThresholdType.MaxFract2, ComparisonType.OR,
         WeightType.ChiSquare, chi2divider = 2.0, eps = 1e-9)
-        .select(col("p1"), col("p2"), graft.functions.FastRound.round(col("w"), 6).as("w"))
-    })
+        .select(col("p1"), col("p2"), graft.functions.FastRound.round(col("w"), 6).as("w")))
   )
 }
