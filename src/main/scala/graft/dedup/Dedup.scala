@@ -72,7 +72,7 @@ object Dedup {
    */
   def jaccardPairs(sh0: DataFrame, threshold: Double,
                    maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = sh0.persist() // read by the index (twice, self-join) + sizes
+    val sh = graft.util.Snapshot(sh0) // read by the index (twice, self-join) + sizes; parquet snapshot, not MemoryStore (lock contention at local[32])
     val freqOk = sh.withColumn("_f", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("_f") <= maxShingleFreq).drop("_f")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -115,7 +115,7 @@ object Dedup {
    */
   def minhashLsh(sh: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0)
-    val sig = minhashSignatures(sh, k).persist()
+    val sig = graft.util.Snapshot(minhashSignatures(sh, k))
     val bandKeys = sig
       .withColumn("band", (col("i") / lit(k / bands)).cast("int"))
       .groupBy("doc_id", "band")
@@ -168,7 +168,7 @@ object Dedup {
    * for maxDist <= 3), verified with bit_count(xor).
    */
   def simhashPairs(fp0: DataFrame, maxDist: Int = 3): DataFrame = {
-    val fp = fp0.persist() // both sides of the band self-join read it
+    val fp = graft.util.Snapshot(fp0) // both sides of the band self-join read it
     val banded = fp.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_val",
@@ -180,7 +180,9 @@ object Dedup {
     a.join(b, Seq("band", "band_val")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         bit_count(col("f1").bitwiseXOR(col("f2"))).as("hamming"))
-      .distinct()
+      // verify (cheap xor/bit_count) BEFORE the distinct: far fewer rows
+      // through the dedup shuffle when band buckets are skewed
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -41,7 +41,7 @@ object Progressive {
    * rank).
    */
   def ppsEmission(weighted: DataFrame, k: Int = 20, limit: Int = 1000): DataFrame = {
-    val top = topComparisons(weighted, k).persist()
+    val top = graft.util.Snapshot(topComparisons(weighted, k))
     val likelihood = top.groupBy(col("a"))
       .agg((sum(col("w")) / count(lit(1))).as("likelihood"))
     // the emission order is a unique total order (a is unique per directed
@@ -132,7 +132,7 @@ object Progressive {
    * emission rank by (weight desc, p1, p2).
    */
   def gspsn(keys: DataFrame, window: Int = 2, limit: Int = 1000): DataFrame = {
-    val pos = tokenPositions(keys).persist()
+    val pos = graft.util.Snapshot(tokenPositions(keys))
     val counts = pos.groupBy("profile_id").agg(count(lit(1)).as("np"))
     // |pa - pb| <= window as an EQUI-join: explode the +-window offsets on
     // one side and join on the shifted position. A literal range predicate

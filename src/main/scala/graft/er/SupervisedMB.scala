@@ -204,7 +204,7 @@ object SupervisedMB {
    * (supervised_metablocking.py:38-68; note the two maxes are over the p1 /
    * p2 orientations separately, exactly as the reference's two maps). */
   def blast(scored: DataFrame): DataFrame = {
-    val overT = bcl(scored).persist()
+    val overT = graft.util.Snapshot(bcl(scored))
     val m1 = overT.groupBy("p1").agg(max(col("p_match")).as("max1"))
     val m2 = overT.groupBy("p2").agg(max(col("p_match")).as("max2"))
     overT.join(m1, Seq("p1")).join(m2, Seq("p2"))
@@ -217,7 +217,7 @@ object SupervisedMB {
    * AND = reciprocal CNP (:70-123). Ties break by neighbor id. */
   def cnp(scored: DataFrame, stats: DataFrame, numberOfProfiles: Long,
           ct: ComparisonType.Value): DataFrame = {
-    val overT = bcl(scored).persist()
+    val overT = graft.util.Snapshot(bcl(scored))
     val kDf = stats.agg(
       (lit(2.0) * greatest(lit(1.0), sum(col("size")).cast("double") / numberOfProfiles))
         .cast("long").as("k"))

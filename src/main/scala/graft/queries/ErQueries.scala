@@ -111,6 +111,8 @@ object ErQueries {
 
   private val wnpCbsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val weighted3srcCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** The WNP(CBS, AVG, OR) dirty candidate set — consumed by both the
    * pruning query and the PC/PQ evaluation; snapshot once. */
@@ -182,12 +184,20 @@ object ErQueries {
     }),
 
     // full canonical pipeline + WNP over 3 sources — neighbors are
-    // cross-source pairs from ANY two distinct sources
+    // cross-source pairs from ANY two distinct sources. The weighted graph
+    // is snapshot before WNP: the pruning pass reads it twice (thresholds
+    // + join), which would otherwise run the whole lazy pipeline twice.
     "er_wnp_cbs_3src" -> ((s, d) => {
-      val keys3 = Blocking.tokenKeys(partAttrs(s, d, twoSources = true, numSources = 3))
-      val cb = Pipeline.cleanBlocks(keys3, clean = true, Smooth, FilterR, numSources = 3)
-      MetaBlocking.wnp(cb.weighted(WeightType.CBS), ThresholdType.AVG,
-          ComparisonType.OR, WeightType.CBS)
+      val weighted = weighted3srcCache.getOrElseUpdate(d, {
+        val keys3 = Blocking.tokenKeys(partAttrs(s, d, twoSources = true, numSources = 3))
+        val cb = Pipeline.cleanBlocks(keys3, clean = true, Smooth, FilterR, numSources = 3)
+        val cbChk = cb.copy(
+          profileBlocksF = graft.util.Snapshot(cb.profileBlocksF),
+          members2 = graft.util.Snapshot(cb.members2),
+          stats2 = graft.util.Snapshot(cb.stats2))
+        graft.util.Snapshot(cbChk.weighted(WeightType.CBS))
+      })
+      MetaBlocking.wnp(weighted, ThresholdType.AVG, ComparisonType.OR, WeightType.CBS)
         .select("p1", "p2", "w")
     }),
 

@@ -175,7 +175,7 @@ object Similarity {
     val rb = planes / bands
     val v = vecs.select(col("vec_id"), col("embedding"),
       srpBucket(col("embedding"), planes, dim).as("sig"))
-      .persist() // three readers below; srpBucket is per-row heavy
+      .transform(graft.util.Snapshot.apply) // three readers below; srpBucket is per-row heavy
     val banded = v.select(col("vec_id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * rb).bitwiseAND(lit((1L << rb) - 1)).as("bkey"))

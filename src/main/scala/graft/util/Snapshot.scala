@@ -19,6 +19,24 @@ import org.apache.spark.sql.DataFrame
  * so that fallback is refused outside local mode.
  */
 object Snapshot {
+  // snapshot dirs written by THIS JVM (uuid-unique), deleted on exit so a
+  // long-lived driver doesn't accumulate dead parquet in the local-mode
+  // tmpfs fallback; cluster checkpoint dirs under an explicit conf are the
+  // operator's to manage and are left alone
+  private val created = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[String]())
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.forEach { d =>
+        try {
+          val p = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        } catch { case _: Throwable => () }
+      }))
+  }
+
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val base = spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse {
@@ -31,6 +49,7 @@ object Snapshot {
         .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
     }
     val dir = s"$base/graft-snap-${java.util.UUID.randomUUID()}"
+    if (spark.sparkContext.isLocal) { hook; created.add(dir) }
     df.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
   }
