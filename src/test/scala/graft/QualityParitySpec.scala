@@ -147,6 +147,59 @@ class QualityParitySpec extends AnyFunSuite {
       s"CEP matches $cepMatches too far from the reference's 7940")
   }
 
+  test("abtBuy clean-clean pipeline: WNP parity across all weight schemes") {
+    val dir = "/root/reference/python/datasets/clean/abtBuy"
+    assume(new java.io.File(s"$dir/dataset1.json").canRead, "reference datasets not present")
+    // Expected values from executing the reference implementation
+    // (python/sparker, pyspark local[8]) with the Clean-Clean notebook
+    // parameters: purging smooth=1.025, filtering r=0.8, AVG thresholds.
+    val p1 = Wrappers.loadProfilesJson(spark, s"$dir/dataset1.json",
+      realIdField = "realProfileID", sourceId = 0).persist()
+    val n1 = p1.count()
+    assert(n1 == 1076L)
+    val p2 = Wrappers.loadProfilesJson(spark, s"$dir/dataset2.json",
+      startIdFrom = n1, realIdField = "realProfileID", sourceId = 1).persist()
+    assert(p2.count() == 1076L)
+    val attrs = Wrappers.toLongLayout(p1.unionByName(p2))
+    val cb = Pipeline.cleanBlocks(Blocking.tokenKeys(attrs), clean = true,
+      smoothFactor = 1.025, filterFactor = 0.8)
+    assert(cb.stats0.count() == 2132L)
+    assert(cb.stats1.count() == 2119L)
+    assert(cb.stats2.count() == 2107L)
+
+    val gt = Wrappers.loadGroundTruthJson(spark, s"$dir/groundtruth.json")
+    val gtc = Evaluation.convertGroundTruth(gt,
+      p1.select("original_id", "profile_id"),
+      p2.select("original_id", "profile_id")).persist()
+    assert(gtc.count() == 1076L)
+
+    val pairs = graft.util.Snapshot(cb.pairs())
+    val profStats = graft.util.Snapshot(cb.profileStats)
+    // clean ER: no self edges (cross-source neighbors exclude self).
+    // ARCS carries the ulp margin documented in the cora test (the
+    // reference divides sequentially in set order, we divide once by a
+    // sorted product); all other schemes are exact.
+    for ((wt, ct, refEdges, refMatches, tol) <- Seq(
+        (WeightType.CBS, ComparisonType.OR, 28826L, 1043L, 0L),
+        (WeightType.CBS, ComparisonType.AND, 26462L, 1036L, 0L),
+        (WeightType.JS, ComparisonType.OR, 40093L, 1056L, 0L),
+        (WeightType.JS, ComparisonType.AND, 26274L, 1047L, 0L),
+        (WeightType.ECBS, ComparisonType.OR, 32108L, 1054L, 0L),
+        (WeightType.ECBS, ComparisonType.AND, 26565L, 1046L, 0L),
+        (WeightType.ARCS, ComparisonType.OR, 39580L, 1039L, 60L),
+        (WeightType.ARCS, ComparisonType.AND, 3423L, 71L, 60L),
+        (WeightType.ChiSquare, ComparisonType.OR, 33762L, 1058L, 0L))) {
+      val w = graft.util.Snapshot(
+        MetaBlocking.weightedPairs(pairs, profStats, cb.numberOfBlocks, wt))
+      val kept = graft.util.Snapshot(
+        MetaBlocking.wnp(w, ThresholdType.AVG, ct, wt))
+      val n = kept.count()
+      assert(math.abs(n - refEdges) <= tol, s"WNP $wt $ct edges $n vs $refEdges")
+      val m = kept.join(gtc, Seq("p1", "p2"), "left_semi").count()
+      assert(math.abs(m - refMatches) <= tol, s"WNP $wt $ct matches $m vs $refMatches")
+    }
+  }
+
   test("DblpAcm clean-clean pipeline: exact PC/PQ parity with the reference") {
     val dblpDir = "/root/reference/python/datasets/clean/DblpAcm"
     assume(new java.io.File(s"$dblpDir/dataset1.json").canRead, "reference datasets not present")
