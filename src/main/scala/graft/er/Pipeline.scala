@@ -49,20 +49,29 @@ object Pipeline {
    *
    * keys: (profile_id, source_id, key) distinct — from Blocking.tokenKeys /
    * ngramKeys / AttributeClustering-qualified keys.
+   *
+   * `stage` is applied at every stage boundary. The default (identity)
+   * keeps the pipeline fully lazy — fine for a one-shot query Catalyst can
+   * plan end to end. Long-lived pipeline state should pass
+   * `graft.util.Snapshot.apply`: each stage then CHAINS from the previous
+   * stage's materialization instead of re-deriving the whole prefix —
+   * snapshotting only the five outputs of a lazy spine executes the
+   * blocking stage ~5 times (once per independent lineage).
    */
   def cleanBlocks(keys: DataFrame, clean: Boolean, smoothFactor: Double = 1.005,
-                  filterFactor: Double = 0.8, numSources: Int = 2): CleanedBlocks = {
-    val members0 = Blocking.validBlocks(keys, clean)
-    val stats0 = Blocking.blockStats(members0, clean, numSources)
-    val stats1 = BlockCleaning.purge(stats0, smoothFactor)
+                  filterFactor: Double = 0.8, numSources: Int = 2,
+                  stage: DataFrame => DataFrame = identity): CleanedBlocks = {
+    val members0 = stage(Blocking.validBlocks(keys, clean))
+    val stats0 = stage(Blocking.blockStats(members0, clean, numSources))
+    val stats1 = stage(BlockCleaning.purge(stats0, smoothFactor))
     val members1 = members0.join(stats1.select("key"), Seq("key"), "left_semi")
     val profileBlocks = members1
       .join(stats1.select("key", "comparisons"), Seq("key"))
       .select("profile_id", "source_id", "key", "comparisons")
-    val profileBlocksF = BlockCleaning.filterProfileBlocks(profileBlocks, filterFactor)
-    val members2 = Blocking.validBlocks(
-      profileBlocksF.select("key", "profile_id", "source_id"), clean)
-    val stats2 = Blocking.blockStats(members2, clean, numSources)
+    val profileBlocksF = stage(BlockCleaning.filterProfileBlocks(profileBlocks, filterFactor))
+    val members2 = stage(Blocking.validBlocks(
+      profileBlocksF.select("key", "profile_id", "source_id"), clean))
+    val stats2 = stage(Blocking.blockStats(members2, clean, numSources))
     CleanedBlocks(clean, members0, stats0, stats1, members1, profileBlocksF, members2, stats2)
   }
 }

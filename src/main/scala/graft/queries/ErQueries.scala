@@ -50,20 +50,12 @@ object ErQueries {
     Blocking.tokenKeys(partAttrs(spark, dir, twoSources))
 
   def cleaned(spark: SparkSession, dir: String, clean: Boolean): CleanedBlocks =
-    cleanedCache.getOrElseUpdate((dir, clean), {
-      val cb = Pipeline.cleanBlocks(keys(spark, dir, twoSources = clean), clean, Smooth, FilterR)
-      // Snapshot (parquet-on-tmpfs) at every fan-out point: it both
-      // caches the rows AND truncates the logical plan. The lazy pipeline
-      // builds Catalyst trees so large that analysis + tree-string
-      // generation dominates runtime, and in-memory caching contends on
-      // the MemoryStore lock across 32 local threads (see Snapshot doc).
-      cb.copy(
-        stats0 = graft.util.Snapshot(cb.stats0),
-        stats1 = graft.util.Snapshot(cb.stats1),
-        profileBlocksF = graft.util.Snapshot(cb.profileBlocksF),
-        members2 = graft.util.Snapshot(cb.members2),
-        stats2 = graft.util.Snapshot(cb.stats2))
-    })
+    // staged Snapshot (parquet-on-tmpfs) at every stage boundary: caches
+    // the rows, truncates the logical plan, and each stage chains from
+    // the previous stage's materialization (see Pipeline.cleanBlocks doc)
+    cleanedCache.getOrElseUpdate((dir, clean),
+      Pipeline.cleanBlocks(keys(spark, dir, twoSources = clean), clean, Smooth, FilterR,
+        stage = graft.util.Snapshot.apply))
 
   /** Persisted CBS pair graph / per-profile stats, shared by all weight
    * schemes over the same cleaned block collection. */
@@ -190,12 +182,9 @@ object ErQueries {
     "er_wnp_cbs_3src" -> ((s, d) => {
       val weighted = weighted3srcCache.getOrElseUpdate(d, {
         val keys3 = Blocking.tokenKeys(partAttrs(s, d, twoSources = true, numSources = 3))
-        val cb = Pipeline.cleanBlocks(keys3, clean = true, Smooth, FilterR, numSources = 3)
-        val cbChk = cb.copy(
-          profileBlocksF = graft.util.Snapshot(cb.profileBlocksF),
-          members2 = graft.util.Snapshot(cb.members2),
-          stats2 = graft.util.Snapshot(cb.stats2))
-        graft.util.Snapshot(cbChk.weighted(WeightType.CBS))
+        val cb = Pipeline.cleanBlocks(keys3, clean = true, Smooth, FilterR,
+          numSources = 3, stage = graft.util.Snapshot.apply)
+        graft.util.Snapshot(cb.weighted(WeightType.CBS))
       })
       MetaBlocking.wnp(weighted, ThresholdType.AVG, ComparisonType.OR, WeightType.CBS)
         .select("p1", "p2", "w")

@@ -62,13 +62,9 @@ object SupQueries {
     blastCache.getOrElseUpdate(d, {
       val attrs = ErQueries.partAttrs(s, d, twoSources = true)
       val keysEnt = graft.util.Snapshot(AttributeClustering.clusterKeys(attrs, clusters(s, d)))
-      val cb = Pipeline.cleanBlocks(
+      val cbChk = Pipeline.cleanBlocks(
         keysEnt.select("profile_id", "source_id", "key"), clean = true,
-        ErQueries.Smooth, ErQueries.FilterR)
-      val cbChk = cb.copy(
-        profileBlocksF = graft.util.Snapshot(cb.profileBlocksF),
-        members2 = graft.util.Snapshot(cb.members2),
-        stats2 = graft.util.Snapshot(cb.stats2))
+        ErQueries.Smooth, ErQueries.FilterR, stage = graft.util.Snapshot.apply)
       val blockEnt = keysEnt.select("key", "entropy").distinct()
         .groupBy("key").agg(max(col("entropy")).as("entropy"))
       graft.util.Snapshot(MetaBlocking.weightedPairs(
