@@ -105,6 +105,26 @@ object Evaluation {
   }
 
   /**
+   * PC/PQ over ORIGINAL ids (scala ref StatisticsEstimator.estimatePCPQ,
+   * Utilities/StatisticsEstimator.scala:26-48, join-based form): maps the
+   * engine-id candidates back through the profiles and intersects the raw
+   * (unconverted) ground truth, normalizing both sides to unordered
+   * original-id pairs. Stays distributed — the reference's 5 broadcast-map
+   * variants are the same semantics with a collected id map.
+   */
+  def pcPqOriginalIds(candidates: DataFrame, profiles: DataFrame, gt: DataFrame): DataFrame = {
+    val m = profiles.select(col("profile_id"), col("original_id"))
+    val cand = candidates.select("p1", "p2").distinct()
+      .join(m.select(col("profile_id").as("p1"), col("original_id").as("o1")), Seq("p1"))
+      .join(m.select(col("profile_id").as("p2"), col("original_id").as("o2")), Seq("p2"))
+      .select(least(col("o1"), col("o2")).as("p1"),
+        greatest(col("o1"), col("o2")).as("p2"))
+    val gtN = gt.select(least(col("id1"), col("id2")).as("p1"),
+      greatest(col("id1"), col("id2")).as("p2"))
+    pcPq(cand, gtN)
+  }
+
+  /**
    * Ground-truth id conversion (python/sparker/converters.py:10-57): maps
    * pairs of original ids to engine profile ids via two joins, emits
    * (least, greatest) and drops pairs with a missing side. Stays distributed

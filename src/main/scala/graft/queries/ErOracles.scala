@@ -411,6 +411,18 @@ object ErOracles {
          |         FROM bcnt JOIN btot USING (key) GROUP BY key, n)
          |SELECT key, round(entropy, 9) AS entropy FROM bent""".stripMargin),
 
+    "er_block_entropy_norm" -> (prelude(clean = false) +
+      s"""bocc AS (SELECT m.key, p.key AS other_key
+         |         FROM m2 m JOIN pbf p ON m.profile_id = p.profile_id),
+         |bcnt AS (SELECT key, other_key, CAST(COUNT(*) AS DOUBLE) AS s
+         |         FROM bocc GROUP BY key, other_key),
+         |btot AS (SELECT key, SUM(s) AS n FROM bcnt GROUP BY key),
+         |bent AS (SELECT key,
+         |         (-${esfold("(s / n) * ln(s / n)")}) / n AS entropy
+         |         FROM bcnt JOIN btot USING (key) GROUP BY key, n)
+         |SELECT b.key, round(b.entropy / CAST(s.size AS DOUBLE), 9) AS entropy
+         |FROM bent b JOIN bs2 s USING (key)""".stripMargin),
+
     "er_gt_convert" ->
       """WITH gt AS (
         |  SELECT 'P' || CAST(a.p_partkey AS VARCHAR) AS id1, 'P' || CAST(b.p_partkey AS VARCHAR) AS id2

@@ -308,6 +308,15 @@ object ErQueries {
         .select(col("key"), graft.functions.FastRound.round(col("entropy"), 9).as("entropy"))
     }),
 
+    "er_block_entropy_norm" -> ((s, d) => {
+      val cb = cleaned(s, d, clean = false)
+      Statistics.estimateBlockEntropy(
+          cb.members2.select("key", "profile_id"),
+          cb.profileBlocksF.select("profile_id", "key"),
+          normalized = true, stats = Some(cb.stats2))
+        .select(col("key"), graft.functions.FastRound.round(col("entropy"), 9).as("entropy"))
+    }),
+
     "er_gt_convert" -> ((s, d) => gtConverted(s, d)),
 
     "er_pcpq_wnp_dirty" -> ((s, d) =>

@@ -29,6 +29,8 @@ object Warmup {
     step("wide_clean")(ErQueries.wideWeighted(s, d, clean = true))
     step("self_weights")(ErQueries.selfWeightsCached(s, d, WeightType.CBS))
     step("wnp_cbs")(ErQueries.wnpCbsAvgOrDirty(s, d))
+    // building the query populates the 3-source weighted-graph snapshot
+    step("wnp_3src")(ErQueries.all("er_wnp_cbs_3src")(s, d))
     step("gt_convert")(ErQueries.gtConverted(s, d))
     step("clusters")(SupQueries.clusters(s, d))
     step("blast_weighted")(SupQueries.blastWeighted(s, d))

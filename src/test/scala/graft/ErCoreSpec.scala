@@ -200,5 +200,18 @@ class ErCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((10L, 20L)))
   }
 
+  test("pcPqOriginalIds evaluates candidates against the raw original-id GT") {
+    val profiles = Seq((10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("profile_id", "original_id")
+    // candidates (10,20) -> (a,b) is a GT match; (10,30) -> (a,c) is not
+    val cand = Seq((10L, 20L), (10L, 30L)).toDF("p1", "p2")
+    val gt = Seq(("b", "a"), ("c", "zzz")).toDF("id1", "id2")
+    val r = Evaluation.pcPqOriginalIds(cand, profiles, gt)
+      .select("num_candidates", "num_matches", "num_gt", "pc", "pq")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(r._1 == 2L && r._2 == 1L && r._3 == 2L)
+    assert(math.abs(r._4 - 0.5) < 1e-12 && math.abs(r._5 - 0.5) < 1e-12)
+  }
+
   override def afterAll(): Unit = () // keep shared session for other specs
 }
