@@ -278,8 +278,8 @@ object ErOracles {
       s"""gthr AS (SELECT SUM(w) / COUNT(*) AS t FROM directed)
          |SELECT p1, p2, w1 AS w FROM wpw, gthr WHERE w1 >= t - $eps""".stripMargin
 
-  private def cepSql(clean: Boolean): String =
-    prelude(clean) + wpw("cbs") +
+  private def cepSql(clean: Boolean, scheme: String = "cbs"): String =
+    prelude(clean) + wpw(scheme) +
       """kk AS (SELECT CAST(FLOOR(SUM(size) / 2.0) AS DOUBLE) AS k FROM bs2),
         |hist AS (SELECT w1 AS wl, CAST(COUNT(*) AS DOUBLE) AS freq FROM wpw GROUP BY w1),
         |cum1 AS (SELECT wl, freq,
@@ -395,6 +395,9 @@ object ErOracles {
 
     "er_cep_cbs_dirty" -> cepSql(clean = false),
     "er_cep_cbs_clean" -> cepSql(clean = true),
+    // fractional weights: every level distinct -> the histogram walk is
+    // O(edges) levels; exercises the distributed two-phase prefix scan
+    "er_cep_js_dirty" -> cepSql(clean = false, scheme = "js"),
 
     "er_cnp_cbs_or_dirty" -> cnpSql(clean = false, "cbs", "OR"),
     "er_cnp_cbs_or_clean" -> cnpSql(clean = true, "cbs", "OR"),

@@ -265,6 +265,15 @@ object ErQueries {
       MetaBlocking.cep(weightedCached(s, d, cb.clean, WeightType.CBS), cb.stats2).select("p1", "p2", "w")
     }),
 
+    // CEP over a FRACTIONAL scheme: every weight level is distinct, so the
+    // threshold histogram has O(edges) levels — only safe because the
+    // histogram walk + tie quotas are the distributed two-phase prefix
+    // scan (graft.util.Prefix), never a single-partition window
+    "er_cep_js_dirty" -> ((s, d) => {
+      val cb = cleaned(s, d, clean = false)
+      MetaBlocking.cep(weightedCached(s, d, cb.clean, WeightType.JS), cb.stats2).select("p1", "p2", "w")
+    }),
+
     "er_wep_cbs_clean" -> ((s, d) => {
       val cb = cleaned(s, d, clean = true)
       MetaBlocking.wep(weightedCached(s, d, cb.clean, WeightType.CBS)).select("p1", "p2", "w")

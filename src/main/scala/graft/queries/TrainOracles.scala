@@ -76,8 +76,8 @@ object TrainOracles {
 
   private val stop = "['the','a','an','and','or','of','to','in','is','it']"
 
-  def all: Map[String, String] = Map(
-    "txt_analysis" ->
+  /** txt_analysis SQL, shared by the curation oracle. */
+  private lazy val txtAnalysisSql: String =
       s"""WITH base AS (
          |  SELECT doc_id, text, trim(text) AS tt, lower(text) AS lt FROM documents),
          |toks AS (
@@ -122,7 +122,23 @@ object TrainOracles {
          |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
          |       ELSE 'und' END AS lang_id,
          |  fingerprint
-         |FROM m""".stripMargin,
+         |FROM m""".stripMargin
+
+  def all: Map[String, String] = Map(
+    "txt_analysis" -> txtAnalysisSql,
+
+    "txt_curate" ->
+      s"""SELECT ta.doc_id, ta.n_tokens, ta.quality, ta.lang_id
+         |FROM ( $txtAnalysisSql ) ta
+         |JOIN (
+         |  WITH h AS (SELECT doc_id, ${strHash(norm("text"))} AS h FROM documents),
+         |  reps AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS rep FROM h)
+         |  SELECT doc_id FROM reps WHERE doc_id = rep
+         |) surv USING (doc_id)
+         |WHERE ta.quality >= 0.5 AND ta.lang_id = 'en'""".stripMargin,
+
+    "evt_dedup_stream" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "dedup_exact" ->
       s"""WITH h AS (SELECT doc_id, ${strHash(norm("text"))} AS h FROM documents)

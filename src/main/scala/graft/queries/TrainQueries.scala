@@ -95,6 +95,19 @@ object TrainQueries {
 
     "evt_sessions_stream" -> ((s, d) => EventStreams.sessionizeStreaming(s, d)),
 
+    "evt_dedup_stream" -> ((s, d) => EventStreams.distinctPairsStreaming(s, d)),
+
+    // training-data curation composition: exact-dedup survivors with
+    // quality and language gates — the end-to-end "what goes into the
+    // training set" query over the analysis + dedup building blocks
+    "txt_curate" -> ((s, d) => {
+      val t = TextAnalysis.analyze(docs(s, d), "text")
+      val survivors = Dedup.exact(docs(s, d)).filter(col("doc_id") === col("rep_id"))
+      t.join(survivors.select("doc_id"), Seq("doc_id"))
+        .filter(col("quality") >= 0.5 && col("lang_id") === "en")
+        .select("doc_id", "n_tokens", "quality", "lang_id")
+    }),
+
     // content_hash (xxhash64) is Spark-specific — tested in ScalaTest, not
     // part of the oracle projection
     "mm_metadata" -> ((s, d) =>

@@ -84,6 +84,37 @@ object EventStreams {
    * form of this shape would be flatMapGroupsWithState with a session
    * timeout.
    */
+  /**
+   * Streaming exact dedup: the distinct (user_id, event_type) pairs of the
+   * event stream via Structured Streaming's stateful `dropDuplicates`,
+   * drained with AvailableNow. Key-only projection keeps the state row
+   * minimal; for an unbounded production stream the variant is
+   * `dropDuplicatesWithinWatermark` (state bounded by the watermark) — the
+   * exact-distinct form here is what the batch oracle can reproduce.
+   */
+  def distinctPairsStreaming(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = {
+      import java.nio.file.{Files, Paths}
+      val d = Files.createTempDirectory("events_dedup_")
+      Files.createSymbolicLink(d.resolve("events.parquet"),
+        Paths.get(s"$dir/events.parquet"))
+      d.toString
+    }
+    val dedup = spark.readStream.schema(schema).parquet(streamDir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    val name = s"events_dedup_${System.nanoTime()}"
+    val q = dedup.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Per-event input row for the stateful stream. Carries the watermarked
    * timestamp column itself — projecting it into a derived value (e.g. a
    * .map to epoch micros) would strip the event-time watermark tag the
