@@ -88,6 +88,45 @@ object Dedup {
       .select(col("d1"), col("d2"), graft.functions.FastRound.round(col("jaccard"), 9).as("jaccard"))
   }
 
+  /**
+   * Dedup cluster assignment: connected components of a near-dup pair
+   * graph by iterative min-label (hash-min) propagation — every doc gets
+   * the smallest doc_id reachable in its component as `cluster_rep`;
+   * docs in no pair are their own representative. The survivor set of a
+   * dedup pass is `cluster_rep = doc_id`.
+   *
+   * Scale shape: near-dup components are quasi-cliques (tiny diameter),
+   * so the loop converges in a few rounds of one O(|E|) equi-join + one
+   * hash-min aggregate; per-iteration Snapshot truncates the otherwise
+   * exponentially-growing iterative lineage (same pattern as
+   * AttributeClustering.connectedComponents, here on numeric ids at
+   * document cardinality).
+   */
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+               idCol: String = "doc_id"): DataFrame = {
+    val verts = docs.select(col(idCol).as("doc_id")).distinct()
+    var labels = graft.util.Snapshot(
+      verts.select(col("doc_id"), col("doc_id").as("cluster_rep")))
+    val und = graft.util.Snapshot(
+      pairs.select(col("d1").as("u"), col("d2").as("v"))
+        .union(pairs.select(col("d2").as("u"), col("d1").as("v"))))
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val via = und
+        .join(labels.select(col("doc_id").as("u"), col("cluster_rep")), Seq("u"))
+        .select(col("v").as("doc_id"), col("cluster_rep"))
+      val next = graft.util.Snapshot(labels.union(via)
+        .groupBy("doc_id").agg(min(col("cluster_rep")).as("cluster_rep")))
+      changed = next
+        .join(labels.withColumnRenamed("cluster_rep", "old"), Seq("doc_id"))
+        .filter(col("cluster_rep") =!= col("old")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Deterministic MinHash permutation constants, reproducible in SQL:
    * a_i = (1103515245*(i+1) + 12345) % Mod, b_i = (2654435761*(i+1)) % Mod. */
   def hashA(i: Column): Column = pmod(lit(1103515245L) * (i + 1) + 12345L, lit(Mod))

@@ -180,6 +180,24 @@ object TrainOracles {
          |JOIN sigs s2 ON c.d2 = s2.doc_id AND s1.i = s2.i
          |GROUP BY c.d1, c.d2""".stripMargin),
 
+    // transitive closure (recursive CTE) over the MinHash-LSH pair graph:
+    // feasible because sf0.01 components are small; the engine side is the
+    // iterative hash-min propagation that scales
+    "dedup_clusters" -> (shinglePrelude.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
+      s"""bk AS (
+         |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         |         array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(sig AS VARCHAR))), ',') AS band_key
+         |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS u, d2 AS v FROM cand UNION ALL SELECT d2, d1 FROM cand),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
+         |SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a""".stripMargin),
+
     "dedup_simhash" ->
       s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
          |tk AS (

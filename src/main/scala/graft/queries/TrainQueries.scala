@@ -58,6 +58,13 @@ object TrainQueries {
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4)),
 
+    // cluster assignment over the MinHash-LSH near-dup graph: smallest
+    // reachable doc_id as the cluster representative (survivor set =
+    // cluster_rep == doc_id)
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(docs(s, d),
+        Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4).select("d1", "d2"))),
+
     "dedup_simhash" -> ((s, d) => simhashFp(s, d)),
 
     "dedup_simhash_pairs" -> ((s, d) =>

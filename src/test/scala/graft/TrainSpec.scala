@@ -79,6 +79,14 @@ class TrainSpec extends AnyFunSuite {
     assert(!r.exists(x => x._2 == 3L || x._1 == 3L))
   }
 
+  test("dedup clusters: min-label propagation over chained pairs") {
+    val df = docs((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    // chain 1-2-3 collapses to rep 1 (requires >1 propagation round); 4 is a singleton
+    val r = Dedup.clusters(df, pairs).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("simhash identical docs share fingerprints; pairs found at distance 0") {
     val df = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
     val fp = Dedup.simhash(df).as[(Long, Long)].collect().toMap
