@@ -60,7 +60,7 @@ object AttributeClustering {
    */
   def candidatePairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0)
-    val s = sig.localCheckpoint()
+    val s = sig.transform(graft.util.Snapshot.apply)
     val bandKeys = s
       .withColumn("band", (col("i") / lit(k / bands)).cast("int"))
       .groupBy("qattr", "band")
@@ -101,13 +101,13 @@ object AttributeClustering {
    * converges in a handful of tiny jobs.
    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    // localCheckpoint every iteration: the loop's plan otherwise contains
+    // Snapshot every iteration: the loop's plan otherwise contains
     // the previous iteration's plan TWICE (propagation + union), i.e.
     // exponential lineage growth — the classic iterative-graph pitfall
     // GraphX solves with checkpointing.
-    var labels = vertices.select(col("qattr"), col("qattr").as("lbl")).localCheckpoint()
+    var labels = vertices.select(col("qattr"), col("qattr").as("lbl")).transform(graft.util.Snapshot.apply)
     val undirected = edges.select(col("a1").as("u"), col("a2").as("v"))
-      .union(edges.select(col("a2").as("u"), col("a1").as("v"))).localCheckpoint()
+      .union(edges.select(col("a2").as("u"), col("a1").as("v"))).transform(graft.util.Snapshot.apply)
     var changed = true
     var iter = 0
     while (changed && iter < 20) {
@@ -115,7 +115,7 @@ object AttributeClustering {
         .join(labels.select(col("qattr").as("u"), col("lbl")), Seq("u"))
         .select(col("v").as("qattr"), col("lbl"))
       val next = labels.select("qattr", "lbl").union(viaNeighbor)
-        .groupBy("qattr").agg(min(col("lbl")).as("lbl")).localCheckpoint()
+        .groupBy("qattr").agg(min(col("lbl")).as("lbl")).transform(graft.util.Snapshot.apply)
       val diff = next.join(labels.withColumnRenamed("lbl", "old"), Seq("qattr"))
         .filter(col("lbl") =!= col("old")).limit(1).count()
       labels = next
@@ -140,11 +140,11 @@ object AttributeClustering {
                         maxFactor: Double = 0.8,
                         computeEntropy: Boolean = true,
                         normalizeEntropy: Boolean = false): DataFrame = {
-    val tokens = attrTokens(attrs).localCheckpoint()
+    val tokens = attrTokens(attrs).transform(graft.util.Snapshot.apply)
     val sig = signatures(tokens, k)
     val cand = candidatePairs(sig, k, bands)
-    val kept = bestEdges(cand, maxFactor).localCheckpoint()
-    val vertices = tokens.select("qattr").distinct().localCheckpoint()
+    val kept = bestEdges(cand, maxFactor).transform(graft.util.Snapshot.apply)
+    val vertices = tokens.select("qattr").distinct().transform(graft.util.Snapshot.apply)
     val inEdges = kept.select(col("a1").as("qattr"))
       .union(kept.select(col("a2").as("qattr"))).distinct()
     val clusteredLabels = connectedComponents(inEdges, kept)
