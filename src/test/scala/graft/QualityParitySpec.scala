@@ -147,6 +147,61 @@ class QualityParitySpec extends AnyFunSuite {
       s"CEP matches $cepMatches too far from the reference's 7940")
   }
 
+  test("restaurant dirty pipeline: WNP/WEP parity incl. the self-edge quirk") {
+    val dir = "/root/reference/python/datasets/dirty/restaurant"
+    assume(new java.io.File(s"$dir/restaurant.csv").canRead, "reference datasets not present")
+    import org.apache.spark.sql.functions.{col, lpad}
+    // zero-pad ids so string-ordered dense ids match the reference's
+    // numeric file-order ids (see the cora test)
+    val raw = spark.read.option("header", "true").csv(s"$dir/restaurant.csv")
+      .withColumn("id", lpad(col("id"), 4, "0"))
+    val profiles = Wrappers.fromDataFrame(raw, realIdField = "id").persist()
+    val attrs = Wrappers.toLongLayout(profiles)
+    val cb = Pipeline.cleanBlocks(Blocking.tokenKeys(attrs), clean = false,
+      smoothFactor = 1.025, filterFactor = 0.8)
+    assert(cb.stats0.count() == 1150L)
+    assert(cb.stats1.count() == 1104L)
+    assert(cb.stats2.count() == 1096L)
+
+    val gt = Wrappers.loadGroundTruthCsv(spark, s"$dir/restaurant_groundtruth.csv")
+      .select(lpad(col("id1"), 4, "0").as("id1"), lpad(col("id2"), 4, "0").as("id2"))
+    val prof = profiles.select("original_id", "profile_id")
+    val gtc = Evaluation.convertGroundTruth(gt, prof, prof).persist()
+    assert(gtc.count() == 112L)
+
+    val pairs = graft.util.Snapshot(cb.pairs())
+    val profStats = graft.util.Snapshot(cb.profileStats)
+    // dirty ER: every threshold pass counts the profile itself as a
+    // neighbor (the reference's first_step=True quirk)
+    for ((wt, ct, refEdges, refMatches) <- Seq(
+        (WeightType.CBS, ComparisonType.OR, 553L, 112L),
+        (WeightType.CBS, ComparisonType.AND, 424L, 112L),
+        (WeightType.JS, ComparisonType.OR, 566L, 112L),
+        (WeightType.JS, ComparisonType.AND, 323L, 109L),
+        (WeightType.ECBS, ComparisonType.OR, 520L, 112L),
+        (WeightType.ECBS, ComparisonType.AND, 388L, 110L),
+        (WeightType.ChiSquare, ComparisonType.OR, 583L, 112L))) {
+      val w = graft.util.Snapshot(
+        MetaBlocking.weightedPairs(pairs, profStats, cb.numberOfBlocks, wt))
+      val sw = Some(graft.util.Snapshot(
+        MetaBlocking.selfWeights(profStats, cb.numberOfBlocks, wt)))
+      val kept = graft.util.Snapshot(
+        MetaBlocking.wnp(w, ThresholdType.AVG, ct, wt, selfW = sw))
+      val n = kept.count()
+      assert(n == refEdges, s"WNP $wt $ct edges $n vs $refEdges")
+      val m = kept.join(gtc, Seq("p1", "p2"), "left_semi").count()
+      assert(m == refMatches, s"WNP $wt $ct matches $m vs $refMatches")
+    }
+
+    val wCbs = graft.util.Snapshot(
+      MetaBlocking.weightedPairs(pairs, profStats, cb.numberOfBlocks, WeightType.CBS))
+    val swCbs = Some(graft.util.Snapshot(
+      MetaBlocking.selfWeights(profStats, cb.numberOfBlocks, WeightType.CBS)))
+    val wep = graft.util.Snapshot(MetaBlocking.wep(wCbs, selfW = swCbs))
+    assert(wep.count() == 527L)
+    assert(wep.join(gtc, Seq("p1", "p2"), "left_semi").count() == 112L)
+  }
+
   test("abtBuy clean-clean pipeline: WNP parity across all weight schemes") {
     val dir = "/root/reference/python/datasets/clean/abtBuy"
     assume(new java.io.File(s"$dir/dataset1.json").canRead, "reference datasets not present")
