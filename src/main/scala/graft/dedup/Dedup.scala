@@ -96,36 +96,15 @@ object Dedup {
    * dedup pass is `cluster_rep = doc_id`.
    *
    * Scale shape: near-dup components are quasi-cliques (tiny diameter),
-   * so the loop converges in a few rounds of one O(|E|) equi-join + one
-   * hash-min aggregate; per-iteration Snapshot truncates the otherwise
-   * exponentially-growing iterative lineage (same pattern as
-   * AttributeClustering.connectedComponents, here on numeric ids at
-   * document cardinality).
+   * so [[graft.util.ConnectedComponents.minLabel]] converges in a few
+   * rounds of one O(|E|) equi-join + one hash-min aggregate.
    */
-  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20,
-               idCol: String = "doc_id"): DataFrame = {
-    val verts = docs.select(col(idCol).as("doc_id")).distinct()
-    var labels = graft.util.Snapshot(
-      verts.select(col("doc_id"), col("doc_id").as("cluster_rep")))
-    val und = graft.util.Snapshot(
-      pairs.select(col("d1").as("u"), col("d2").as("v"))
-        .union(pairs.select(col("d2").as("u"), col("d1").as("v"))))
-    var changed = true
-    var iter = 0
-    while (changed && iter < maxIter) {
-      val via = und
-        .join(labels.select(col("doc_id").as("u"), col("cluster_rep")), Seq("u"))
-        .select(col("v").as("doc_id"), col("cluster_rep"))
-      val next = graft.util.Snapshot(labels.union(via)
-        .groupBy("doc_id").agg(min(col("cluster_rep")).as("cluster_rep")))
-      changed = next
-        .join(labels.withColumnRenamed("cluster_rep", "old"), Seq("doc_id"))
-        .filter(col("cluster_rep") =!= col("old")).limit(1).count() > 0
-      labels = next
-      iter += 1
-    }
-    labels
-  }
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 50,
+               idCol: String = "doc_id"): DataFrame =
+    graft.util.ConnectedComponents.minLabel(
+      docs.select(col(idCol).as("doc_id")).distinct(),
+      pairs, idCol = "doc_id", srcCol = "d1", dstCol = "d2",
+      labelCol = "cluster_rep", maxIter = maxIter)
 
   /** Deterministic MinHash permutation constants, reproducible in SQL:
    * a_i = (1103515245*(i+1) + 12345) % Mod, b_i = (2654435761*(i+1)) % Mod. */

@@ -100,30 +100,10 @@ object AttributeClustering {
    * attribute graph has at most |sources|*|attrs| vertices, so this
    * converges in a handful of tiny jobs.
    */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    // Snapshot every iteration: the loop's plan otherwise contains
-    // the previous iteration's plan TWICE (propagation + union), i.e.
-    // exponential lineage growth — the classic iterative-graph pitfall
-    // GraphX solves with checkpointing.
-    var labels = vertices.select(col("qattr"), col("qattr").as("lbl")).transform(graft.util.Snapshot.apply)
-    val undirected = edges.select(col("a1").as("u"), col("a2").as("v"))
-      .union(edges.select(col("a2").as("u"), col("a1").as("v"))).transform(graft.util.Snapshot.apply)
-    var changed = true
-    var iter = 0
-    while (changed && iter < 20) {
-      val viaNeighbor = undirected
-        .join(labels.select(col("qattr").as("u"), col("lbl")), Seq("u"))
-        .select(col("v").as("qattr"), col("lbl"))
-      val next = labels.select("qattr", "lbl").union(viaNeighbor)
-        .groupBy("qattr").agg(min(col("lbl")).as("lbl")).transform(graft.util.Snapshot.apply)
-      val diff = next.join(labels.withColumnRenamed("lbl", "old"), Seq("qattr"))
-        .filter(col("lbl") =!= col("old")).limit(1).count()
-      labels = next
-      changed = diff > 0
-      iter += 1
-    }
-    labels
-  }
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame =
+    graft.util.ConnectedComponents.minLabel(
+      vertices.select("qattr"), edges,
+      idCol = "qattr", srcCol = "a1", dstCol = "a2", labelCol = "lbl")
 
   /**
    * Full clustering: returns (qattr, cluster_id, entropy, is_default).

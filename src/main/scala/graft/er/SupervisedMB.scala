@@ -153,13 +153,19 @@ object SupervisedMB {
       count(lit(1)).as("all")).first()
     val (nPos, nAll) = (math.max(counts.getLong(0), 1L), counts.getLong(1))
     val nNeg = nAll - nPos
-    // keep every ~1/mod-th negative via a deterministic pair hash
+    // keep every ~1/mod-th negative via a deterministic pair hash; each
+    // sampled negative carries weight `mod` (the negatives it stands in
+    // for), so the learned intercept encodes the TRUE class prior and
+    // p_match stays calibrated for the fixed-0.5 downstream thresholds
     val mod = math.max(1L, math.round(nNeg / (negRatio * nPos)))
     val train = assembled.filter(col(labelCol) === 1 ||
         pmod(xxhash64(col("p1"), col("p2")), lit(mod)) === 0)
+      .withColumn("sample_weight",
+        when(col(labelCol) === 1, lit(1.0)).otherwise(lit(mod.toDouble)))
       .persist()
     val lr = new LogisticRegression()
       .setFeaturesCol("features_vec").setLabelCol(labelCol)
+      .setWeightCol("sample_weight")
       .setMaxIter(20).setRegParam(0.01)
     val model = lr.fit(train)
     train.unpersist()

@@ -30,6 +30,36 @@ object EventStreams {
     else raw
   }
 
+  /** Temp dir holding a symlink to the events file — the file-stream
+   * source only accepts directories. Registered for deletion on exit. */
+  private def streamDirFor(dir: String, prefix: String): String = {
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory(prefix)
+    Files.createSymbolicLink(d.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** Drain a streaming frame with AvailableNow through a uniquely-named
+   * memory sink and return the result MATERIALIZED (parquet Snapshot):
+   * the sink table and its driver-memory copy are dropped before
+   * returning, so repeated invocations don't accumulate result copies in
+   * the driver. */
+  private def drainAvailableNow(df: DataFrame, name0: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"${name0}_${System.nanoTime()}"
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = graft.util.Snapshot(spark.table(name))
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Tumbling-window aggregate per event_type: count + value sum per
    * 1-hour window. Batch form (used by the oracle-checked query). */
   def windowedAggBatch(events: DataFrame): DataFrame =
@@ -48,16 +78,7 @@ object EventStreams {
   def windowedAggStreaming(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file-stream source only accepts directories; events.parquet is a
-    // single file, so stream a temp dir holding a symlink to it
-    val streamDir = {
-      import java.nio.file.{Files, Paths}
-      val d = Files.createTempDirectory("events_stream_")
-      Files.createSymbolicLink(d.resolve("events.parquet"),
-        Paths.get(s"$dir/events.parquet"))
-      d.toString
-    }
-    val raw = spark.readStream.schema(schema).parquet(streamDir)
+    val raw = spark.readStream.schema(schema).parquet(streamDirFor(dir, "events_stream_"))
     val stream =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -67,14 +88,7 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), (sum(graft.functions.FastRound.round(col("value") * 100, 0).cast("long")) / 100.0).as("value_sum"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
-    val name = s"events_windowed_${System.nanoTime()}"
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    drainAvailableNow(agg, "events_windowed", "complete")
   }
 
   /**
@@ -95,24 +109,10 @@ object EventStreams {
   def distinctPairsStreaming(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = {
-      import java.nio.file.{Files, Paths}
-      val d = Files.createTempDirectory("events_dedup_")
-      Files.createSymbolicLink(d.resolve("events.parquet"),
-        Paths.get(s"$dir/events.parquet"))
-      d.toString
-    }
-    val dedup = spark.readStream.schema(schema).parquet(streamDir)
+    val dedup = spark.readStream.schema(schema).parquet(streamDirFor(dir, "events_dedup_"))
       .select("user_id", "event_type")
       .dropDuplicates("user_id", "event_type")
-    val name = s"events_dedup_${System.nanoTime()}"
-    val q = dedup.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    drainAvailableNow(dedup, "events_dedup", "append")
   }
 
   /** Per-event input row for the stateful stream. Carries the watermarked
@@ -164,18 +164,18 @@ object EventStreams {
     val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
     // max real event time (one scalar batch read; a production deploy would
     // just pick a watermark delay and let late sessions flush continuously)
-    val maxTsUs = {
+    val maxRow = {
       val raw = spark.read.parquet(s"$dir/events.parquet")
       val tsUs = if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts"))
-      raw.select(max(tsUs)).head.getLong(0)
+      raw.select(max(tsUs)).head
     }
-    val streamDir = {
-      import java.nio.file.{Files, Paths}
-      val d = Files.createTempDirectory("events_sessions_")
-      Files.createSymbolicLink(d.resolve("events.parquet"),
-        Paths.get(s"$dir/events.parquet"))
-      d.toString
-    }
+    if (maxRow.isNullAt(0))
+      // zero events: no sessions — the batch twin's (empty) result, same schema
+      return sessionize(loadEvents(spark, dir), gapMinutes)
+        .select("user_id", "session_seq", "session_start", "session_end",
+          "n_events", "value_sum")
+    val maxTsUs = maxRow.getLong(0)
+    val streamDir = streamDirFor(dir, "events_sessions_")
     // sentinel: one event 1h past every possible timeout, sentinel user -1
     val sentinelUs = maxTsUs + gapUs + 3600L * 1000000L
     val sentinel = spark.range(1).select(
@@ -229,14 +229,7 @@ object EventStreams {
             out.iterator
           }
       }
-    val name = s"events_sessions_${System.nanoTime()}"
-    val q = sessions.toDF().writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    drainAvailableNow(sessions.toDF(), "events_sessions", "append")
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_seq"),
         timestamp_micros(col("session_start_us")).as("session_start"),

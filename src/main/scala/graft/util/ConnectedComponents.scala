@@ -1,0 +1,57 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components by iterative min-label (hash-min) propagation:
+ * label(v) = smallest vertex id reachable from v, for any orderable id
+ * type (string attribute names, long document ids).
+ *
+ * Each round is one O(|E|) equi-join + one hash-min aggregate; the loop
+ * runs until fixpoint, bounded by the graph diameter. Every iteration is
+ * Snapshot-materialized — without truncation the loop's plan contains the
+ * previous iteration's plan twice (propagation + union), i.e. exponential
+ * lineage growth, the classic iterative-graph pitfall GraphX solves with
+ * checkpointing.
+ *
+ * Shared by attribute clustering (tiny vertex set, string ids) and dedup
+ * cluster assignment (document cardinality, long ids).
+ */
+object ConnectedComponents {
+
+  /**
+   * vertices: 1-column frame of ids (column `idCol`); edges: (srcCol,
+   * dstCol) undirected pairs. Returns (idCol, labelCol). If the graph has
+   * a component whose diameter exceeds `maxIter` the result is not yet
+   * converged — logged loudly rather than silently returned, and the cap
+   * is far above any near-dup/attribute graph's diameter.
+   */
+  def minLabel(vertices: DataFrame, edges: DataFrame,
+               idCol: String, srcCol: String, dstCol: String,
+               labelCol: String, maxIter: Int = 50): DataFrame = {
+    var labels = Snapshot(vertices.select(col(idCol), col(idCol).as(labelCol)))
+    val und = Snapshot(
+      edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+        .union(edges.select(col(dstCol).as("_u"), col(srcCol).as("_v"))))
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val via = und
+        .join(labels.select(col(idCol).as("_u"), col(labelCol)), Seq("_u"))
+        .select(col("_v").as(idCol), col(labelCol))
+      val next = Snapshot(labels.union(via)
+        .groupBy(idCol).agg(min(col(labelCol)).as(labelCol)))
+      changed = next
+        .join(labels.withColumnRenamed(labelCol, "_old"), Seq(idCol))
+        .filter(col(labelCol) =!= col("_old")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    if (changed)
+      System.err.println(s"[graft] ConnectedComponents.minLabel did NOT " +
+        s"converge within $maxIter iterations - labels are upper bounds, " +
+        s"raise maxIter (component diameter exceeds the cap)")
+    labels
+  }
+}

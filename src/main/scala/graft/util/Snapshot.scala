@@ -30,16 +30,20 @@ object Snapshot {
       created.forEach { d =>
         try {
           val p = java.nio.file.Paths.get(d)
-          if (java.nio.file.Files.exists(p))
-            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          if (java.nio.file.Files.exists(p)) {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+            finally walk.close()
+          }
         } catch { case _: Throwable => () }
       }))
   }
 
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val base = spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse {
+    val explicit = spark.conf.getOption("spark.graft.checkpoint.dir")
+    val base = explicit.getOrElse {
       require(spark.sparkContext.isLocal,
         "Snapshot: set spark.graft.checkpoint.dir to a shared-storage path " +
           "(HDFS/S3/NFS) when running on a cluster; local-disk fallback is " +
@@ -49,7 +53,9 @@ object Snapshot {
         .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
     }
     val dir = s"$base/graft-snap-${java.util.UUID.randomUUID()}"
-    if (spark.sparkContext.isLocal) { hook; created.add(dir) }
+    // only the implicit tmpfs fallback is cleaned on exit; an explicitly
+    // configured checkpoint dir is the operator's to manage
+    if (explicit.isEmpty) { hook; created.add(dir) }
     df.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
   }
