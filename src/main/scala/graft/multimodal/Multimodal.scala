@@ -86,6 +86,18 @@ object Multimodal {
     spark.createDataFrame(rdd, FeatureSchema)
   }
 
+  /** Resize contract: aspect-preserving fit of (width, height) into a
+   * (maxW, maxH) box, never upscaling — the dimension arithmetic every
+   * image pipeline runs before the actual pixel resample (which belongs in
+   * the decode batch, next to the codec). Pure column math. */
+  def resizeDims(features: DataFrame, maxW: Int = 32, maxH: Int = 32): DataFrame = {
+    val scale = least(lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"), lit(1.0))
+    features.select(col("doc_id"), col("width"), col("height"),
+      floor(col("width") * scale).cast("int").as("out_width"),
+      floor(col("height") * scale).cast("int").as("out_height"))
+  }
+
   /** Frame sampling contract: every `stride`-th frame index up to n_frames
    * (columnar; a real pipeline would fetch those frames in the decode
    * batch). */

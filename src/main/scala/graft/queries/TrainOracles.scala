@@ -368,6 +368,19 @@ object TrainOracles {
          |            ELSE floor(bytesum / len * 1000000 + 0.5) / 1000000 END AS mean_intensity
          |FROM m""".stripMargin,
 
+    "mm_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         CAST(16 + (strlen(text) % 64) AS INTEGER) AS width,
+         |         CAST(16 + ((strlen(text) // 64) % 64) AS INTEGER) AS height
+         |  FROM documents),
+         |s AS (SELECT doc_id, width, height,
+         |             least(32.0 / width, 32.0 / height, 1.0) AS sc FROM m)
+         |SELECT doc_id, width, height,
+         |       CAST(floor(width * sc) AS INTEGER) AS out_width,
+         |       CAST(floor(height * sc) AS INTEGER) AS out_height
+         |FROM s""".stripMargin,
+
     "mm_frame_sample" ->
       s"""WITH m AS (SELECT doc_id, strlen(text) AS len FROM documents),
          |f AS (SELECT doc_id, CAST(1 + (len % 8) AS INTEGER) AS n_frames FROM m)

@@ -129,6 +129,10 @@ object TrainQueries {
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.decodeFeatures(Multimodal.asMultimodal(docs(s, d)), parallelism = 8),
-        stride = 2))
+        stride = 2)),
+
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizeDims(
+        Multimodal.decodeFeatures(Multimodal.asMultimodal(docs(s, d)), parallelism = 8)))
   )
 }

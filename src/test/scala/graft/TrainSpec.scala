@@ -117,6 +117,12 @@ class TrainSpec extends AnyFunSuite {
       Multimodal.decodeFeatures(mm), stride = 2)
       .select("frame_idx").as[Int].collect().toSet
     assert(frames == Set(0, 2, 4))
+    // width 20, height 16 -> scale = 32/20 capped at 1.0 -> unchanged;
+    // a 4x box forces aspect-preserving downscale: floor(20*0.2)=4, floor(16*0.2)=3
+    val rz = Multimodal.resizeDims(Multimodal.decodeFeatures(mm)).collect().head
+    assert(rz.getInt(3) == 20 && rz.getInt(4) == 16)
+    val rz4 = Multimodal.resizeDims(Multimodal.decodeFeatures(mm), maxW = 4, maxH = 4).collect().head
+    assert(rz4.getInt(3) == 4 && rz4.getInt(4) == 3)
   }
 
   test("ivfTopK probes nearest inverted lists; full probe set equals brute force") {
