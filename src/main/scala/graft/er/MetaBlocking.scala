@@ -510,12 +510,14 @@ object MetaBlocking {
   def cnp(weighted: DataFrame, validStats: DataFrame, numberOfProfiles: Long,
           ct: ComparisonType.Value, kOverride: Option[Long] = None,
           selfW: Option[DataFrame] = None): DataFrame = {
-    val kDf = kOverride match {
-      case Some(kFixed) =>
-        validStats.sparkSession.range(1).select(lit(kFixed).as("k"))
-      case None => validStats.agg(
+    // k as a driver-side LITERAL (one 1-row aggregate): a literal
+    // row_number bound lets Spark plan WindowGroupLimit — partial top-k
+    // per group BEFORE the exchange; `rn <= col(k)` from a crossJoin
+    // defeats that pushdown and sorts every group fully
+    val k = kOverride.getOrElse(
+      validStats.agg(
         floor(sum(col("size")).cast("double") / numberOfProfiles - 1.0).cast("long").as("k"))
-    }
+        .first().getLong(0))
     // dirty ER: the reference's retention pass (cnp.py:159, first_step=True)
     // ranks the profile's SELF edge among its neighbors, so a high self
     // weight consumes one of the k slots (see selfWeights); the (p, p) row
@@ -524,9 +526,9 @@ object MetaBlocking {
       case Some(sw) => directedEdges(weighted).union(selfDirected(sw))
       case None => directedEdges(weighted)
     }
-    val retained = directed.crossJoin(kDf)
+    val retained = directed
       .withColumn("rn", row_number().over(Window.partitionBy("a").orderBy(col("w").desc, col("b").asc)))
-      .filter(col("rn") <= col("k"))
+      .filter(col("rn") <= lit(k))
       .select(col("a"), col("b"))
     val r1 = retained.select(col("a").as("p1"), col("b").as("p2"), lit(1).as("in1"))
     val r2 = retained.select(col("b").as("p1"), col("a").as("p2"), lit(1).as("in2"))

@@ -224,15 +224,17 @@ object SupervisedMB {
   def cnp(scored: DataFrame, stats: DataFrame, numberOfProfiles: Long,
           ct: ComparisonType.Value): DataFrame = {
     val overT = graft.util.Snapshot(bcl(scored))
-    val kDf = stats.agg(
+    // literal k enables the WindowGroupLimit partial-top-k pushdown
+    // (see MetaBlocking.cnp)
+    val k = stats.agg(
       (lit(2.0) * greatest(lit(1.0), sum(col("size")).cast("double") / numberOfProfiles))
-        .cast("long").as("k"))
+        .cast("long").as("k")).first().getLong(0)
     val top1 = overT.select(col("p1").as("a"), col("p2").as("b"), col("p_match"))
     val top2 = overT.select(col("p2").as("a"), col("p1").as("b"), col("p_match"))
-    def topK(df: DataFrame): DataFrame = df.crossJoin(kDf)
+    def topK(df: DataFrame): DataFrame = df
       .withColumn("rn", row_number().over(
         Window.partitionBy("a").orderBy(col("p_match").desc, col("b").asc)))
-      .filter(col("rn") <= col("k")).select("a", "b")
+      .filter(col("rn") <= lit(k)).select("a", "b")
     val t1 = topK(top1).select(col("a").as("p1"), col("b").as("p2"), lit(1).as("in1"))
     val t2 = topK(top2).select(col("a").as("p2"), col("b").as("p1"), lit(1).as("in2"))
     val j = overT.join(t1, Seq("p1", "p2"), "left").join(t2, Seq("p1", "p2"), "left")
