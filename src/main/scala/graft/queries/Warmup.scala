@@ -18,25 +18,47 @@ object Warmup {
     System.err.println(f"[warmup] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
   }
 
+  /** Run independent cache builds CONCURRENTLY: Spark schedules jobs from
+   * many threads at once (FIFO across jobs, tasks interleave), so a wave
+   * of independent pipeline builds overlaps its shuffles instead of
+   * leaving most of local[32] idle between stages. Steps are grouped into
+   * dependency waves; within a wave each step runs on its own thread. */
+  private def wave(steps: (String, () => Any)*): Unit = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(steps.size))
+    val fs = steps.map { case (name, f) => Future(step(name)(f())) }
+    try fs.foreach(Await.result(_, Duration.Inf))
+    finally ec.asInstanceOf[java.util.concurrent.ExecutorService].shutdown()
+  }
+
   def run(s: SparkSession, d: String): Unit = {
-    step("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false))
-    step("cleaned_clean")(ErQueries.cleaned(s, d, clean = true))
-    step("pairs_dirty")(ErQueries.cachedPairs(s, d, clean = false))
-    step("pairs_clean")(ErQueries.cachedPairs(s, d, clean = true))
-    step("pstats_dirty")(ErQueries.cachedProfileStats(s, d, clean = false))
-    step("pstats_clean")(ErQueries.cachedProfileStats(s, d, clean = true))
-    step("wide_dirty")(ErQueries.wideWeighted(s, d, clean = false))
-    step("wide_clean")(ErQueries.wideWeighted(s, d, clean = true))
-    step("self_weights")(ErQueries.selfWeightsCached(s, d, WeightType.CBS))
-    step("wnp_cbs")(ErQueries.wnpCbsAvgOrDirty(s, d))
-    // building the query populates the 3-source weighted-graph snapshot
-    step("wnp_3src")(ErQueries.all("er_wnp_cbs_3src")(s, d))
-    step("gt_convert")(ErQueries.gtConverted(s, d))
-    step("clusters")(SupQueries.clusters(s, d))
-    step("blast_weighted")(SupQueries.blastWeighted(s, d))
-    step("features")(SupQueries.features(s, d))
-    step("scored")(SupQueries.scored(s, d))
-    step("ml_scored")(SupQueries.mlScored(s, d))
-    step("train")(TrainQueries.warm(s, d))
+    // wave 1: the two blocking spines + independent side pipelines
+    wave(
+      "cleaned_dirty" -> (() => ErQueries.cleaned(s, d, clean = false)),
+      "cleaned_clean" -> (() => ErQueries.cleaned(s, d, clean = true)),
+      "gt_convert" -> (() => ErQueries.gtConverted(s, d)),
+      "clusters" -> (() => SupQueries.clusters(s, d)),
+      "train" -> (() => TrainQueries.warm(s, d)))
+    // wave 2: pair graphs + per-profile stats (need the spines), BLAST
+    // (needs clusters), 3-source (independent spine of its own)
+    wave(
+      "pairs_dirty" -> (() => ErQueries.cachedPairs(s, d, clean = false)),
+      "pairs_clean" -> (() => ErQueries.cachedPairs(s, d, clean = true)),
+      "pstats_dirty" -> (() => ErQueries.cachedProfileStats(s, d, clean = false)),
+      "pstats_clean" -> (() => ErQueries.cachedProfileStats(s, d, clean = true)),
+      "blast_weighted" -> (() => SupQueries.blastWeighted(s, d)),
+      "wnp_3src" -> (() => ErQueries.all("er_wnp_cbs_3src")(s, d)),
+      "features" -> (() => SupQueries.features(s, d)))
+    // wave 3: weighted graphs + supervised scoring
+    wave(
+      "wide_dirty" -> (() => ErQueries.wideWeighted(s, d, clean = false)),
+      "wide_clean" -> (() => ErQueries.wideWeighted(s, d, clean = true)),
+      "self_weights" -> (() => ErQueries.selfWeightsCached(s, d, WeightType.CBS)),
+      "scored" -> (() => SupQueries.scored(s, d)),
+      "ml_scored" -> (() => SupQueries.mlScored(s, d)))
+    // wave 4: WNP candidate snapshot (needs wide + self)
+    wave("wnp_cbs" -> (() => ErQueries.wnpCbsAvgOrDirty(s, d)))
   }
 }
