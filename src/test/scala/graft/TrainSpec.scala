@@ -149,6 +149,15 @@ class TrainSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("distinctPairsStreaming equals the batch DISTINCT") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.distinctPairsStreaming(spark, dir)
+    val batch = EventStreams.loadEvents(spark, dir)
+      .select("user_id", "event_type").distinct()
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sessionize splits on gaps > 30min") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a", 1.0, "{}"),
