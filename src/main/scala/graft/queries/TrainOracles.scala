@@ -74,7 +74,26 @@ object TrainOracles {
        |  GROUP BY doc_id, i.i),
        |""".stripMargin
 
-  private val stop = "['the','a','an','and','or','of','to','in','is','it']"
+  /** SQL literal list from the engine's own stopword set — single source
+   * of truth (graft.text.TextAnalysis.EnglishStopwords). */
+  private lazy val stop: String =
+    graft.text.TextAnalysis.EnglishStopwords.map("'" + _ + "'").mkString("[", ",", "]")
+
+  /** Per-language marker-hit columns and the argmax CASE, derived from
+   * graft.text.TextAnalysis.LangMarkers so the lists cannot drift. */
+  private lazy val langHitExprs: String =
+    graft.text.TextAnalysis.LangMarkers.map { case (l, ws) =>
+      val lst = ws.map("'" + _ + "'").mkString("[", ",", "]")
+      s"    len(list_filter(t.lws_toks, x -> list_contains($lst, x))) AS s_$l"
+    }.mkString(",\n")
+
+  private lazy val langCase: String = {
+    val all = graft.text.TextAnalysis.LangMarkers.map("s_" + _._1).mkString(", ")
+    val whens = graft.text.TextAnalysis.LangMarkers.map { case (l, _) =>
+      s"       WHEN s_$l = greatest($all) AND s_$l > 0 THEN '$l'"
+    }.mkString("\n")
+    s"  CASE\n$whens\n       ELSE 'und' END AS lang_id"
+  }
 
   /** txt_analysis SQL, shared by the curation oracle. */
   private lazy val txtAnalysisSql: String =
@@ -100,10 +119,7 @@ object TrainOracles {
          |    CASE WHEN len(t.ws_toks) = 0 THEN 0.0
          |         ELSE ${dsum("list_transform(t.ws_toks, x -> CAST(length(x) AS DOUBLE))")}
          |              / CAST(len(t.ws_toks) AS DOUBLE) END AS mean_token_len_r,
-         |    len(list_filter(t.lws_toks, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
-         |    len(list_filter(t.lws_toks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
-         |    len(list_filter(t.lws_toks, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
-         |    len(list_filter(t.lws_toks, x -> list_contains(['el','la','y','es','los'], x))) AS s_es,
+         |$langHitExprs,
          |    length(b.text) AS n_chars_b,
          |    ${strHash("lower(trim(b.text))")} AS fingerprint
          |  FROM base b JOIN toks t USING (doc_id))
@@ -116,11 +132,7 @@ object TrainOracles {
          |  round((least(CAST(n_chars_b AS DOUBLE) / 500.0, 1.0)
          |        + least(stopword_ratio_r * 5.0, 1.0)
          |        + greatest(1.0 - punct_ratio_r * 4.0, 0.0)) / 3.0, 9) AS quality,
-         |  CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
-         |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
-         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
-         |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
-         |       ELSE 'und' END AS lang_id,
+         |$langCase,
          |  fingerprint
          |FROM m""".stripMargin
 

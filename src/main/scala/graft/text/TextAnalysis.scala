@@ -75,13 +75,24 @@ object TextAnalysis {
     graft.functions.FastRound.round((lenTerm + stopTerm + punctTerm) / 3.0, 9)
   }
 
-  /** Per-language marker-word sets for the n-gram/stopword language-id
-   * heuristic (public common function words). */
+  /** Per-language marker-word sets for the stopword language-id heuristic
+   * (public common function words, ascii only so the SQL twin matches
+   * byte-for-byte; words shared between languages count for each list —
+   * argmax with list-order priority resolves them). The SQL oracle derives
+   * its CASE from THIS list, so it cannot drift. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is"),
-    "de" -> Seq("der", "die", "und", "ist", "das"),
-    "fr" -> Seq("le", "la", "et", "est", "les"),
-    "es" -> Seq("el", "la", "y", "es", "los"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it",
+      "was", "for", "with", "are", "this", "not", "have", "you"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "mit", "ein",
+      "eine", "auf", "von", "den", "sich", "auch", "werden", "dem"),
+    "fr" -> Seq("le", "la", "et", "est", "les", "des", "un", "une",
+      "dans", "que", "pour", "qui", "sur", "pas", "avec", "par"),
+    "es" -> Seq("el", "la", "y", "es", "los", "las", "de", "que",
+      "en", "un", "una", "por", "con", "para", "del", "se"),
+    "it" -> Seq("il", "la", "e", "che", "di", "un", "una", "per",
+      "non", "sono", "con", "del", "le", "si", "da", "come"),
+    "pt" -> Seq("o", "a", "e", "que", "de", "do", "da", "em",
+      "um", "uma", "para", "com", "os", "as", "por", "se"),
   )
 
   /**
