@@ -514,10 +514,12 @@ object MetaBlocking {
     // row_number bound lets Spark plan WindowGroupLimit — partial top-k
     // per group BEFORE the exchange; `rn <= col(k)` from a crossJoin
     // defeats that pushdown and sorts every group fully
-    val k = kOverride.getOrElse(
-      validStats.agg(
+    val k = kOverride.getOrElse {
+      val row = validStats.agg(
         floor(sum(col("size")).cast("double") / numberOfProfiles - 1.0).cast("long").as("k"))
-        .first().getLong(0))
+        .first()
+      if (row.isNullAt(0)) 0L else row.getLong(0) // empty stats -> k=0 -> empty result
+    }
     // dirty ER: the reference's retention pass (cnp.py:159, first_step=True)
     // ranks the profile's SELF edge among its neighbors, so a high self
     // weight consumes one of the k slots (see selfWeights); the (p, p) row

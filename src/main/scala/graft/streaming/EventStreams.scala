@@ -31,13 +31,14 @@ object EventStreams {
   }
 
   /** Temp dir holding a symlink to the events file — the file-stream
-   * source only accepts directories. Registered for deletion on exit. */
+   * source only accepts directories. Recursively deleted on JVM exit
+   * (deleteOnExit would silently no-op: the dir is never empty). */
   private def streamDirFor(dir: String, prefix: String): String = {
     import java.nio.file.{Files, Paths}
     val d = Files.createTempDirectory(prefix)
     Files.createSymbolicLink(d.resolve("events.parquet"),
       Paths.get(s"$dir/events.parquet"))
-    d.toFile.deleteOnExit()
+    graft.util.Cleanup.onExitDelete(d.toString)
     d.toString
   }
 
@@ -55,9 +56,8 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val out = graft.util.Snapshot(spark.table(name))
-    spark.catalog.dropTempView(name)
-    out
+    try graft.util.Snapshot(spark.table(name))
+    finally { spark.catalog.dropTempView(name); () }
   }
 
   /** Tumbling-window aggregate per event_type: count + value sum per

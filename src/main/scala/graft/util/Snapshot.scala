@@ -19,27 +19,6 @@ import org.apache.spark.sql.DataFrame
  * so that fallback is refused outside local mode.
  */
 object Snapshot {
-  // snapshot dirs written by THIS JVM (uuid-unique), deleted on exit so a
-  // long-lived driver doesn't accumulate dead parquet in the local-mode
-  // tmpfs fallback; cluster checkpoint dirs under an explicit conf are the
-  // operator's to manage and are left alone
-  private val created = java.util.Collections.synchronizedList(
-    new java.util.ArrayList[String]())
-  private lazy val hook: Unit = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      created.forEach { d =>
-        try {
-          val p = java.nio.file.Paths.get(d)
-          if (java.nio.file.Files.exists(p)) {
-            val walk = java.nio.file.Files.walk(p)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-            finally walk.close()
-          }
-        } catch { case _: Throwable => () }
-      }))
-  }
-
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val explicit = spark.conf.getOption("spark.graft.checkpoint.dir")
@@ -55,7 +34,7 @@ object Snapshot {
     val dir = s"$base/graft-snap-${java.util.UUID.randomUUID()}"
     // only the implicit tmpfs fallback is cleaned on exit; an explicitly
     // configured checkpoint dir is the operator's to manage
-    if (explicit.isEmpty) { hook; created.add(dir) }
+    if (explicit.isEmpty) Cleanup.onExitDelete(dir)
     df.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
   }
