@@ -1,13 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: run a single SparkEntry query with timing (and optionally
- * print its formatted plan) to profile in isolation. */
+/** Dev utility: profile SparkEntry queries in isolation.
+ *
+ * Usage: runMain graft.RunOne [--warm] [--explain] [--sf DIR] name [name...]
+ * With --warm the shared caches are built first (like Bench), so per-query
+ * times are steady-state; each query is timed twice (cold plan / reused
+ * snapshots vs fully warm). */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val explain = args.length > 2 && args(2) == "explain"
+    var warm = false
+    var explain = false
+    var sfDir = "/root/testdata/sf0.1"
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--warm" => warm = true
+        case "--explain" => explain = true
+        case "--sf" => sfDir = args(i + 1); i += 1
+        case n => names += n
+      }
+      i += 1
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,13 +32,22 @@ object RunOne {
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tc = System.nanoTime()
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    val buildSec = (System.nanoTime() - tc) / 1e9
-    if (explain) df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[runone] $name rows=$n build=$buildSec%.2fs count=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    if (warm) {
+      val t0 = System.nanoTime()
+      queries.Warmup.run(spark, sfDir)
+      println(f"[runone] warmup ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (explain) df.explain("formatted")
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val dt1 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val dt2 = (System.nanoTime() - t1) / 1e9
+      println(f"[runone] $name rows=$n run1=$dt1%.2fs run2=$dt2%.2fs")
+    }
     spark.stop()
   }
 }

@@ -506,10 +506,17 @@ object MetaBlocking {
    * `kOverride` pins k instead of deriving it from the block stats — the
    * reference formula yields k=0 on sparse collections (every edge dropped),
    * so fixtures/tests pin a positive k while production keeps the default.
+   *
+   * `directedOpt`: a pre-materialized [[directedEdges]] view (PLUS the self
+   * edges if dirty — caller's responsibility). The retention pass scans the
+   * directed graph once and the wide-snapshot union twice; callers running
+   * many pruning variants over one spine should snapshot the directed view
+   * once and pass it here.
    */
   def cnp(weighted: DataFrame, validStats: DataFrame, numberOfProfiles: Long,
           ct: ComparisonType.Value, kOverride: Option[Long] = None,
-          selfW: Option[DataFrame] = None): DataFrame = {
+          selfW: Option[DataFrame] = None,
+          directedOpt: Option[DataFrame] = None): DataFrame = {
     // k as a driver-side LITERAL (one 1-row aggregate): a literal
     // row_number bound lets Spark plan WindowGroupLimit — partial top-k
     // per group BEFORE the exchange; `rn <= col(k)` from a crossJoin
@@ -524,10 +531,10 @@ object MetaBlocking {
     // ranks the profile's SELF edge among its neighbors, so a high self
     // weight consumes one of the k slots (see selfWeights); the (p, p) row
     // can never match a real p1<p2 edge in the retention join below.
-    val directed = selfW match {
+    val directed = directedOpt.getOrElse(selfW match {
       case Some(sw) => directedEdges(weighted).union(selfDirected(sw))
       case None => directedEdges(weighted)
-    }
+    })
     val retained = directed
       .withColumn("rn", row_number().over(Window.partitionBy("a").orderBy(col("w").desc, col("b").asc)))
       .filter(col("rn") <= lit(k))

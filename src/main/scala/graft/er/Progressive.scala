@@ -130,6 +130,18 @@ object Progressive {
    * the caller pre-filtering sources if clean); positional CBS = number of
    * such position pairs; weight = cbs / (|pos(p1)| + |pos(p2)| - cbs);
    * emission rank by (weight desc, p1, p2).
+   *
+   * Emission-order parity with the reference's window sweep
+   * (progressive.py:288-400): the reference's w = 1..max_window loop visits
+   * exactly the position pairs with |delta pos| <= max_window — the same
+   * set this range join enumerates with `window` = max_window — and its
+   * PriorityQueue pops (-weight, n_id, profile_id), i.e. (w desc, p1, p2):
+   * the rank emitted here. Proven row-for-row (weights AND order) against a
+   * driver-side simulation of the reference algorithm in SupSpec
+   * ("gspsn emission == reference window-sweep PriorityQueue simulation").
+   * Remaining (documented) tiebreak: positions of equal tokens are assigned
+   * in (token, profile_id) order where the reference inherits partition
+   * chance from sortBy.
    */
   def gspsn(keys: DataFrame, window: Int = 2, limit: Int = 1000): DataFrame = {
     val pos = graft.util.Snapshot(tokenPositions(keys))

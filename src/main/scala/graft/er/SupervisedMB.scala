@@ -139,26 +139,36 @@ object SupervisedMB {
    * negative set (~`negRatio` negatives per positive): every LBFGS pass
    * then scans O(sample) rows instead of the full O(edges) graph — at 100
    * TB the difference between a 20-pass full-graph scan and seconds —
-   * while scoring still transforms EVERY edge. */
+   * while scoring still transforms EVERY edge.
+   *
+   * `trainOn` restricts the TRAINING rows to a predicate (scoring still
+   * covers every row) — the holdout hook for model-quality gates: train on
+   * a deterministic hash split, evaluate AUC on the complement. */
   def mlScore(features: DataFrame, labelCol: String = "is_match",
-              negRatio: Double = 10.0): DataFrame = {
+              negRatio: Double = 10.0,
+              trainOn: Option[Column] = None): DataFrame = {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.classification.LogisticRegression
     val cols = Array("cfibf", "raccb", "js", "rs", "aejs", "nrs", "wjs")
     val assembled = new VectorAssembler()
       .setInputCols(cols).setOutputCol("features_vec")
       .transform(features)
-    val counts = features.agg(
+    val trainPool = trainOn.map(features.filter).getOrElse(features)
+    val counts = trainPool.agg(
       sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("pos"),
       count(lit(1)).as("all")).first()
-    val (nPos, nAll) = (math.max(counts.getLong(0), 1L), counts.getLong(1))
+    // empty input -> NULL sum: treat as 0 positives instead of an NPE
+    val (nPos, nAll) = (
+      math.max(if (counts.isNullAt(0)) 0L else counts.getLong(0), 1L),
+      counts.getLong(1))
     val nNeg = nAll - nPos
     // keep every ~1/mod-th negative via a deterministic pair hash; each
     // sampled negative carries weight `mod` (the negatives it stands in
     // for), so the learned intercept encodes the TRUE class prior and
     // p_match stays calibrated for the fixed-0.5 downstream thresholds
     val mod = math.max(1L, math.round(nNeg / (negRatio * nPos)))
-    val train = assembled.filter(col(labelCol) === 1 ||
+    val train = trainOn.map(assembled.filter).getOrElse(assembled)
+      .filter(col(labelCol) === 1 ||
         pmod(xxhash64(col("p1"), col("p2")), lit(mod)) === 0)
       .withColumn("sample_weight",
         when(col(labelCol) === 1, lit(1.0)).otherwise(lit(mod.toDouble)))
@@ -208,9 +218,14 @@ object SupervisedMB {
 
   /** BLAST rule: p >= 0.35 * (max p of p1-side + max p of p2-side)
    * (supervised_metablocking.py:38-68; note the two maxes are over the p1 /
-   * p2 orientations separately, exactly as the reference's two maps). */
-  def blast(scored: DataFrame): DataFrame = {
-    val overT = graft.util.Snapshot(bcl(scored))
+   * p2 orientations separately, exactly as the reference's two maps).
+   *
+   * `positives` is consumed three times (two maxes + the join); pass an
+   * already-materialized frame (e.g. [[graft.queries.SupQueries.positives]]
+   * — one shared snapshot for blast/cnp/rcnp) so each reader is a parquet
+   * scan, not a recomputation — and never a per-call write. */
+  def blast(positives: DataFrame): DataFrame = {
+    val overT = positives
     val m1 = overT.groupBy("p1").agg(max(col("p_match")).as("max1"))
     val m2 = overT.groupBy("p2").agg(max(col("p_match")).as("max2"))
     overT.join(m1, Seq("p1")).join(m2, Seq("p2"))
@@ -220,15 +235,20 @@ object SupervisedMB {
 
   /** Per-profile top-k by p over both orientations, k = 2*max(1,
    * sum(sizes)/#profiles) (supervised_metablocking.py:125-180); OR = CNP,
-   * AND = reciprocal CNP (:70-123). Ties break by neighbor id. */
-  def cnp(scored: DataFrame, stats: DataFrame, numberOfProfiles: Long,
+   * AND = reciprocal CNP (:70-123). Ties break by neighbor id.
+   *
+   * `positives` is read four times (two orientations + two retention
+   * joins); pass a materialized frame (see [[blast]]). */
+  def cnp(positives: DataFrame, stats: DataFrame, numberOfProfiles: Long,
           ct: ComparisonType.Value): DataFrame = {
-    val overT = graft.util.Snapshot(bcl(scored))
+    val overT = positives
     // literal k enables the WindowGroupLimit partial-top-k pushdown
-    // (see MetaBlocking.cnp)
-    val k = stats.agg(
+    // (see MetaBlocking.cnp); empty stats -> NULL sum -> k=0 (empty result),
+    // mirroring MetaBlocking.cnp's guard instead of an NPE on getLong
+    val kRow = stats.agg(
       (lit(2.0) * greatest(lit(1.0), sum(col("size")).cast("double") / numberOfProfiles))
-        .cast("long").as("k")).first().getLong(0)
+        .cast("long").as("k")).first()
+    val k = if (kRow.isNullAt(0)) 0L else kRow.getLong(0)
     val top1 = overT.select(col("p1").as("a"), col("p2").as("b"), col("p_match"))
     val top2 = overT.select(col("p2").as("a"), col("p1").as("b"), col("p_match"))
     def topK(df: DataFrame): DataFrame = df

@@ -152,6 +152,12 @@ object TrainOracles {
     "evt_dedup_stream" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
+    // dropDuplicatesWithinWatermark over one AvailableNow batch: expiry
+    // uses the previous batch's watermark (-inf), so the emitted key set
+    // equals batch DISTINCT (EventStreams.dedupWithinWatermarkStreaming doc)
+    "evt_dedup_watermark" ->
+      "SELECT DISTINCT event_type, CAST(ts AS DATE) AS event_day FROM events",
+
     "dedup_exact" ->
       s"""WITH h AS (SELECT doc_id, ${strHash(norm("text"))} AS h FROM documents)
          |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM h""".stripMargin,

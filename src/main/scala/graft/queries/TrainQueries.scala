@@ -104,6 +104,9 @@ object TrainQueries {
 
     "evt_dedup_stream" -> ((s, d) => EventStreams.distinctPairsStreaming(s, d)),
 
+    "evt_dedup_watermark" -> ((s, d) =>
+      EventStreams.dedupWithinWatermarkStreaming(s, d)),
+
     // training-data curation composition: exact-dedup survivors with
     // quality and language gates — the end-to-end "what goes into the
     // training set" query over the analysis + dedup building blocks

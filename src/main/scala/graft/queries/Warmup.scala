@@ -22,15 +22,24 @@ object Warmup {
    * many threads at once (FIFO across jobs, tasks interleave), so a wave
    * of independent pipeline builds overlaps its shuffles instead of
    * leaving most of local[32] idle between stages. Steps are grouped into
-   * dependency waves; within a wave each step runs on its own thread. */
+   * dependency waves; within a wave each step runs on its own thread.
+   *
+   * Every step is awaited (Future.sequence with a generous finite timeout,
+   * so a hung step can't block warmup forever) and per-step failures are
+   * logged individually before the first one is rethrown — one failed step
+   * no longer obscures its siblings or leaves them running unobserved. */
   private def wave(steps: (String, () => Any)*): Unit = {
     import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(steps.size))
-    val fs = steps.map { case (name, f) => Future(step(name)(f())) }
-    try fs.foreach(Await.result(_, Duration.Inf))
-    finally ec.asInstanceOf[java.util.concurrent.ExecutorService].shutdown()
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(steps.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val fs = steps.map { case (name, f) =>
+      Future(step(name)(f())).transform(
+        identity,
+        { e => System.err.println(s"[warmup] step $name FAILED: $e"); e })
+    }
+    try Await.result(Future.sequence(fs.toList), 30.minutes)
+    finally pool.shutdown()
   }
 
   def run(s: SparkSession, d: String): Unit = {
@@ -50,7 +59,8 @@ object Warmup {
       "pstats_clean" -> (() => ErQueries.cachedProfileStats(s, d, clean = true)),
       "blast_weighted" -> (() => SupQueries.blastWeighted(s, d)),
       "wnp_3src" -> (() => ErQueries.all("er_wnp_cbs_3src")(s, d)),
-      "features" -> (() => SupQueries.features(s, d)))
+      "features" -> (() => SupQueries.features(s, d)),
+      "features_clean" -> (() => SupQueries.featuresClean(s, d)))
     // wave 3: weighted graphs + supervised scoring
     wave(
       "wide_dirty" -> (() => ErQueries.wideWeighted(s, d, clean = false)),
@@ -58,7 +68,12 @@ object Warmup {
       "self_weights" -> (() => ErQueries.selfWeightsCached(s, d, WeightType.CBS)),
       "scored" -> (() => SupQueries.scored(s, d)),
       "ml_scored" -> (() => SupQueries.mlScored(s, d)))
-    // wave 4: WNP candidate snapshot (needs wide + self)
-    wave("wnp_cbs" -> (() => ErQueries.wnpCbsAvgOrDirty(s, d)))
+    // wave 4: WNP candidate snapshots (need wide + self) + the shared
+    // classifier-positive edge set (needs scored)
+    wave(
+      "wnp_cbs" -> (() => ErQueries.wnpCbsAvgOrDirty(s, d)),
+      "wnp_cbs_clean" -> (() => ErQueries.wnpCbsAvgOrClean(s, d)),
+      "directed_cbs_clean" -> (() => ErQueries.directedCbsClean(s, d)),
+      "positives" -> (() => SupQueries.positives(s, d)))
   }
 }

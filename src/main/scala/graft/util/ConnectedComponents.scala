@@ -23,9 +23,12 @@ object ConnectedComponents {
   /**
    * vertices: 1-column frame of ids (column `idCol`); edges: (srcCol,
    * dstCol) undirected pairs. Returns (idCol, labelCol). If the graph has
-   * a component whose diameter exceeds `maxIter` the result is not yet
-   * converged — logged loudly rather than silently returned, and the cap
-   * is far above any near-dup/attribute graph's diameter.
+   * a component whose diameter exceeds `maxIter` the labels are only upper
+   * bounds, and a downstream consumer (e.g. Dedup.clusters' survivor set)
+   * would silently be wrong — so non-convergence THROWS: the cap is far
+   * above any expected near-dup/attribute graph diameter, and hitting it
+   * signals a real anomaly (e.g. a chain-shaped near-dup graph), not a
+   * tuning knob to ignore.
    */
   def minLabel(vertices: DataFrame, edges: DataFrame,
                idCol: String, srcCol: String, dstCol: String,
@@ -49,9 +52,9 @@ object ConnectedComponents {
       iter += 1
     }
     if (changed)
-      System.err.println(s"[graft] ConnectedComponents.minLabel did NOT " +
-        s"converge within $maxIter iterations - labels are upper bounds, " +
-        s"raise maxIter (component diameter exceeds the cap)")
+      throw new IllegalStateException(s"ConnectedComponents.minLabel did " +
+        s"NOT converge within $maxIter iterations - labels would only be " +
+        s"upper bounds; raise maxIter (component diameter exceeds the cap)")
     labels
   }
 }

@@ -44,7 +44,7 @@ class SupSpec extends AnyFunSuite {
     val scored = Seq(
       (1L, 2L, 0.9, 0), (1L, 3L, 0.5, 0), (2L, 3L, 0.8, 0))
       .toDF("p1", "p2", "p_match", "is_match")
-    val kept = SupervisedMB.blast(scored).select("p1", "p2")
+    val kept = SupervisedMB.blast(SupervisedMB.bcl(scored)).select("p1", "p2")
       .as[(Long, Long)].collect().toSet
     // max1: p1=1 -> .9, p1=2 -> .8; max2: p2=2 -> .9, p2=3 -> .8
     // (1,2): .9 >= .35*(.9+.9)=.63 ok; (1,3): .5 >= .35*(.9+.8)=.595 no
@@ -58,9 +58,9 @@ class SupSpec extends AnyFunSuite {
       .toDF("p1", "p2", "p_match", "is_match")
     // k = 2*max(1, 3/3) = 2 -> top-2 of p1-side for profile 1 = {2,3}
     val st = Seq(("b", 3L)).toDF("key", "size")
-    val or = SupervisedMB.cnp(scored, st, 3L, ComparisonType.OR)
+    val or = SupervisedMB.cnp(SupervisedMB.bcl(scored), st, 3L, ComparisonType.OR)
       .select("p2").as[Long].collect().toSet
-    val and = SupervisedMB.cnp(scored, st, 3L, ComparisonType.AND)
+    val and = SupervisedMB.cnp(SupervisedMB.bcl(scored), st, 3L, ComparisonType.AND)
       .select("p2").as[Long].collect().toSet
     // p2-side top-k: each neighbor profile has single edge -> retained
     assert(or == Set(2L, 3L, 4L))
@@ -147,6 +147,50 @@ class SupSpec extends AnyFunSuite {
     // block x members {1,2}; their block lists: {x,y},{x,y} -> counts
     // x:2, y:2 of n=4 -> shannon = -2*(0.5*ln 0.5) = ln 2; quirk: / n
     assert(math.abs(ent("x") - math.log(2.0) / 4.0) < 1e-12)
+  }
+
+  test("gspsn emission == reference window-sweep PriorityQueue simulation") {
+    // Driver-side simulation of the reference's GSPSN
+    // (python/sparker/progressive.py:288-400): for every position of a
+    // profile, sweep window sizes w = 1..max in both directions and
+    // accumulate cbs against smaller-id neighbors; weight = positional
+    // Jaccard; emission = PriorityQueue over (-weight, n_id, profile_id).
+    // The sweep visits exactly the position pairs with |delta| <= max, so
+    // the distributed range-join must reproduce BOTH the weights and the
+    // full emission order. Positions are assigned in (token, profile_id)
+    // order (our documented tiebreak; the reference leaves equal-token
+    // order to partition chance).
+    val maxW = 3
+    // overlapping tokens, shared positions, tie weights, >maxW gaps
+    val fixture = Seq(
+      ("alpha", 1L), ("alpha", 2L), ("alpha", 5L),
+      ("beta", 1L), ("beta", 3L),
+      ("gamma", 2L), ("gamma", 3L), ("gamma", 4L),
+      ("delta", 4L), ("delta", 5L), ("epsilon", 1L), ("zeta", 6L))
+    val pos = fixture.sorted.zipWithIndex.map { case ((_, pid), i) => (i.toLong, pid) }
+    val posByProfile = pos.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val profileAt = pos.toMap[Long, Long] // position -> profile
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+    posByProfile.keys.toSeq.sorted.foreach { p =>
+      val cbs = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      for (pp <- posByProfile(p); w <- 1 to maxW; dir <- Seq(-1, 1)) {
+        val q = pp + w * dir
+        profileAt.get(q).foreach { n => if (n < p) cbs(n) += 1 }
+      }
+      cbs.foreach { case (n, c) =>
+        val wgt = c.toDouble / (posByProfile(p).size + posByProfile(n).size - c)
+        results += ((-wgt, n, p))
+      }
+    }
+    // PriorityQueue pops ascending (-w, n_id, profile_id) == our rank order
+    val expected = results.sorted.map { case (nw, n, p) =>
+      (n, p, BigDecimal(-nw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val keys = fixture.map { case (t, p) => (t, p, 0) }.toDF("key", "profile_id", "source_id")
+    val got = Progressive.gspsn(keys, window = maxW, limit = 100)
+      .orderBy("rank").select("p1", "p2", "w")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == expected)
   }
 
   test("gspsn: adjacent tokens in sorted stream become weighted candidates") {
