@@ -15,22 +15,45 @@ object Bench {
     // shared memoized caches built up front as their own timed entry, so
     // per-query numbers are steady-state (r1 misattributed the whole
     // supervised pipeline to whichever query ran first)
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val w0 = System.nanoTime()
     try queries.Warmup.run(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: $e")
+      failed("warmup_caches") = e.toString.take(300)
+    }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     System.err.println(f"[bench] warmup_caches $warmupSec%.2fs")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // each query twice: run1 = what a first consumer pays after warmup
+    // (plan + codegen + execute), run2 = steady state (plan cache, snapshot
+    // reads warm) — regressions are attributable to one or the other.
+    // Failures are recorded EXPLICITLY (name -> error in "failed", rc = 1),
+    // never folded into a plausible-looking fast time.
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); () }
+      catch { case e: Throwable =>
+        failed.getOrElseUpdate(name, e.toString.take(300)); ()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val run1 = SparkEntry.queries.map { case (name, fn) =>
+      val dt = timeOne(name, fn)
       System.err.println(f"[bench] $name $dt%.2fs")
       name -> dt
-    } ++ Map("warmup_caches" -> warmupSec)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    val run2 = SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val queriesJson = jmap(run1 ++ Map("warmup_caches" -> warmupSec))
+    val steadyJson = jmap(run2)
+    val failedJson = failed
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = run1.values.sum + warmupSec
+    val rc = if (failed.isEmpty) 0 else 1
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson,"queries_steady":$steadyJson,"failed":$failedJson,"rc":$rc,"sf":"$sfDir"}""")
     spark.stop()
+    if (rc != 0) sys.exit(rc)
   }
 }

@@ -321,6 +321,27 @@ object TrainOracles {
          |JOIN embeddings e2 ON c.v2 = e2.vec_id
          |WHERE round(${cosine("e1.embedding", "e2.embedding")}, 9) >= 0.4""".stripMargin,
 
+    // planted perturbed twins (Similarity.plantNearDups) + the same banded
+    // SRP candidate generation, verified at the production 0.9 threshold
+    "ann_cos_neardup_hi" ->
+      s"""WITH pl AS (
+         |  SELECT vec_id + 10000000 AS vec_id,
+         |         list_transform(generate_series(1, 64),
+         |           i -> CAST(CAST(embedding[i] AS DOUBLE) + 0.01 * CAST(embedding[(i % 64) + 1] AS DOUBLE) AS FLOAT)) AS embedding
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |allv AS (SELECT vec_id, embedding FROM embeddings
+         |         UNION ALL SELECT vec_id, embedding FROM pl),
+         |vs AS (${srpBucket("allv", 16).replace(" AS bucket ", " AS sig ")}),
+         |vb AS (SELECT vec_id, CAST(b.b AS INTEGER) AS band,
+         |              (sig >> CAST(b.b * 4 AS INTEGER)) & 15 AS bkey
+         |       FROM vs, (SELECT unnest(generate_series(0, 3)) AS b) b),
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |         FROM vb a JOIN vb b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+         |SELECT c.v1, c.v2, round(${cosine("e1.embedding", "e2.embedding")}, 9) AS cos
+         |FROM cand c JOIN allv e1 ON c.v1 = e1.vec_id
+         |JOIN allv e2 ON c.v2 = e2.vec_id
+         |WHERE round(${cosine("e1.embedding", "e2.embedding")}, 9) >= 0.9""".stripMargin,
+
     "evt_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n,

@@ -92,6 +92,19 @@ object TrainQueries {
     "ann_cos_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.4)),
 
+    // PRODUCTION threshold (0.9): the synthetic corpus is near-orthogonal
+    // (max pairwise cosine ~0.55), so the high-similarity regime is
+    // exercised by planting a perturbed twin for every 20th vector —
+    // derived in-query, deterministic, reproduced by the oracle. The
+    // result is exactly the planted (original, twin) pairs at cos ~0.99995
+    // surfacing through the same banded-SRP path as the 0.4 query.
+    "ann_cos_neardup_hi" -> ((s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val planted = Similarity.plantNearDups(e, every = 20,
+        idOffset = 10000000L, eps = 0.01)
+      Similarity.cosineNearDupPairs(e.unionByName(planted), threshold = 0.9)
+    }),
+
     "evt_windowed_agg" -> ((s, d) =>
       EventStreams.windowedAggBatch(events(s, d))),
 

@@ -154,6 +154,23 @@ object Similarity {
   }
 
   /**
+   * Deterministic planted near-duplicates: for every `every`-th vector,
+   * a perturbed twin v'[i] = v[i] + eps * v[(i+1) mod dim] under a shifted
+   * id. For eps = 0.01 the twin sits at angle ~eps radians (cosine
+   * ~0.99995) — the production near-dup regime — while the synthetic
+   * corpus's unrelated pairs stay below ~0.55, so a 0.9 threshold isolates
+   * exactly the planted pairs. Arithmetic is element-ordered double ops
+   * cast back to float, reproduced bit-for-bit by the DuckDB oracle.
+   */
+  def plantNearDups(vecs: DataFrame, every: Int, idOffset: Long,
+                    eps: Double, dim: Int = 64): DataFrame =
+    vecs.filter(col("vec_id") % every === 0)
+      .select((col("vec_id") + idOffset).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> cast(cast(x as double) + " +
+          s"$eps * cast(element_at(embedding, cast((i + 1) % $dim as int) + 1) as double) as float))")
+          .as("embedding"))
+
+  /**
    * Embedding-cosine near-duplicate pairs: banded SRP signature (the same
    * band trick as MinHash-LSH dedup) -> per-band bucket self-join ->
    * candidate pairs dedup'd BEFORE the cosine verify, v1 < v2, cosine >=

@@ -87,6 +87,33 @@ class SupSpec extends AnyFunSuite {
     assert(SupervisedMB.wep(scored).count() <= kept.count())
   }
 
+  test("mlScore quality gate: holdout AUC above floor, calibrated prior") {
+    // deterministic synthetic features: 20% positives, Jaccard-family
+    // features shifted by the label plus hash-derived overlap noise (no
+    // RNG — bit-stable across runs), large enough for a stable AUC
+    val feats = (1 to 4000).map { i =>
+      val label = if (i % 5 == 0) 1 else 0
+      val noise = ((i * 2654435761L % 1000) / 1000.0 - 0.5) * 0.45
+      val x = math.max(0.0, math.min(1.0, 0.25 + 0.4 * label + noise))
+      (i.toLong, (i + 100000).toLong, x * 10, x, x, x, x * 5, x, x, label)
+    }.toDF("p1", "p2", "cfibf", "raccb", "js", "rs", "aejs", "nrs", "wjs", "is_match")
+    // train on 4/5 of the pairs by hash, evaluate on the held-out fifth
+    val holdout = pmod(xxhash64(col("p1"), col("p2")), lit(5)) === 4
+    val scored = SupervisedMB.mlScore(feats, trainOn = Some(!holdout))
+      .filter(holdout).select("p_match", "is_match").cache()
+    val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setRawPredictionCol("p_match").setLabelCol("is_match")
+      .setMetricName("areaUnderROC").evaluate(scored)
+    assert(auc > 0.85, s"holdout AUC $auc below floor — model quality regressed")
+    // calibration: the weighted negative sampling must preserve the class
+    // prior (the sample weights exist exactly for this); a broken weighting
+    // shifts the intercept and the mean predicted probability with it
+    val row = scored.agg(avg("p_match"), avg(col("is_match").cast("double"))).first()
+    val (meanP, rate) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(meanP - rate) < 0.05,
+      s"mean p_match $meanP far from positive rate $rate — calibration broken")
+  }
+
   test("ppsEmission ranks by likelihood then weight") {
     val weighted = Seq((1L, 2L, 5.0, 5.0), (1L, 3L, 1.0, 1.0), (4L, 5L, 3.0, 3.0))
       .toDF("p1", "p2", "w1", "w2")
