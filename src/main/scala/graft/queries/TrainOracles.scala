@@ -152,6 +152,14 @@ object TrainOracles {
     "evt_dedup_stream" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
+    // stream-stream interval join drained in one batch == the batch join
+    "evt_funnel_join_stream" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE""".stripMargin,
+
     // dropDuplicatesWithinWatermark over one AvailableNow batch: expiry
     // uses the previous batch's watermark (-inf), so the emitted key set
     // equals batch DISTINCT (EventStreams.dedupWithinWatermarkStreaming doc)
@@ -341,6 +349,48 @@ object TrainOracles {
          |FROM cand c JOIN allv e1 ON c.v1 = e1.vec_id
          |JOIN allv e2 ON c.v2 = e2.vec_id
          |WHERE round(${cosine("e1.embedding", "e2.embedding")}, 9) >= 0.9""".stripMargin,
+
+    // ---- corpus curation twins (graft.text.Curation) ----
+
+    "txt_domain_cap" ->
+      """WITH pr AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM pr WHERE rn <= 5""".stripMargin,
+
+    "txt_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id * 2654435761) % 1000000007) % 100
+        |      < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)""".stripMargin,
+
+    "txt_vocab" ->
+      s"""WITH dn AS (SELECT ${norm("text")} AS nt FROM documents),
+         |tk AS (SELECT unnest(list_filter(string_split(nt, ' '), t -> length(t) > 0)) AS token FROM dn),
+         |cnts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY token
+         |         ORDER BY cnt DESC, token ASC LIMIT 100)
+         |SELECT token, cnt,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank
+         |FROM cnts""".stripMargin,
+
+    "txt_pack" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(${norm("text")}, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |             SUM(CAST(n_tokens AS DOUBLE)) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM n)
+         |SELECT doc_id, n_tokens,
+         |       CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS bin_id FROM c""".stripMargin,
+
+    "evt_props_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS k_avg
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "evt_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -120,6 +120,9 @@ object TrainQueries {
     "evt_dedup_watermark" -> ((s, d) =>
       EventStreams.dedupWithinWatermarkStreaming(s, d)),
 
+    "evt_funnel_join_stream" -> ((s, d) =>
+      EventStreams.funnelJoinStreaming(s, d)),
+
     // training-data curation composition: exact-dedup survivors with
     // quality and language gates — the end-to-end "what goes into the
     // training set" query over the analysis + dedup building blocks
@@ -130,6 +133,36 @@ object TrainQueries {
         .filter(col("quality") >= 0.5 && col("lang_id") === "en")
         .select("doc_id", "n_tokens", "quality", "lang_id")
     }),
+
+    // ---- corpus curation (graft.text.Curation) ----
+
+    // cap every domain at 5 docs by deterministic pseudo-random priority
+    "txt_domain_cap" -> ((s, d) =>
+      graft.text.Curation.domainCap(docs(s, d), k = 5)),
+
+    // keep 50% of English, 10% of the rest — replayable hash sampling
+    "txt_stratified_sample" -> ((s, d) =>
+      graft.text.Curation.stratifiedSample(docs(s, d),
+        rates = Map("en" -> 50), defaultRate = 10)),
+
+    // global token frequencies, top 100 by (count desc, token)
+    "txt_vocab" -> ((s, d) =>
+      graft.text.Curation.vocabTopN(docs(s, d), n = 100)),
+
+    // contiguous 1024-token packing bins via the distributed prefix sum
+    "txt_pack" -> ((s, d) =>
+      graft.text.Curation.packSequences(docs(s, d), budget = 1024)),
+
+    // JSON property extraction from the event payload — the scalar-JSON
+    // surface (get_json_object) over a streamed-table column, aggregated
+    // into exact integer sums (deterministic across partitionings)
+    "evt_props_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+        .withColumn("k_avg", col("k_sum").cast("double") / col("n"))),
 
     // content_hash (xxhash64) is Spark-specific — tested in ScalaTest, not
     // part of the oracle projection

@@ -30,6 +30,23 @@ object EventStreams {
     else raw
   }
 
+  /**
+   * Session clone for streaming queries with its own shuffle-partition
+   * setting (`spark.graft.stream.partitions`, default 8): stateful
+   * streaming cost scales with the partition count — one state store,
+   * commit, and task per partition per micro-batch — and the batch
+   * engine's wide-cluster default (32 here) is pure fixed overhead for
+   * the drain harness. A production deployment sizes this to its state
+   * volume; the conf is the knob.
+   */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val n = spark.conf.getOption("spark.graft.stream.partitions").getOrElse("8")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+
   /** Temp dir holding a symlink to the events file — the file-stream
    * source only accepts directories. Recursively deleted on JVM exit
    * (deleteOnExit would silently no-op: the dir is never empty). */
@@ -85,8 +102,8 @@ object EventStreams {
    * readStream -> watermark -> window -> writeStream path; with all data
    * on disk the result equals the batch form.
    */
-  def windowedAggStreaming(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def windowedAggStreaming(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(streamDirFor(dir, "events_stream_"))
     val stream =
@@ -116,8 +133,8 @@ object EventStreams {
    * `dropDuplicatesWithinWatermark` (state bounded by the watermark) — the
    * exact-distinct form here is what the batch oracle can reproduce.
    */
-  def distinctPairsStreaming(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def distinctPairsStreaming(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val dedup = spark.readStream.schema(schema).parquet(streamDirFor(dir, "events_dedup_"))
       .select("user_id", "event_type")
@@ -141,8 +158,8 @@ object EventStreams {
    * derived (event_type, event day): watermark-compatible dedup on a
    * projected dimension, not just raw columns.
    */
-  def dedupWithinWatermarkStreaming(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def dedupWithinWatermarkStreaming(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", Int.MaxValue)
@@ -157,6 +174,43 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_type", "event_day")
       .select("event_type", "event_day")
     drainAvailableNow(dedup, "events_dedup_wm", "append")
+  }
+
+  /**
+   * STREAM-STREAM interval join (funnel attribution): clicks joined to the
+   * same user's purchases within (click_ts, click_ts + windowMinutes]. Both
+   * sides carry watermarks and the join condition bounds event-time
+   * distance, so each side's buffered state expires once the watermark
+   * passes click_ts + window — the bounded-state shape Structured
+   * Streaming requires for unbounded stream-stream joins. Inner joins emit
+   * matches as soon as both sides arrive; with the whole table in one
+   * AvailableNow batch the result equals the batch join, which is the
+   * DuckDB twin.
+   */
+  def funnelJoinStreaming(spark0: SparkSession, dir: String,
+                          windowMinutes: Int = 60): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(streamDirFor(dir, "events_funnel_"))
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $windowMinutes minutes"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    drainAvailableNow(joined, "events_funnel", "append")
   }
 
   /** Per-event input row for the stateful stream. Carries the watermarked
@@ -200,9 +254,9 @@ object EventStreams {
    * user is filtered from the output. Emitted sessions match the batch
    * gaps-and-islands twin [[sessionize]] row for row.
    */
-  def sessionizeStreaming(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def sessionizeStreaming(spark0: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = gapMinutes * 60L * 1000000L
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType

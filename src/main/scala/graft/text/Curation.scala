@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline needs
+ * between dedup and the final training set — all deterministic (hash
+ * arithmetic, no RNG), all single-shuffle shapes, all with DuckDB oracle
+ * twins:
+ *
+ *  - per-domain quota capping (keep at most k docs per source, in a
+ *    deterministic pseudo-random priority order);
+ *  - stratified sampling (per-stratum keep rates via a hash of the id);
+ *  - vocabulary statistics (global token frequencies, top-n);
+ *  - sequence packing (assign docs to contiguous token-budget bins via a
+ *    distributed prefix sum — no single-partition window).
+ */
+object Curation {
+
+  /** Deterministic pseudo-random priority from an id: Knuth
+   * multiplicative hash folded to [0, 1e9) — pure BIGINT arithmetic the
+   * SQL oracle reproduces exactly (products stay far under 2^63 for any
+   * doc id this engine assigns). */
+  private def idHash(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(1000000007L))
+
+  /**
+   * Keep at most `k` documents per domain (`source`), selecting by
+   * deterministic pseudo-random priority so one giant domain can't
+   * dominate the training mix. A literal `k` plans as WindowGroupLimit —
+   * partial per-group top-k before the shuffle, so the exchange carries
+   * O(domains * k), not O(docs).
+   */
+  def domainCap(docs: DataFrame, k: Int, domainCol: String = "source",
+                idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(domainCol).as("source"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(idHash(col("doc_id")).asc, col("doc_id").asc)))
+      .filter(col("rn") <= lit(k))
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+
+  /**
+   * Stratified downsampling: per-stratum keep rates in percent (e.g. keep
+   * 50% of English, 10% of everything else), decided by a deterministic
+   * hash of the id — the same replayable-sampling posture as mlScore's
+   * negative sampling: re-running the pipeline keeps the SAME documents,
+   * and no shuffle at all (a pure filter over the scan).
+   */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int], defaultRate: Int,
+                       stratumCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.select(col(idCol).as("doc_id"), col(stratumCol).as("lang"))
+      .filter(pmod(idHash(col("doc_id")), lit(100L)) < rate)
+  }
+
+  /**
+   * Global vocabulary statistics: token frequencies over the normalized
+   * corpus, top `n` by (count desc, token asc) — a unique total order, so
+   * the selection is a distributed TakeOrderedAndProject, never a global
+   * rank window over the whole vocabulary. The aggregation is map-side
+   * combinable (partial counts per partition before the shuffle).
+   */
+  def vocabTopN(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(explode(
+      filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(n)
+    counts.withColumn("rank", row_number().over(
+      Window.orderBy(col("cnt").desc, col("token").asc)))
+  }
+
+  /**
+   * Naive contiguous sequence packing: walk documents in id order,
+   * accumulate token counts, and assign each document to the bin its
+   * running total starts in (`bin = floor((cumsum - n_tokens) / budget)`).
+   * The running total is the two-phase range-partitioned prefix sum
+   * ([[graft.util.Prefix]]), so packing a 100 TB corpus is two O(N)
+   * passes — no single-partition window, no driver state. (Production
+   * packers use smarter bin-filling; the contiguous form is the
+   * deterministic, oracle-checkable baseline.)
+   */
+  def packSequences(docs: DataFrame, budget: Int, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val withN = docs.select(col(idCol).as("doc_id"),
+      size(filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0)).cast("long").as("n_tokens"))
+    graft.util.Prefix.runningSum(withN, Seq(col("doc_id").asc),
+        col("n_tokens").cast("double"), "cum")
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).cast("long").as("bin_id"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.er._
+
+/**
+ * Physical-plan regression tests: the scale properties this engine's
+ * operators rely on (top-k pushdown, column pruning, filter pushdown,
+ * broadcast choices, codegen) asserted against the planned query — so a
+ * refactor that silently degrades the 100-TB plan (e.g. a non-literal k
+ * defeating WindowGroupLimit, or a projection stopping short of the scan)
+ * fails CI, not the next benchmark.
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final physical plan: AQE only finalizes (and picks codegen spans /
+   * join strategies) during execution, so materialize first; keep only the
+   * "== Final Plan ==" section (the toString repeats the initial plan
+   * below it, which would double-count nodes). WholeStageCodegen spans
+   * print as "*(id)" prefixes in this form. */
+  private def plan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  /** Parquet-backed copy of a tiny fixture: several plan rules (e.g.
+   * InferWindowGroupLimit) rightly skip LocalRelation inputs whose known
+   * maxRows can't benefit — production operators always consume parquet
+   * snapshots, so plan tests must too. */
+  private def viaParquet(df: DataFrame): DataFrame = graft.util.Snapshot(df)
+
+  test("cnp's literal k plans as WindowGroupLimit (partial top-k before exchange)") {
+    val weighted = viaParquet(Seq((1L, 2L, 3.0, 3.0), (1L, 3L, 1.0, 1.0),
+      (2L, 3L, 2.0, 2.0), (2L, 4L, 2.5, 2.5)).toDF("p1", "p2", "w1", "w2"))
+    val stats = Seq(("k", 4L)).toDF("key", "size")
+    val p = plan(MetaBlocking.cnp(weighted, stats, 2L, ComparisonType.OR,
+      kOverride = Some(3L)))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("supervised cnp also keeps the WindowGroupLimit pushdown") {
+    val scored = viaParquet(Seq((1L, 2L, 0.9, 0), (1L, 3L, 0.8, 0), (2L, 3L, 0.7, 0))
+      .toDF("p1", "p2", "p_match", "is_match"))
+    val stats = Seq(("k", 4L)).toDF("key", "size")
+    val p = plan(SupervisedMB.cnp(scored, stats, 2L, ComparisonType.OR))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("domainCap prunes the documents scan to (doc_id, source) — no text column") {
+    val df = graft.text.Curation.domainCap(
+      spark.read.parquet(s"$sf/documents.parquet"), k = 5)
+    val scan = plan(df).linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("doc_id") && scan.contains("source"), scan)
+    assert(!scan.contains("text"), s"text not pruned from scan: $scan")
+  }
+
+  test("query-side predicate is pushed into the embeddings scan") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = e.filter(col("vec_id") < 10).select("vec_id")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("LessThan(vec_id,10)"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("brute-force ANN broadcasts the query side (nested-loop, never a shuffle)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.similarity.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast NLJ in:\n$p")
+  }
+
+  test("LSH ANN candidate generation is a broadcast hash join on the bucket key") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.similarity.Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast hash join in:\n$p")
+  }
+
+  test("exact dedup is one hash exchange with codegen up to the shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.dedup.Dedup.exact(docs))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("*("), s"no codegen span in:\n$p")
+  }
+
+  test("text analysis is a single projection over the scan (no exchange)") {
+    // the projection mixes codegen'd expressions (PolyHash31, FastRound)
+    // with higher-order lambdas (BPE estimate) that are CodegenFallback by
+    // design — the plan-shape guarantee is scan -> one Project, no shuffle
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.text.TextAnalysis.analyze(docs, "text"))
+    assert(!p.contains("Exchange "), s"unexpected exchange in:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, s"expected 1 scan:\n$p")
+  }
+}

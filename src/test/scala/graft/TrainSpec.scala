@@ -158,6 +158,80 @@ class TrainSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark stream equals batch DISTINCT on derived keys") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.dedupWithinWatermarkStreaming(spark, dir)
+    val batch = EventStreams.loadEvents(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("event_day")).distinct()
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("funnelJoinStreaming (stream-stream interval join) equals the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.funnelJoinStreaming(spark, dir)
+    val ev = EventStreams.loadEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("pu") && col("pts") > col("cts") &&
+          col("pts") <= col("cts") + expr("interval 60 minutes"))
+      .select("user_id", "click_id", "purchase_id")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("domainCap keeps at most k per domain with deterministic priority") {
+    val docs = (1L to 40L).map(i => (i, s"src${i % 3}", "t")).toDF("doc_id", "source", "text")
+    val capped = graft.text.Curation.domainCap(docs, k = 5)
+    val bySrc = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.values.forall(_ == 5) && bySrc.size == 3)
+    // priority is the Knuth-hash order, not plain id order
+    val picked = capped.filter(col("source") === "src0").select("doc_id")
+      .as[Long].collect().toSet
+    val expect = (1L to 40L).filter(_ % 3 == 0)
+      .sortBy(i => (i * 2654435761L % 1000000007L, i)).take(5).toSet
+    assert(picked == expect)
+  }
+
+  test("stratifiedSample keeps deterministic per-stratum fractions") {
+    val docs = (1L to 2000L).map(i => (i, if (i % 4 == 0) "xx" else "en", "t"))
+      .toDF("doc_id", "lang", "text")
+    val kept = graft.text.Curation.stratifiedSample(docs,
+      rates = Map("en" -> 50), defaultRate = 10)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // hash is uniform-ish: en ~50% of 1500, xx ~10% of 500
+    assert(byLang("en") > 600 && byLang("en") < 900)
+    assert(byLang("xx") > 20 && byLang("xx") < 90)
+    // replayable: the same docs survive a second run
+    val again = graft.text.Curation.stratifiedSample(docs,
+      rates = Map("en" -> 50), defaultRate = 10)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
+
+  test("vocabTopN counts normalized tokens with (cnt desc, token) rank") {
+    val docs = Seq((1L, "a b a"), (2L, "B a  c"), (3L, "c a")).toDF("doc_id", "text")
+    val v = graft.text.Curation.vocabTopN(docs, n = 2)
+      .select("token", "cnt", "rank").as[(String, Long, Int)].collect().toList
+    assert(v == List(("a", 4L, 1), ("b", 2L, 2)))
+  }
+
+  test("packSequences bins by running token budget, matches a serial walk") {
+    val docs = (1L to 100L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim)).toDF("doc_id", "text")
+    val packed = graft.text.Curation.packSequences(docs, budget = 10)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    var cum = 0L
+    packed.foreach { case (id, n, bin) =>
+      assert(n == (id % 7 + 1))
+      assert(bin == cum / 10, s"doc $id: bin $bin != ${cum / 10}")
+      cum += n
+    }
+    // docs never span backwards and bins are monotone
+    assert(packed.map(_._3).toSeq == packed.map(_._3).sorted.toSeq)
+  }
+
   test("sessionize splits on gaps > 30min") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a", 1.0, "{}"),
