@@ -10,6 +10,15 @@ import graft.er.WeightType
  * measure the operator itself, not first-touch construction of shared
  * state — r1's numbers misattributed the whole supervised pipeline to
  * whichever query ran first. Bench times this as its own entry.
+ *
+ * Structure: Spark schedules jobs from many threads at once, so
+ * independent pipeline builds overlap their shuffles instead of leaving
+ * most of local[32] idle between stages. Chains with NO dependency on the
+ * main spine (BLAST, 3-source, dedup) run on their own threads across the
+ * WHOLE warmup; the spine-dependent steps run in dependency waves. Wall
+ * clock = max(longest independent chain, dependent critical path), not
+ * the sum of per-wave maxima (r3-r4 shapes: the 60s BLAST chain gated a
+ * wave while the spine sat finished).
  */
 object Warmup {
   private def step(name: String)(f: => Any): Unit = {
@@ -18,62 +27,57 @@ object Warmup {
     System.err.println(f"[warmup] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
   }
 
-  /** Run independent cache builds CONCURRENTLY: Spark schedules jobs from
-   * many threads at once (FIFO across jobs, tasks interleave), so a wave
-   * of independent pipeline builds overlaps its shuffles instead of
-   * leaving most of local[32] idle between stages. Steps are grouped into
-   * dependency waves; within a wave each step runs on its own thread.
-   *
-   * Every step is awaited (Future.sequence with a generous finite timeout,
-   * so a hung step can't block warmup forever) and per-step failures are
-   * logged individually before the first one is rethrown — one failed step
-   * no longer obscures its siblings or leaves them running unobserved. */
-  private def wave(steps: (String, () => Any)*): Unit = {
-    import scala.concurrent.{Await, Future, ExecutionContext}
+  /** Run steps concurrently and await ALL of them (Future.sequence with a
+   * generous finite timeout so a hung step can't block warmup forever);
+   * per-step failures are logged individually before the first is
+   * rethrown — one failed step no longer obscures its siblings. */
+  private def awaitAll(fs: Seq[scala.concurrent.Future[Unit]])
+                      (implicit ec: scala.concurrent.ExecutionContext): Unit = {
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(steps.size)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    val fs = steps.map { case (name, f) =>
-      Future(step(name)(f())).transform(
-        identity,
-        { e => System.err.println(s"[warmup] step $name FAILED: $e"); e })
-    }
-    try Await.result(Future.sequence(fs.toList), 30.minutes)
-    finally pool.shutdown()
+    Await.result(Future.sequence(fs.toList), 30.minutes); ()
   }
 
   def run(s: SparkSession, d: String): Unit = {
-    // wave 1: the two blocking spines + independent side pipelines
-    wave(
-      "cleaned_dirty" -> (() => ErQueries.cleaned(s, d, clean = false)),
-      "cleaned_clean" -> (() => ErQueries.cleaned(s, d, clean = true)),
-      "gt_convert" -> (() => ErQueries.gtConverted(s, d)),
-      "clusters" -> (() => SupQueries.clusters(s, d)),
-      "train" -> (() => TrainQueries.warm(s, d)))
-    // wave 2: pair graphs + per-profile stats (need the spines), BLAST
-    // (needs clusters), 3-source (independent spine of its own)
-    wave(
-      "pairs_dirty" -> (() => ErQueries.cachedPairs(s, d, clean = false)),
-      "pairs_clean" -> (() => ErQueries.cachedPairs(s, d, clean = true)),
-      "pstats_dirty" -> (() => ErQueries.cachedProfileStats(s, d, clean = false)),
-      "pstats_clean" -> (() => ErQueries.cachedProfileStats(s, d, clean = true)),
-      "blast_weighted" -> (() => SupQueries.blastWeighted(s, d)),
-      "wnp_3src" -> (() => ErQueries.all("er_wnp_cbs_3src")(s, d)),
-      "features" -> (() => SupQueries.features(s, d)),
-      "features_clean" -> (() => SupQueries.featuresClean(s, d)))
-    // wave 3: weighted graphs + supervised scoring
-    wave(
-      "wide_dirty" -> (() => ErQueries.wideWeighted(s, d, clean = false)),
-      "wide_clean" -> (() => ErQueries.wideWeighted(s, d, clean = true)),
-      "self_weights" -> (() => ErQueries.selfWeightsCached(s, d, WeightType.CBS)),
-      "scored" -> (() => SupQueries.scored(s, d)),
-      "ml_scored" -> (() => SupQueries.mlScored(s, d)))
-    // wave 4: WNP candidate snapshots (need wide + self) + the shared
-    // classifier-positive edge set (needs scored)
-    wave(
-      "wnp_cbs" -> (() => ErQueries.wnpCbsAvgOrDirty(s, d)),
-      "wnp_cbs_clean" -> (() => ErQueries.wnpCbsAvgOrClean(s, d)),
-      "directed_cbs_clean" -> (() => ErQueries.directedCbsClean(s, d)),
-      "positives" -> (() => SupQueries.positives(s, d)))
+    import scala.concurrent.{ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    def task(name: String)(f: => Any): Future[Unit] =
+      Future(step(name)(f)).transform(
+        identity,
+        { e => System.err.println(s"[warmup] step $name FAILED: $e"); e })
+    try {
+      // independent chains: start now, join at the very end
+      val indep = Seq(
+        task("blast_chain") {
+          SupQueries.clusters(s, d); SupQueries.blastWeighted(s, d)
+        },
+        task("wnp_3src")(ErQueries.all("er_wnp_cbs_3src")(s, d)),
+        task("train")(TrainQueries.warm(s, d)))
+      // dependent waves over the blocking/cleaning spine
+      awaitAll(Seq(
+        task("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false)),
+        task("cleaned_clean")(ErQueries.cleaned(s, d, clean = true)),
+        task("gt_convert")(ErQueries.gtConverted(s, d))))
+      awaitAll(Seq(
+        task("pairs_dirty")(ErQueries.cachedPairs(s, d, clean = false)),
+        task("pairs_clean")(ErQueries.cachedPairs(s, d, clean = true)),
+        task("pstats_dirty")(ErQueries.cachedProfileStats(s, d, clean = false)),
+        task("pstats_clean")(ErQueries.cachedProfileStats(s, d, clean = true)),
+        task("features")(SupQueries.features(s, d)),
+        task("features_clean")(SupQueries.featuresClean(s, d))))
+      awaitAll(Seq(
+        task("wide_dirty")(ErQueries.wideWeighted(s, d, clean = false)),
+        task("wide_clean")(ErQueries.wideWeighted(s, d, clean = true)),
+        task("self_weights")(ErQueries.selfWeightsCached(s, d, WeightType.CBS)),
+        task("scored")(SupQueries.scored(s, d)),
+        task("ml_scored")(SupQueries.mlScored(s, d))))
+      awaitAll(Seq(
+        task("wnp_cbs")(ErQueries.wnpCbsAvgOrDirty(s, d)),
+        task("wnp_cbs_clean")(ErQueries.wnpCbsAvgOrClean(s, d)),
+        task("directed_cbs_clean")(ErQueries.directedCbsClean(s, d)),
+        task("positives")(SupQueries.positives(s, d))))
+      awaitAll(indep)
+    } finally pool.shutdown()
   }
 }
