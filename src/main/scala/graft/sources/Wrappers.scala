@@ -137,6 +137,22 @@ object Wrappers {
         lit(sourceId).as("source_id"), col("attributes"))
   }
 
+  /**
+   * Parquet -> profiles: the modern replacement for the reference's
+   * SerializedObjectLoader/SerializedProfilesLoader
+   * (scala/.../Wrappers/SerializedObjectLoader.scala:12-59 — Java-serialized
+   * profile arrays re-parallelized in chunks). Columnar parquet already IS
+   * the chunked, splittable at-rest profile format; the same schema-free
+   * coercion rules as every other loader apply (arrays explode, cells cast
+   * to string, null/empty dropped).
+   */
+  def loadProfilesParquet(spark: SparkSession, path: String,
+                          startIdFrom: Long = 0, realIdField: String = "",
+                          sourceId: Int = 0,
+                          fieldsToKeep: Seq[String] = Nil): DataFrame =
+    fromDataFrame(spark.read.parquet(path), startIdFrom, realIdField, sourceId,
+      fieldsToKeep = fieldsToKeep)
+
   /** Ground-truth loaders (wrappers.py:56-64, :112-134): pairs of original
    * ids under fixed column names (id1, id2). */
   def loadGroundTruthCsv(spark: SparkSession, path: String,

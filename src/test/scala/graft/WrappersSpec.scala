@@ -28,6 +28,19 @@ class WrappersSpec extends AnyFunSuite {
     assert(rows(2)._4 == Set(("qty", "3"))) // empty name dropped
   }
 
+  test("Parquet loader: typed columns coerce to string attrs, arrays explode") {
+    val dir = Files.createTempDirectory("pqw").toFile.getAbsolutePath + "/p"
+    Seq(("r1", 5, Seq("x", "y"), 2.5)).toDF("rid", "n", "tags", "price")
+      .write.parquet(dir)
+    val p = Wrappers.loadProfilesParquet(spark, dir, startIdFrom = 3,
+      realIdField = "rid", sourceId = 1)
+    val row = p.collect().head
+    assert(row.getLong(0) == 3L && row.getString(1) == "r1" && row.getInt(2) == 1)
+    val attrs = Wrappers.toLongLayout(p)
+      .select("attribute", "value").as[(String, String)].collect().toSet
+    assert(attrs == Set(("n", "5"), ("tags", "x"), ("tags", "y"), ("price", "2.5")))
+  }
+
   test("JSON loader: arrays explode to repeated attributes") {
     val dir = Files.createTempDirectory("jsonw").toFile
     val f = new java.io.File(dir, "d.json")
