@@ -129,10 +129,23 @@ object TextAnalysis {
    * Dedup.strHash (codegen'd primitive loop, shared with the SQL oracle). */
   private def charFold(s: Column): Column = graft.functions.PolyHash31(s)
 
-  /** All analyses as named columns over a text column. */
-  def analyze(df: DataFrame, textCol: String): DataFrame = {
+  /**
+   * All analyses as named columns over a text column.
+   *
+   * `fused = true` (default) computes every token-derived statistic from
+   * ONE single-pass codegen'd expression ([[graft.functions.TokenTextStats]])
+   * instead of the higher-order-function stack above: Catalyst's
+   * ArrayFilter/ArrayTransform/ArrayAggregate are CodegenFallback, so the
+   * HOF form walks an interpreted expression tree per token per statistic
+   * — at 100 TB the difference between one tight byte loop per document
+   * and ~10 interpreted array traversals. The HOF form (`fused = false`)
+   * remains the executable reference semantics; a TrainSpec property test
+   * asserts bit-identical output on unicode-rich generated strings, and
+   * the DuckDB oracle pins both.
+   */
+  def analyze(df: DataFrame, textCol: String, fused: Boolean = true): DataFrame = {
     val t = col(textCol)
-    df.select(
+    if (!fused) return df.select(
       col("doc_id"),
       tokenCount(t).as("n_tokens"),
       bpeTokenEstimate(t).as("n_bpe_tokens"),
@@ -141,6 +154,42 @@ object TextAnalysis {
       graft.functions.FastRound.round(meanTokenLen(t), 9).as("mean_token_len"),
       qualityScore(t).as("quality"),
       languageId(t).as("lang_id"),
+      fingerprint(t).as("fingerprint"))
+
+    val stats = graft.functions.TokenTextStats(t,
+      EnglishStopwords, LangMarkers.map(_._2))
+    val nonspace = element_at(stats, 1)         // sum of token codepoint lengths
+    val nruns = element_at(stats, 2)            // filtered token count
+    val stopHits = element_at(stats, 3)
+    val bpeAlpha = element_at(stats, 4)
+    val langHits = LangMarkers.indices.map(i => element_at(stats, 5 + i))
+
+    val stopRatio = when(nruns === 0, lit(0.0))
+      .otherwise(stopHits.cast("double") / nruns.cast("double"))
+    val meanLen = when(nruns === 0, lit(0.0))
+      .otherwise(nonspace.cast("double") / nruns.cast("double"))
+    val bpe = bpeAlpha +
+      length(regexp_replace(t, "[a-zA-Z\\s]", "")).cast("long")
+    val lenTerm = least(length(t).cast("double") / 500.0, lit(1.0))
+    val stopTerm = least(stopRatio * 5.0, lit(1.0))
+    val punctTerm = greatest(lit(1.0) - punctRatio(t) * 4.0, lit(0.0))
+    val quality = graft.functions.FastRound.round(
+      (lenTerm + stopTerm + punctTerm) / 3.0, 9)
+    val best = langHits.reduce((a, b) => greatest(a, b))
+    val lang = LangMarkers.map(_._1).zip(langHits)
+      .foldRight(lit("und")) { case ((l, s), acc) =>
+        when(s === best && s > 0, lit(l)).otherwise(acc)
+      }
+
+    df.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      bpe.as("n_bpe_tokens"),
+      graft.functions.FastRound.round(punctRatio(t), 9).as("punct_ratio"),
+      graft.functions.FastRound.round(stopRatio, 9).as("stopword_ratio"),
+      graft.functions.FastRound.round(meanLen, 9).as("mean_token_len"),
+      quality.as("quality"),
+      lang.as("lang_id"),
       fingerprint(t).as("fingerprint"))
   }
 }

@@ -88,13 +88,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"no codegen span in:\n$p")
   }
 
-  test("text analysis is a single projection over the scan (no exchange)") {
-    // the projection mixes codegen'd expressions (PolyHash31, FastRound)
-    // with higher-order lambdas (BPE estimate) that are CodegenFallback by
-    // design — the plan-shape guarantee is scan -> one Project, no shuffle
+  test("text analysis is one codegen'd projection over the scan (no exchange)") {
+    // the fused TokenTextStats expression keeps the whole projection
+    // inside whole-stage codegen — the HOF form (fused = false) is
+    // CodegenFallback and drops the star
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.text.TextAnalysis.analyze(docs, "text"))
     assert(!p.contains("Exchange "), s"unexpected exchange in:\n$p")
     assert(p.linesIterator.count(_.contains("FileScan")) == 1, s"expected 1 scan:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"projection not codegen'd:\n$p")
   }
 }

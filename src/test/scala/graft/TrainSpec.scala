@@ -167,6 +167,31 @@ class TrainSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("fused TokenTextStats analyze == HOF reference semantics (unicode-rich property)") {
+    // adversarial corpus: whitespace variants, astral-plane codepoints,
+    // unicode lowercasing edge cases, marker words of several languages,
+    // punctuation soup, empties — plus generated mixtures
+    val seeds = Seq(
+      "", " ", "\t\n\f\r", "the and of to is", "der die und ist",
+      "abc", "ABCdefGHIjklMNOpqr", "a1b2c3 d4e5", "!!!???;;;",
+      "😀 emoji 😁😂 tokens",
+      "İstanbul STRASSE ß ſ KK", // unicode lowercase edge cases
+      "  leading and trailing  ", "tab\tsep\nnewline\rcr",
+      "el la y es los", "le la et est", "mixed the der le el il o",
+      "x" * 500, ("word " * 100).trim)
+    val alphabet = "abct ħeß😀.!\t\n ABZ0189 þ"
+    val gen = (1 to 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val docs = (seeds ++ gen).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fused = graft.text.TextAnalysis.analyze(docs, "text", fused = true)
+    val hof = graft.text.TextAnalysis.analyze(docs, "text", fused = false)
+    val diff = fused.exceptAll(hof).union(hof.exceptAll(fused))
+    assert(diff.isEmpty, s"fused/HOF divergence:\n${diff.collect().mkString("\n")}")
+  }
+
   test("funnelJoinStreaming (stream-stream interval join) equals the batch join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventStreams.funnelJoinStreaming(spark, dir)
