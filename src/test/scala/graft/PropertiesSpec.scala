@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.er._
+
+/**
+ * Structural invariants of the meta-blocking operators (SURVEY.md §5),
+ * checked over several seeded random block collections — properties that
+ * must hold for ANY input, complementing the fixed-fixture specs and the
+ * DuckDB value oracle:
+ *
+ *  - purging keep-set grows monotonically with the smooth factor;
+ *  - filtering keeps a subset, never empties a profile, always keeps the
+ *    profile's cheapest block;
+ *  - WNP(AND) ⊆ WNP(OR) ⊆ edges;
+ *  - CNP(AND) ⊆ CNP(OR) ⊆ edges, and AND retains ≤ k edges per profile;
+ *  - WEP keeps a non-empty subset (max ≥ mean);
+ *  - CEP keeps exactly min(K, |edges|) edges (tie quotas fill K exactly);
+ *  - symmetric weight schemes produce w1 == w2 on every edge.
+ */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  /** Seeded random (profile, key) incidence: ~nProfiles profiles over
+   * ~nKeys keys with zipf-ish popular keys, always distinct rows. Sparse
+   * enough that no profile lands in EVERY valid block: a row-margin of
+   * zero makes the chi-square expected count 0/0 — an input the Python
+   * reference itself crashes on (ZeroDivisionError in calc_chi_square),
+   * i.e. outside the operator's domain, not a property to test. */
+  private def genKeys(seed: Int, nProfiles: Int = 60, nKeys: Int = 40): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val rows = for {
+      p <- 0 until nProfiles
+      k <- 0 until nKeys
+      // popular low-numbered keys: membership prob decays with k
+      if rnd.nextDouble() < 0.5 / (1 + k % 11)
+    } yield (s"k$k", p.toLong, 0)
+    rows.distinct.toDF("key", "profile_id", "source_id")
+  }
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] =
+    df.select("p1", "p2").as[(Long, Long)].collect().toSet
+
+  test("purging keep-set is monotone in the smooth factor") {
+    for (seed <- 1 to 3) {
+      val stats = Blocking.blockStats(
+        Blocking.validBlocks(genKeys(seed), clean = false), clean = false)
+      val kept = Seq(1.0, 1.005, 1.05, 1.3).map { s =>
+        BlockCleaning.purge(stats, s).select("key").as[String].collect().toSet
+      }
+      kept.sliding(2).foreach { case Seq(lo, hi) =>
+        assert(lo.subsetOf(hi), s"seed $seed: purge not monotone")
+      }
+    }
+  }
+
+  test("filtering keeps a subset, never empties a profile, keeps the cheapest block") {
+    for (seed <- 1 to 3) {
+      val keys = genKeys(seed)
+      val members = Blocking.validBlocks(keys, clean = false)
+      val stats = Blocking.blockStats(members, clean = false)
+      val pb = members.join(stats.select("key", "comparisons"), Seq("key"))
+        .select("profile_id", "key", "comparisons")
+      val kept = BlockCleaning.filterProfileBlocks(pb, 0.6)
+      // subset
+      assert(kept.exceptAll(pb).isEmpty)
+      // no profile emptied; cheapest block survives
+      val minBlocks = pb.withColumn("_m", min(struct(col("comparisons"), col("key")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("profile_id")))
+        .filter(struct(col("comparisons"), col("key")) === col("_m")).drop("_m")
+      assert(minBlocks.join(kept, Seq("profile_id", "key"), "left_anti").isEmpty,
+        s"seed $seed: a profile's cheapest block was dropped")
+    }
+  }
+
+  test("WNP(AND) ⊆ WNP(OR) ⊆ edges; WEP non-empty subset") {
+    for (seed <- 1 to 3) {
+      val cb = Pipeline.cleanBlocks(genKeys(seed), clean = false)
+      val weighted = graft.util.Snapshot(cb.weighted(WeightType.CBS))
+      val edges = pairsOf(weighted)
+      val or = pairsOf(MetaBlocking.wnp(weighted, ThresholdType.AVG, ComparisonType.OR, WeightType.CBS))
+      val and = pairsOf(MetaBlocking.wnp(weighted, ThresholdType.AVG, ComparisonType.AND, WeightType.CBS))
+      assert(and.subsetOf(or) && or.subsetOf(edges), s"seed $seed: WNP inclusion broken")
+      val wep = pairsOf(MetaBlocking.wep(weighted))
+      assert(wep.nonEmpty && wep.subsetOf(edges), s"seed $seed: WEP not a non-empty subset")
+    }
+  }
+
+  test("CNP(AND) ⊆ CNP(OR) ⊆ edges; AND retains ≤ k edges per profile") {
+    val k = 3L
+    for (seed <- 1 to 3) {
+      val cb = Pipeline.cleanBlocks(genKeys(seed), clean = false)
+      val weighted = graft.util.Snapshot(cb.weighted(WeightType.CBS))
+      val edges = pairsOf(weighted)
+      val or = pairsOf(MetaBlocking.cnp(weighted, cb.stats2, 60L, ComparisonType.OR, kOverride = Some(k)))
+      val and = pairsOf(MetaBlocking.cnp(weighted, cb.stats2, 60L, ComparisonType.AND, kOverride = Some(k)))
+      assert(and.subsetOf(or) && or.subsetOf(edges), s"seed $seed: CNP inclusion broken")
+      val perProfile = and.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size)
+      assert(perProfile.values.forall(_ <= k),
+        s"seed $seed: reciprocal CNP kept more than k=$k edges for a profile")
+    }
+  }
+
+  test("CEP keeps exactly min(K, |edges|) edges") {
+    for (seed <- 1 to 3) {
+      val cb = Pipeline.cleanBlocks(genKeys(seed), clean = false)
+      val weighted = graft.util.Snapshot(cb.weighted(WeightType.CBS))
+      val k = cb.stats2.agg(floor(sum(col("size")) / 2.0).cast("long")).as[Long].head()
+      val total = weighted.count()
+      val cep = MetaBlocking.cep(weighted, cb.stats2)
+      assert(cep.count() == math.min(k, total),
+        s"seed $seed: CEP kept ${cep.count()} of expected ${math.min(k, total)}")
+      // and it is a subset of the graph
+      assert(cep.select("p1", "p2").exceptAll(weighted.select("p1", "p2")).isEmpty)
+    }
+  }
+
+  test("symmetric weight schemes have w1 == w2 on every edge") {
+    var arcsDiff = 0L
+    for (seed <- 1 to 4) {
+      val cb = Pipeline.cleanBlocks(genKeys(seed), clean = false)
+      val wide = graft.util.Snapshot(MetaBlocking.weightedPairsAll(
+        graft.util.Snapshot(cb.pairs()), cb.profileStats, cb.numberOfBlocks))
+      for (wt <- Seq(WeightType.CBS, WeightType.JS, WeightType.ECBS, WeightType.ChiSquare)) {
+        val n = MetaBlocking.schemeName(wt)
+        val bad = wide.filter(col(s"w1_$n") =!= col(s"w2_$n")).count()
+        assert(bad == 0, s"seed $seed: $wt asymmetric on $bad edges")
+      }
+      // ARCS is asymmetric BY DESIGN (per-profile denominator,
+      // common_node_pruning.py:185-201); accumulate over seeds — a single
+      // fixture can coincidentally balance the denominators
+      arcsDiff += wide.filter(col("w1_arcs") =!= col("w2_arcs")).count()
+    }
+    assert(arcsDiff > 0,
+      "ARCS symmetric on every seed - the asymmetry canary lost its teeth")
+  }
+}
