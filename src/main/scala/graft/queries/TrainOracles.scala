@@ -160,6 +160,25 @@ object TrainOracles {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE""".stripMargin,
 
+    // as-of join twin: same window pass + equi-join resolution
+    "evt_asof_join" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_left
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *, MAX(CASE WHEN is_left = 1 THEN ts END) OVER (
+        |     PARTITION BY user_id ORDER BY ts ASC, is_left DESC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_left_ts
+        |  FROM t),
+        |r AS (SELECT user_id, event_id AS purchase_id, last_left_ts FROM w WHERE is_left = 0),
+        |l AS (SELECT user_id, ts AS last_left_ts, MAX(event_id) AS click_id
+        |      FROM t WHERE is_left = 1 GROUP BY 1, 2)
+        |SELECT r.purchase_id, r.user_id,
+        |       COALESCE(l.click_id, -1) AS click_id,
+        |       COALESCE(r.last_left_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
+        |FROM r LEFT JOIN l ON r.user_id = l.user_id AND r.last_left_ts = l.last_left_ts""".stripMargin,
+
     // dropDuplicatesWithinWatermark over one AvailableNow batch: expiry
     // uses the previous batch's watermark (-inf), so the emitted key set
     // equals batch DISTINCT (EventStreams.dedupWithinWatermarkStreaming doc)

@@ -123,6 +123,16 @@ object TrainQueries {
     "evt_funnel_join_stream" -> ((s, d) =>
       EventStreams.funnelJoinStreaming(s, d)),
 
+    // as-of join: each purchase matched to the user's latest prior click.
+    // Unmatched purchases (left-outer semantics) surface as sentinel
+    // -1/epoch instead of NULL purely for the hash compare — the operator
+    // itself returns real NULLs
+    "evt_asof_join" -> ((s, d) =>
+      EventStreams.asofJoin(events(s, d))
+        .select(col("purchase_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("click_ts"), timestamp_micros(lit(0L))).as("click_ts"))),
+
     // training-data curation composition: exact-dedup survivors with
     // quality and language gates — the end-to-end "what goes into the
     // training set" query over the analysis + dedup building blocks

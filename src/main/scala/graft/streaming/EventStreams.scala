@@ -344,6 +344,44 @@ object EventStreams {
         col("n_events"), col("value_sum"))
   }
 
+  /**
+   * AS-OF join: each `rightType` event matched to the same user's latest
+   * `leftType` event at-or-before its timestamp. Spark has no asof-join
+   * operator; the scale-correct composition is union-tag -> one window
+   * pass (running max of left-side event time per user) -> equi-join back
+   * to resolve the matched event id. That is ONE shuffle on user_id plus
+   * one equi-join — never a per-row range probe or a broadcast of a whole
+   * side, so it survives any number of users/events.
+   *
+   * Tie semantics (deterministic, mirrored by the oracle): a left event at
+   * exactly the right event's timestamp counts as "before" (ordering
+   * (ts, left-first, event_id)); among left events sharing that latest
+   * timestamp the largest event_id wins. Right events with no prior left
+   * event keep a NULL match (left outer).
+   */
+  def asofJoin(events: DataFrame, leftType: String = "click",
+               rightType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === leftType).cast("int").as("is_left"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_left").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLast = tagged.withColumn("last_left_ts",
+      max(when(col("is_left") === 1, col("ts"))).over(w))
+    val rights = withLast.filter(col("is_left") === 0)
+      .select(col("user_id"), col("event_id").as("right_id"),
+        col("ts").as("right_ts"), col("last_left_ts"))
+    val lefts = tagged.filter(col("is_left") === 1)
+      .groupBy(col("user_id"), col("ts").as("last_left_ts"))
+      .agg(max(col("event_id")).as("left_id"))
+    rights.join(lefts, Seq("user_id", "last_left_ts"), "left")
+      .select(col("right_id").as("purchase_id"), col("user_id"),
+        col("left_id").as("click_id"), col("last_left_ts").as("click_ts"))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -257,6 +257,27 @@ class TrainSpec extends AnyFunSuite {
     assert(packed.map(_._3).toSeq == packed.map(_._3).sorted.toSeq)
   }
 
+  test("asofJoin matches latest prior click, same-ts counts, ties by max id") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // user 1: click at 10:00 (ids 1 and 2 tie on ts), purchase 10:05 ->
+      // click_id 2; purchase 09:55 -> no prior click
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:05:00"), 7L, "purchase", 1.0, "{}"),
+      (4L, ts("2024-01-01 09:55:00"), 7L, "purchase", 1.0, "{}"),
+      // user 8: purchase at EXACTLY the click ts -> same-ts click counts
+      (5L, ts("2024-01-01 11:00:00"), 8L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-01 11:00:00"), 8L, "purchase", 1.0, "{}"),
+      // other event types are ignored
+      (9L, ts("2024-01-01 10:04:00"), 7L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventStreams.asofJoin(df)
+      .select("purchase_id", "click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(r == Map(3L -> Some(2L), 4L -> None, 6L -> Some(5L)))
+  }
+
   test("sessionize splits on gaps > 30min") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a", 1.0, "{}"),
