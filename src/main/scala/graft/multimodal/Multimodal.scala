@@ -104,4 +104,24 @@ object Multimodal {
   def sampleFrames(features: DataFrame, stride: Int = 2): DataFrame =
     features.select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /**
+   * Fixed-window payload chunking — audio-style segmentation for training:
+   * each payload splits into `chunkBytes`-sized binary chunks (last chunk
+   * ragged), emitted as (doc_id, chunk_idx, chunk, chunk_len). Pure
+   * column expressions (sequence + substring on binary), fully
+   * distributed and codegen-friendly; a waveform pipeline would decode
+   * each chunk in the [[decodeFeatures]] batch afterwards. Chunk count is
+   * ceil(byte_len / chunkBytes); empty payloads produce no chunks.
+   */
+  def chunkPayload(mm: DataFrame, chunkBytes: Int = 256): DataFrame = {
+    require(chunkBytes > 0)
+    val n = ceil(col("meta.byte_len").cast("double") / chunkBytes).cast("int")
+    mm.filter(col("meta.byte_len") > 0) // sequence(0, -1) would descend
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), n - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(payload, chunk_idx * $chunkBytes + 1, $chunkBytes)").as("chunk"))
+      .withColumn("chunk_len", octet_length(col("chunk")).cast("long"))
+  }
 }

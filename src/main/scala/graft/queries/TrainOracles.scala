@@ -417,6 +417,20 @@ object TrainOracles {
         |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "evt_cube_agg" ->
+      """SELECT COALESCE(event_type, '(all)') AS event_type,
+        |       COALESCE(CAST(ts AS DATE), DATE '1970-01-01') AS event_day,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+        |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
+
+    "evt_value_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 9) AS p50,
+        |       round(quantile_cont(value, 0.95), 9) AS p95,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "evt_windowed_agg_stream" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n,
@@ -493,6 +507,24 @@ object TrainOracles {
       s"""WITH m AS (SELECT doc_id, strlen(text) AS len FROM documents),
          |f AS (SELECT doc_id, CAST(1 + (len % 8) AS INTEGER) AS n_frames FROM m)
          |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx
-         |FROM f, unnest(generate_series(0, n_frames - 1, 2)) AS g(i)""".stripMargin
+         |FROM f, unnest(generate_series(0, n_frames - 1, 2)) AS g(i)""".stripMargin,
+
+    // payload chunks: DuckDB has no BLOB substring, so the twin slices the
+    // VARCHAR by characters — identical bytes because the corpus is pure
+    // ASCII (octet_length == length checked on every SF); chunk content is
+    // verified through the rolling hash, not raw bytes (binary columns are
+    // unhashable in the pandas-side compare)
+    "mm_chunks" ->
+      s"""WITH p AS (SELECT doc_id, text, strlen(text) AS blen FROM documents WHERE strlen(text) > 0),
+         |i AS (SELECT doc_id, text,
+         |             CAST(x.i AS INTEGER) AS chunk_idx
+         |      FROM p, unnest(generate_series(0, CAST(ceil(blen / 256.0) AS INTEGER) - 1)) AS x(i)),
+         |c AS (SELECT doc_id, chunk_idx,
+         |             substring(text, chunk_idx * 256 + 1, 256) AS chunk_s
+         |      FROM i)
+         |SELECT doc_id, chunk_idx,
+         |       CAST(strlen(chunk_s) AS BIGINT) AS chunk_len,
+         |       ${strHash("chunk_s")} AS chunk_hash
+         |FROM c""".stripMargin
   )
 }

@@ -108,6 +108,29 @@ object TrainQueries {
     "evt_windowed_agg" -> ((s, d) =>
       EventStreams.windowedAggBatch(events(s, d))),
 
+    // CUBE over (event_type, day): all four grouping-set combinations in
+    // one pass (Expand + single hash aggregate under Catalyst). Grouping
+    // nulls surface as sentinels so the compare never depends on engine
+    // NULL ordering; integer-cents sums keep value_sum order-independent
+    "evt_cube_agg" -> ((s, d) =>
+      events(s, d)
+        .cube(col("event_type"), to_date(col("ts")).as("event_day"))
+        .agg(count(lit(1)).as("n"),
+          (sum(graft.functions.FastRound.round(col("value") * 100, 0).cast("long")) / 100.0).as("value_sum"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("event_day"), to_date(lit("1970-01-01"))).as("event_day"),
+          col("n"), col("value_sum"))),
+
+    // exact interpolated quantiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`: both lower + (upper-lower)*frac over the
+    // sorted values)
+    "evt_value_quantiles" -> ((s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(
+          graft.functions.FastRound.round(expr("percentile(value, 0.5)"), 9).as("p50"),
+          graft.functions.FastRound.round(expr("percentile(value, 0.95)"), 9).as("p95"),
+          count(lit(1)).as("n"))),
+
     "evt_windowed_agg_stream" -> ((s, d) =>
       EventStreams.windowedAggStreaming(s, d)),
 
@@ -192,6 +215,15 @@ object TrainQueries {
 
     "mm_resize" -> ((s, d) =>
       Multimodal.resizeDims(
-        Multimodal.decodeFeatures(Multimodal.asMultimodal(docs(s, d)), parallelism = 8)))
+        Multimodal.decodeFeatures(Multimodal.asMultimodal(docs(s, d)), parallelism = 8))),
+
+    // audio-style fixed-window payload chunking (256-byte segments).
+    // The raw chunk bytes stay in the operator; the query projects a
+    // content hash — binary columns are unhashable in the pandas-side
+    // compare, and the corpus is ASCII so decode(chunk) is lossless
+    "mm_chunks" -> ((s, d) =>
+      Multimodal.chunkPayload(Multimodal.asMultimodal(docs(s, d)), chunkBytes = 256)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
+          graft.functions.PolyHash31(decode(col("chunk"), "UTF-8")).as("chunk_hash")))
   )
 }

@@ -257,6 +257,23 @@ class TrainSpec extends AnyFunSuite {
     assert(packed.map(_._3).toSeq == packed.map(_._3).sorted.toSeq)
   }
 
+  test("chunkPayload splits payloads into fixed byte windows, ragged tail") {
+    val docs = Seq((1L, "a" * 600), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val chunks = graft.multimodal.Multimodal
+      .chunkPayload(graft.multimodal.Multimodal.asMultimodal(docs), chunkBytes = 256)
+      .select("doc_id", "chunk_idx", "chunk_len")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(chunks == List((1L, 0, 256L), (1L, 1, 256L), (1L, 2, 88L), (2L, 0, 2L)))
+    // chunks reassemble to the original payload
+    val joined = graft.multimodal.Multimodal
+      .chunkPayload(graft.multimodal.Multimodal.asMultimodal(docs), chunkBytes = 256)
+      .groupBy("doc_id")
+      .agg(expr("concat_ws('', transform(array_sort(collect_list(" +
+        "named_struct('i', chunk_idx, 's', decode(chunk, 'utf-8')))), x -> x.s))").as("re"))
+    val back = joined.as[(Long, String)].collect().toMap
+    assert(back(1L) == "a" * 600 && back(2L) == "xy")
+  }
+
   test("asofJoin matches latest prior click, same-ts counts, ties by max id") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
