@@ -208,8 +208,9 @@ object SupervisedMB {
    * a single-partition rank window over every positive edge. k is one
    * driver-side scalar from an aggregate — the only eager action here. */
   def cep(scored: DataFrame, stats: DataFrame): DataFrame = {
-    val k = stats.agg(floor(sum(col("size")) / 2.0).cast("long").as("k"))
-      .first().getLong(0)
+    // empty stats -> NULL sum -> k=0 (empty result), not an NPE
+    val kRow = stats.agg(floor(sum(col("size")) / 2.0).cast("long").as("k")).first()
+    val k = if (kRow.isNullAt(0)) 0L else kRow.getLong(0)
     val kInt = math.min(k, Int.MaxValue.toLong).toInt
     bcl(scored)
       .orderBy(col("p_match").desc, col("p1").asc, col("p2").asc)

@@ -40,6 +40,16 @@ class SupSpec extends AnyFunSuite {
     assert(kept == Set((1L, 2L), (1L, 3L)))
   }
 
+  test("cep/cnp handle empty stats without NPE") {
+    val scored = Seq((1L, 2L, 0.9, 0)).toDF("p1", "p2", "p_match", "is_match")
+    val emptyStats = Seq.empty[(String, Long)].toDF("key", "size")
+    // cep: K = floor(sum/2) has no floor -> empty stats means keep nothing
+    assert(SupervisedMB.cep(scored, emptyStats).count() == 0)
+    // cnp: the reference's k = 2*max(1, sum/N) floors at k=2 even with no
+    // stats (greatest ignores the NULL sum), so the edge survives
+    assert(SupervisedMB.cnp(scored, emptyStats, 3L, ComparisonType.OR).count() == 1)
+  }
+
   test("blast rule: p >= 0.35 * (max1 + max2)") {
     val scored = Seq(
       (1L, 2L, 0.9, 0), (1L, 3L, 0.5, 0), (2L, 3L, 0.8, 0))
