@@ -3,7 +3,7 @@ package graft.er
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /**
  * Progressive ER: best-first emission of comparisons.
@@ -109,27 +109,34 @@ object Progressive {
       dedup.orderBy(emissionOrder: _*).select("p1", "p2", "w"))
   }
 
-  /** Global token-stream positions: (pos, profile_id) with pos dense over
-   * (key, profile_id) order. zipWithIndex on the RDD bridge — no
-   * single-partition window at scale; values equal ROW_NUMBER() - 1. */
+  /** Global token-stream positions: (pos, profile_id, source_id) with pos
+   * dense over (key, profile_id) order. zipWithIndex on the RDD bridge —
+   * no single-partition window at scale; values equal ROW_NUMBER() - 1.
+   * Inputs without a source_id column get source 0 (dirty ER). */
   def tokenPositions(keys: DataFrame): DataFrame = {
     val spark = keys.sparkSession
-    val sorted = keys.select("key", "profile_id").orderBy("key", "profile_id")
+    val withSrc =
+      if (keys.columns.contains("source_id")) keys.select("key", "profile_id", "source_id")
+      else keys.select(col("key"), col("profile_id"), lit(0).as("source_id"))
+    val sorted = withSrc.orderBy("key", "profile_id")
     val schema = StructType(Seq(
       StructField("pos", LongType, nullable = false),
-      StructField("profile_id", LongType, nullable = false)))
+      StructField("profile_id", LongType, nullable = false),
+      StructField("source_id", IntegerType, nullable = false)))
     val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
-      Row(idx, row.getLong(row.fieldIndex("profile_id")))
+      Row(idx, row.getLong(row.fieldIndex("profile_id")),
+        row.getInt(row.fieldIndex("source_id")))
     }
     spark.createDataFrame(rdd, schema)
   }
 
   /**
    * GSPSN candidates: profiles whose positions fall within `window` of each
-   * other (range self-join on the position), p1 < p2 (and cross-source via
-   * the caller pre-filtering sources if clean); positional CBS = number of
-   * such position pairs; weight = cbs / (|pos(p1)| + |pos(p2)| - cbs);
-   * emission rank by (weight desc, p1, p2).
+   * other (range self-join on the position), p1 < p2 — cross-source only
+   * when `clean` is set (record linkage, the reference's separator check);
+   * positional CBS = number of such position pairs; weight =
+   * cbs / (|pos(p1)| + |pos(p2)| - cbs); emission rank by
+   * (weight desc, p1, p2).
    *
    * Emission-order parity with the reference's window sweep
    * (progressive.py:288-400): the reference's w = 1..max_window loop visits
@@ -143,7 +150,8 @@ object Progressive {
    * in (token, profile_id) order where the reference inherits partition
    * chance from sortBy.
    */
-  def gspsn(keys: DataFrame, window: Int = 2, limit: Int = 1000): DataFrame = {
+  def gspsn(keys: DataFrame, window: Int = 2, limit: Int = 1000,
+            clean: Boolean = false): DataFrame = {
     val pos = graft.util.Snapshot(tokenPositions(keys))
     val counts = pos.groupBy("profile_id").agg(count(lit(1)).as("np"))
     // |pa - pb| <= window as an EQUI-join: explode the +-window offsets on
@@ -152,12 +160,17 @@ object Progressive {
     // stream, the bench killer at scale; this is O(n * window) rows through
     // a hash join.
     val offsets = (-window to window).filter(_ != 0)
-    val a = pos.select(col("pos").as("pa"), col("profile_id").as("pa_id"))
+    val a = pos.select(col("pos").as("pa"), col("profile_id").as("pa_id"),
+        col("source_id").as("sa"))
       .withColumn("off", explode(array(offsets.map(lit(_)): _*)))
-      .select((col("pa") + col("off")).as("pb"), col("pa_id"))
-    val b = pos.select(col("pos").as("pb"), col("profile_id").as("pb_id"))
+      .select((col("pa") + col("off")).as("pb"), col("pa_id"), col("sa"))
+    val b = pos.select(col("pos").as("pb"), col("profile_id").as("pb_id"),
+      col("source_id").as("sb"))
+    // clean (record-linkage) mode: only cross-source neighbors are
+    // candidates — the reference's separator check (progressive.py:340-343)
+    val srcCond = if (clean) col("sa") =!= col("sb") else lit(true)
     val cbs = a.join(b, Seq("pb"))
-      .filter(col("pb_id") < col("pa_id"))
+      .filter(col("pb_id") < col("pa_id") && srcCond)
       .select(col("pb_id").as("p1"), col("pa_id").as("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("cbs"))
     // (w desc, p1, p2) is a unique total order over the undirected pairs:

@@ -267,6 +267,23 @@ object SupOracles {
         |gr AS (SELECT p1, p2, w, ROW_NUMBER() OVER (ORDER BY w DESC, p1, p2) AS rank FROM gw)
         |SELECT rank, p1, p2, w FROM gr WHERE rank <= 500""".stripMargin),
 
+    "prog_gspsn_clean" -> (ErOracles.prelude(clean = true) +
+      """pos AS (SELECT ROW_NUMBER() OVER (ORDER BY key, profile_id) - 1 AS pos, profile_id, source_id
+        |        FROM toks),
+        |npos AS (SELECT profile_id, CAST(COUNT(*) AS BIGINT) AS np FROM pos GROUP BY 1),
+        |gc AS (
+        |  SELECT b.profile_id AS p1, a.profile_id AS p2, CAST(COUNT(*) AS BIGINT) AS cbs
+        |  FROM pos a JOIN pos b ON b.pos BETWEEN a.pos - 2 AND a.pos + 2
+        |    AND b.pos <> a.pos AND b.profile_id < a.profile_id
+        |    AND b.source_id <> a.source_id
+        |  GROUP BY 1, 2),
+        |gw AS (
+        |  SELECT p1, p2,
+        |         round(CAST(cbs AS DOUBLE) / (n1.np + n2.np - cbs), 9) AS w
+        |  FROM gc JOIN npos n1 ON gc.p1 = n1.profile_id JOIN npos n2 ON gc.p2 = n2.profile_id),
+        |gr AS (SELECT p1, p2, w, ROW_NUMBER() OVER (ORDER BY w DESC, p1, p2) AS rank FROM gw)
+        |SELECT rank, p1, p2, w FROM gr WHERE rank <= 500""".stripMargin),
+
     "attr_clusters" -> (clusterPrelude() +
       """x AS (SELECT 1)
         |SELECT qattr, cluster_id, round(entropy, 9) AS entropy FROM clusters""".stripMargin),

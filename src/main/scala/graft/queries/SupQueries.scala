@@ -146,6 +146,14 @@ object SupQueries {
           .select("key", "profile_id", "source_id"),
         window = 2, limit = 500)),
 
+    // clean (record-linkage) GSPSN: only cross-source position neighbors
+    // become candidates — the reference's separator check
+    "prog_gspsn_clean" -> ((s, d) =>
+      Progressive.gspsn(
+        ErQueries.keys(s, d, twoSources = true)
+          .select("key", "profile_id", "source_id"),
+        window = 2, limit = 500, clean = true)),
+
     "attr_clusters" -> ((s, d) =>
       clusters(s, d).select(col("qattr"), col("cluster_id"),
         graft.functions.FastRound.round(col("entropy"), 9).as("entropy"))),

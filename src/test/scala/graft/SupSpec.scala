@@ -230,6 +230,20 @@ class SupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("gspsn clean mode keeps only cross-source candidates") {
+    val keys = Seq(
+      ("aa", 1L, 0), ("ab", 2L, 0), ("ac", 3L, 1), ("ad", 4L, 1))
+      .toDF("key", "profile_id", "source_id")
+    // positions 0..3; window 3 reaches every pair; dirty keeps all 6 pairs,
+    // clean only the 4 cross-source ones
+    val dirty = Progressive.gspsn(keys, window = 3, limit = 10)
+      .select("p1", "p2").as[(Long, Long)].collect().toSet
+    val clean = Progressive.gspsn(keys, window = 3, limit = 10, clean = true)
+      .select("p1", "p2").as[(Long, Long)].collect().toSet
+    assert(dirty == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(clean == Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+  }
+
   test("gspsn: adjacent tokens in sorted stream become weighted candidates") {
     val keys = Seq(
       ("aa", 1L, 0), ("ab", 2L, 0), ("zz", 3L, 0))
