@@ -251,6 +251,24 @@ object SupOracles {
         |          ROW_NUMBER() OVER (PARTITION BY p1, p2 ORDER BY rank) AS keep FROM rf)
         |SELECT rank, p1, p2, round(w, 9) AS w FROM dedup WHERE keep = 1""".stripMargin),
 
+    "prog_pps_clean" -> (ErOracles.prelude(clean = true) + ErOracles.wpw("cbs") +
+      ErOracles.directed +
+      """top AS (SELECT a, b, w FROM (
+        |  SELECT a, b, w, ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+        |  FROM directed) WHERE rn <= 20),
+        |lik AS (SELECT a, SUM(w) / COUNT(*) AS likelihood FROM top GROUP BY a),
+        |rankedp AS (
+        |  SELECT LEAST(t.a, t.b) AS p1, GREATEST(t.a, t.b) AS p2, t.w, t.a,
+        |         l.likelihood
+        |  FROM top t JOIN lik l ON t.a = l.a),
+        |rr AS (SELECT p1, p2, w,
+        |       ROW_NUMBER() OVER (ORDER BY likelihood DESC, a, w DESC, p1, p2) AS rank
+        |       FROM rankedp),
+        |rf AS (SELECT * FROM rr WHERE rank <= 500),
+        |dedup AS (SELECT rank, p1, p2, w,
+        |          ROW_NUMBER() OVER (PARTITION BY p1, p2 ORDER BY rank) AS keep FROM rf)
+        |SELECT rank, p1, p2, round(w, 9) AS w FROM dedup WHERE keep = 1""".stripMargin),
+
     "prog_gspsn" -> (ErOracles.prelude(clean = false) +
       """pos AS (SELECT ROW_NUMBER() OVER (ORDER BY key, profile_id) - 1 AS pos, profile_id
         |        FROM toks),

@@ -140,6 +140,13 @@ object SupQueries {
         ErQueries.weightedCached(s, d, clean = false, WeightType.CBS),
         k = 20, limit = 500)),
 
+    // PPS over the clean (record-linkage) graph: the weighted graph is
+    // already cross-source-only, so the emission machinery is unchanged
+    "prog_pps_clean" -> ((s, d) =>
+      Progressive.ppsEmission(
+        ErQueries.weightedCached(s, d, clean = true, WeightType.CBS),
+        k = 20, limit = 500)),
+
     "prog_gspsn" -> ((s, d) =>
       Progressive.gspsn(
         ErQueries.keys(s, d, twoSources = false)
