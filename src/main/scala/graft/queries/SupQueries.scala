@@ -84,18 +84,25 @@ object SupQueries {
    * cleaned blocks -> entropy-weighted chi2 pairs), snapshot once per dir. */
   def blastWeighted(s: SparkSession, d: String): DataFrame =
     blastCache.getOrElseUpdate(d, {
+      def t[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"[blast] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      }
       val attrs = ErQueries.partAttrs(s, d, twoSources = true)
-      val keysEnt = graft.util.Snapshot(AttributeClustering.clusterKeys(attrs, clusters(s, d)))
-      val cbChk = Pipeline.cleanBlocks(
+      val keysEnt = t("cluster_keys")(
+        graft.util.Snapshot(AttributeClustering.clusterKeys(attrs, clusters(s, d))))
+      val cbChk = t("clean_blocks")(Pipeline.cleanBlocks(
         keysEnt.select("profile_id", "source_id", "key"), clean = true,
-        ErQueries.Smooth, ErQueries.FilterR, stage = graft.util.Snapshot.apply)
+        ErQueries.Smooth, ErQueries.FilterR, stage = graft.util.Snapshot.apply))
       val blockEnt = keysEnt.select("key", "entropy").distinct()
         .groupBy("key").agg(max(col("entropy")).as("entropy"))
-      graft.util.Snapshot(MetaBlocking.weightedPairs(
-        graft.util.Snapshot(cbChk.pairs(Some(blockEnt))),
-        graft.util.Snapshot(cbChk.profileStats),
-        cbChk.numberOfBlocks,
-        WeightType.ChiSquare, useEntropy = true))
+      val pairsSnap = t("pairs")(graft.util.Snapshot(cbChk.pairs(Some(blockEnt))))
+      val statsSnap = t("profile_stats")(graft.util.Snapshot(cbChk.profileStats))
+      t("weighted")(graft.util.Snapshot(MetaBlocking.weightedPairs(
+        pairsSnap, statsSnap, cbChk.numberOfBlocks,
+        WeightType.ChiSquare, useEntropy = true)))
     })
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -50,7 +50,8 @@ object Warmup {
       // independent chains: start now, join at the very end
       val indep = Seq(
         task("blast_chain") {
-          SupQueries.clusters(s, d); SupQueries.blastWeighted(s, d)
+          step("blast_chain/clusters")(SupQueries.clusters(s, d))
+          step("blast_chain/weighted")(SupQueries.blastWeighted(s, d))
         },
         task("wnp_3src")(ErQueries.all("er_wnp_cbs_3src")(s, d)),
         task("train")(TrainQueries.warm(s, d)))

@@ -35,7 +35,12 @@ object Snapshot {
     // only the implicit tmpfs fallback is cleaned on exit; an explicitly
     // configured checkpoint dir is the operator's to manage
     if (explicit.isEmpty) Cleanup.onExitDelete(dir)
-    df.write.mode("overwrite").parquet(dir)
+    // local tmpfs snapshots skip compression: the codec is pure CPU spent
+    // on RAM-backed files re-read seconds later. An explicit (cluster)
+    // checkpoint dir keeps the session default codec — there the bytes
+    // cross the network and live longer.
+    val w = df.write.mode("overwrite")
+    (if (explicit.isEmpty) w.option("compression", "none") else w).parquet(dir)
     spark.read.parquet(dir)
   }
 }
