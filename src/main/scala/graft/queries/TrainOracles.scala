@@ -525,6 +525,41 @@ object TrainOracles {
          |SELECT doc_id, chunk_idx,
          |       CAST(strlen(chunk_s) AS BIGINT) AS chunk_len,
          |       ${strHash("chunk_s")} AS chunk_hash
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+
+    // plain range-predicate join: the engine's binned equi-join rewrite is
+    // lossless, so the naive form is the oracle
+    "evt_range_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(i AS BIGINT) AS band_id,
+        |         (i * 2654435761) % 1000000007 % 512 AS lo,
+        |         (i * 2654435761) % 1000000007 % 512 + 8 + (i * 97) % 93 AS hi
+        |  FROM range(64) t(i))
+        |SELECT b.band_id, b.lo, b.hi, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // KMV sketch twin: same PolyHash31 min-k lists per lang over the
+    // distinct 3-gram shingles, same merged '(all)' sketch, same
+    // (k-1)*Mod/kth estimator arithmetic
+    "txt_kmv_distinct" ->
+      s"""WITH dn AS (SELECT lang, ${norm("text")} AS nt FROM documents),
+         |dt AS (SELECT lang, list_filter(string_split(nt, ' '), t -> length(t) > 0) AS toks FROM dn),
+         |sh AS (SELECT DISTINCT lang,
+         |              array_to_string(list_slice(toks, CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ') AS shingle
+         |       FROM dt, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g(i)),
+         |hs AS (SELECT DISTINCT lang, ${strHash("shingle")} AS h FROM sh),
+         |rk AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC) AS rn FROM hs),
+         |topk AS (SELECT lang, h FROM rk WHERE rn <= 256),
+         |per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kth
+         |        FROM topk GROUP BY lang),
+         |mk AS (SELECT DISTINCT h FROM topk ORDER BY h ASC LIMIT 256),
+         |mg AS (SELECT '(all)' AS lang, CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kth FROM mk),
+         |u AS (SELECT * FROM per UNION ALL SELECT * FROM mg)
+         |SELECT lang, k_used, kth,
+         |       round(CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+         |                  ELSE (255.0 * $Mod) / kth END, 9) AS distinct_est
+         |FROM u""".stripMargin
   )
 }

@@ -224,6 +224,34 @@ object TrainQueries {
     "mm_chunks" -> ((s, d) =>
       Multimodal.chunkPayload(Multimodal.asMultimodal(docs(s, d)), chunkBytes = 256)
         .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
-          graft.functions.PolyHash31(decode(col("chunk"), "UTF-8")).as("chunk_hash")))
+          graft.functions.PolyHash31(decode(col("chunk"), "UTF-8")).as("chunk_hash"))),
+
+    // range join: events against 64 deterministic overlapping integer
+    // value bands (hash-derived lo in [0,512), width 8..100). The binned
+    // rewrite (RangeJoin) makes it an equi-join on bin ids; the oracle
+    // runs the plain range predicate — the rewrite is lossless, so the
+    // results must agree exactly
+    "evt_range_join" -> ((s, d) => {
+      val lo = col("id") * lit(2654435761L) % lit(1000000007L) % lit(512L)
+      val bands = s.range(64).select(col("id").as("band_id"), lo.as("lo"),
+        (lo + lit(8L) + col("id") * lit(97L) % lit(93L)).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+          events(s, d).select("event_id", "value"), "value",
+          bands, "lo", "hi", binWidth = 8L)
+        .groupBy("band_id", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          (sum(graft.functions.FastRound.round(col("value") * 100, 0).cast("long")) / 100.0).as("value_sum"))
+    }),
+
+    // KMV distinct-count sketch (k=256) of per-language 3-gram shingle
+    // cardinality plus the merged-sketch '(all)' row. Dedup.shingles
+    // keyed by lang gives the distinct (lang, shingle) set directly;
+    // its doc_id output column carries the stratum
+    "txt_kmv_distinct" -> ((s, d) =>
+      graft.text.Curation.kmvDistinct(
+        Dedup.shingles(docs(s, d), n = 3, idCol = "lang")
+          .select(col("doc_id").as("lang"),
+            graft.functions.PolyHash31(col("shingle")).as("h")),
+        k = 256))
   )
 }

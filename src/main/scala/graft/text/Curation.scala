@@ -96,4 +96,57 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / budget).cast("long").as("bin_id"))
   }
+
+  /**
+   * K-minimum-values (KMV) distinct-count sketch over a hashed value
+   * column, per stratum plus a merged `(all)` row — the deterministic
+   * counterpart of HyperLogLog for "how many distinct X per group"
+   * questions, where exact `count(distinct)` would shuffle the full
+   * distinct set at 100 TB.
+   *
+   * The sketch is the k smallest DISTINCT values of a uniform-ish hash
+   * (PolyHash31 range [0, 2^31-1) in the shipped queries); with
+   * u = kth/(2^31-1) the standard estimator is (k-1)/u. A literal k plans
+   * the per-stratum selection as WindowGroupLimit: each input partition
+   * keeps only its local min-k BEFORE the shuffle, so the exchange
+   * carries O(strata * k * partitions) rows, never the distinct set.
+   * When a stratum has fewer than k distinct hashes the sketch saw
+   * everything and the estimate IS the exact count.
+   *
+   * Sketches are mergeable (min-k of a union = min-k of the concatenated
+   * min-k lists): the `(all)` row is computed from the per-stratum
+   * sketches alone — the property that lets a 1000-executor cluster
+   * combine per-shard sketches without rescanning. Everything is integer
+   * hash arithmetic + one double division, reproduced bit-for-bit by the
+   * DuckDB oracle.
+   *
+   * @param hashes frame carrying `stratumCol` and an integer hash
+   *               `hashCol` in [0, hashMod); duplicates are fine (the
+   *               sketch dedups internally)
+   */
+  def kmvDistinct(hashes: DataFrame, k: Int, stratumCol: String = "lang",
+                  hashCol: String = "h",
+                  hashMod: Long = graft.functions.PolyHash31.Mod): DataFrame = {
+    val perStratum = hashes
+      .select(col(stratumCol).as("lang"), col(hashCol).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h").asc)))
+      .filter(col("rn") <= lit(k))
+    // merged sketch over the union of the per-stratum min-k lists;
+    // orderBy().limit(k) is a distributed TakeOrderedAndProject over a
+    // <= #strata * k input, never a global window
+    val merged = perStratum.select(col("h")).distinct()
+      .orderBy(col("h").asc).limit(k)
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth"))
+      .select(lit("(all)").as("lang"), col("k_used"), col("kth"))
+    val sketches = perStratum.groupBy("lang")
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth"))
+      .unionByName(merged)
+    sketches.select(col("lang"), col("k_used"), col("kth"),
+      graft.functions.FastRound.round(
+        when(col("k_used") < lit(k.toLong), col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble * hashMod) /
+            col("kth").cast("double")), 9).as("distinct_est"))
+  }
 }

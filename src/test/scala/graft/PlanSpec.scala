@@ -99,4 +99,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
       s"projection not codegen'd:\n$p")
   }
+
+  test("range join plans as a hash equi-join on the bin, never a nested loop") {
+    // the whole point of the binned rewrite: a naive v BETWEEN lo AND hi
+    // join is BroadcastNestedLoopJoin (O(|P|*|I|) compares when the
+    // interval side outgrows a broadcast); the bin key makes it hash-
+    // joinable. Both sides via parquet so the strategy choice is the
+    // production one.
+    val points = viaParquet(Seq(1L -> 3.0, 2L -> 9.5, 3L -> 77.0).toDF("pid", "v"))
+    val ivals = viaParquet(Seq((10L, 0L, 8L), (11L, 4L, 32L)).toDF("iid", "lo", "hi"))
+    val p = plan(graft.operators.RangeJoin.pointInInterval(
+      points, "v", ivals, "lo", "hi", binWidth = 8L))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(p.contains("HashJoin"), s"no hash join in:\n$p")
+  }
 }

@@ -308,4 +308,49 @@ class TrainSpec extends AnyFunSuite {
     assert(r(0)._3 == 2 && math.abs(r(0)._4 - 3.0) < 1e-9)
     assert(r(1)._3 == 1 && math.abs(r(1)._4 - 3.0) < 1e-9)
   }
+
+  test("RangeJoin.pointInInterval equals the naive range predicate") {
+    import graft.operators.RangeJoin
+    // points at bin boundaries, interval edges, and far outside; intervals
+    // narrower than / spanning / aligned to the bin width, overlapping,
+    // plus an empty (hi == lo) and an inverted one (dropped)
+    val points = Seq(1L -> 0.0, 2L -> 7.999, 3L -> 8.0, 4L -> 15.5,
+      5L -> 16.0, 6L -> 23.0, 7L -> 24.0, 8L -> 100.0, 9L -> -3.0)
+      .toDF("pid", "v")
+    val ivals = Seq((10L, 0L, 8L), (11L, 7L, 9L), (12L, 8L, 8L),
+      (13L, 20L, 10L), (14L, -8L, 25L), (15L, 15L, 16L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "v", ivals, "lo", "hi", binWidth = 8L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = points.join(ivals, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.contains(1L -> 10L) && !want.contains(3L -> 10L)) // hi exclusive
+    assert(want.contains(9L -> 14L)) // negative values bin correctly
+    assert(!want.exists(_._2 == 12L) && !want.exists(_._2 == 13L)) // empty + inverted
+  }
+
+  test("kmvDistinct: exact below k, estimator within 20% above k, mergeable") {
+    import graft.text.Curation
+    val Mod = graft.functions.PolyHash31.Mod
+    // stratum a: 3 distinct hashes (< k) -> estimate is exact;
+    // stratum b: 5000 distinct LCG hashes (> k) -> KMV estimator, expected
+    // relative error ~1/sqrt(k) ~ 12.5% at k=64
+    val rows =
+      Seq("a" -> 11L, "a" -> 22L, "a" -> 33L, "a" -> 22L) ++
+        (0 until 5000).map(i => "b" -> ((1103515245L * i + 12345L) % Mod))
+    val r = Curation.kmvDistinct(rows.toDF("lang", "h"), k = 64)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("a")._1 == 3 && r("a")._3 == 3.0)
+    assert(r("b")._1 == 64)
+    assert(math.abs(r("b")._3 - 5000.0) / 5000.0 < 0.2)
+    // merged row: min-64 of the union; 'a' hashes 11/22/33 are tiny so they
+    // displace the 3 largest of b's sketch, and the estimate stays close
+    assert(r("(all)")._1 == 64)
+    assert(math.abs(r("(all)")._3 - 5003.0) / 5003.0 < 0.2)
+    // estimator formula is exactly (k-1)*Mod/kth for the over-k stratum
+    // (half-up rounding at scale 9, matching FastRound on positive input)
+    assert(r("b")._3 ==
+      math.floor(63.0 * Mod / r("b")._2.toDouble * 1e9 + 0.5) / 1e9)
+  }
 }
