@@ -56,9 +56,13 @@ object Dedup {
     require(n >= 1)
     docs.select(col(idCol).as("doc_id"),
         filter(split(normalize(col(textCol)), " "), t => length(t) > 0).as("toks"))
+      // sequence(1, 0) DESCENDS in Spark (auto step -1): a doc with fewer
+      // than n tokens needs an explicit empty array (slice would throw on
+      // start 0), matching the oracle's empty generate_series(1, 0)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), " +
-          s"i -> array_join(slice(toks, i, $n), ' '))")).as("shingle"))
+        s"if(size(toks) < $n, array(), " +
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> array_join(slice(toks, i, $n), ' ')))")).as("shingle"))
       .distinct()
   }
 

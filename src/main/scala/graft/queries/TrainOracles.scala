@@ -560,6 +560,29 @@ object TrainOracles {
          |SELECT lang, k_used, kth,
          |       round(CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
          |                  ELSE (255.0 * $Mod) / kth END, 9) AS distinct_est
-         |FROM u""".stripMargin
+         |FROM u""".stripMargin,
+
+    // repetition metrics twin: one tagged 1/2/3-gram frame, same
+    // count/max/dup aggregation, same cast-to-double divisions
+    "txt_repetition" ->
+      s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
+         |dt AS (SELECT doc_id, list_filter(string_split(nt, ' '), t -> length(t) > 0) AS toks FROM dn),
+         |g AS (SELECT doc_id, n.n AS n,
+         |             array_to_string(list_slice(toks, CAST(i AS INTEGER),
+         |               CAST(i AS INTEGER) + n.n - 1), ' ') AS gram
+         |      FROM dt
+         |      CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS n) n,
+         |      unnest(generate_series(1, greatest(len(toks) - (n.n - 1), 0))) AS u(i)),
+         |c AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2, 3),
+         |p AS (SELECT doc_id, n,
+         |             CAST(SUM(cnt) AS BIGINT) AS total, MAX(cnt) AS top,
+         |             CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup
+         |      FROM c GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       MAX(CASE WHEN n = 1 THEN total END) AS n_tokens,
+         |       COALESCE(MAX(CASE WHEN n = 1 THEN CAST(top AS DOUBLE) / total END), 0.0) AS top_token_frac,
+         |       COALESCE(MAX(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / total END), 0.0) AS top_bigram_frac,
+         |       COALESCE(MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / total END), 0.0) AS dup_trigram_frac
+         |FROM p GROUP BY doc_id""".stripMargin
   )
 }

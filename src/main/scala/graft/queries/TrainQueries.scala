@@ -252,6 +252,10 @@ object TrainQueries {
         Dedup.shingles(docs(s, d), n = 3, idCol = "lang")
           .select(col("doc_id").as("lang"),
             graft.functions.PolyHash31(col("shingle")).as("h")),
-        k = 256))
+        k = 256)),
+
+    // Gopher/C4-style repetition quality metrics per document
+    "txt_repetition" -> ((s, d) =>
+      graft.text.Curation.repetitionStats(docs(s, d)))
   )
 }

@@ -149,4 +149,48 @@ object Curation {
           .otherwise(lit((k - 1).toDouble * hashMod) /
             col("kth").cast("double")), 9).as("distinct_est"))
   }
+
+  /**
+   * Per-document repetition quality metrics — the published-pipeline
+   * filters (Gopher/C4 family) that catch boilerplate and degenerate
+   * generations exact n-gram dedup misses:
+   *
+   *  - `top_token_frac` / `top_bigram_frac`: share of all 1-/2-grams
+   *    taken by the single most frequent one;
+   *  - `dup_trigram_frac`: share of 3-gram occurrences whose 3-gram
+   *    appears more than once in the document.
+   *
+   * All three gram levels ride ONE exploded frame tagged by n, so the
+   * whole operator is a single (doc_id, n, gram) shuffle + a (doc_id)
+   * rollup — per-document work, embarrassingly parallel at any corpus
+   * size. Documents too short for a gram level score 0.0 (no grams = no
+   * repetition); empty documents produce no row on either side.
+   */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0).as("toks"))
+    // NB sequence(1, 0) DESCENDS in Spark (auto step -1), so the
+    // too-short case needs an explicit empty array, not a greatest() clamp
+    val grams = toks.select(col("doc_id"), explode(flatten(array(
+        (1 to 3).map { n =>
+          expr(s"if(size(toks) < $n, array(), " +
+            s"transform(sequence(1, size(toks) - ${n - 1}), " +
+            s"i -> struct($n AS n, array_join(slice(toks, i, $n), ' ') AS gram)))")
+        }: _*))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val perN = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n").agg(
+        sum(col("cnt")).as("total"), max(col("cnt")).as("top"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup"))
+    def frac(n: Int, num: Column): Column =
+      coalesce(max(when(col("n") === n, num.cast("double") / col("total"))),
+        lit(0.0))
+    perN.groupBy("doc_id").agg(
+      max(when(col("n") === 1, col("total"))).as("n_tokens"),
+      frac(1, col("top")).as("top_token_frac"),
+      frac(2, col("top")).as("top_bigram_frac"),
+      frac(3, col("dup")).as("dup_trigram_frac"))
+  }
 }

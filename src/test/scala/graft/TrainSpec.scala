@@ -59,6 +59,12 @@ class TrainSpec extends AnyFunSuite {
     assert(r == Set("a b c", "b c d"))
   }
 
+  test("shingles on a doc shorter than n yields no rows (not a slice error)") {
+    val df = docs((1L, "a b"), (2L, ""), (3L, "x y z"))
+    val r = Dedup.shingles(df, 3).as[(Long, String)].collect().toSet
+    assert(r == Set(3L -> "x y z"))
+  }
+
   test("jaccardPairs computes exact shingle jaccard") {
     val df = docs((1L, "a b c d"), (2L, "a b c e"))
     // shingles: {abc,bcd} vs {abc,bce} -> jaccard 1/3
@@ -352,5 +358,23 @@ class TrainSpec extends AnyFunSuite {
     // (half-up rounding at scale 9, matching FastRound on positive input)
     assert(r("b")._3 ==
       math.floor(63.0 * Mod / r("b")._2.toDouble * 1e9 + 0.5) / 1e9)
+  }
+
+  test("repetitionStats: hand-computed gram fractions, short-doc zeros") {
+    import graft.text.Curation
+    val df = docs(
+      // tokens: a a a b -> top token 3/4; bigrams (a a)x2 (a b) -> 2/3;
+      // trigrams (a a a) (a a b) unique -> dup 0
+      (1L, "a A a b"),
+      // x y x y x y: top token 3/6; bigrams (x y)x3 (y x)x2 -> 3/5;
+      // trigrams (x y x)x2 (y x y)x2 -> dup 4/4
+      (2L, "x y x y x y"),
+      // two tokens: no trigrams -> 0.0; one bigram -> 1.0
+      (3L, "p q"))
+    val r = Curation.repetitionStats(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(1L) == ((4L, 3.0 / 4, 2.0 / 3, 0.0)))
+    assert(r(2L) == ((6L, 3.0 / 6, 3.0 / 5, 1.0)))
+    assert(r(3L) == ((2L, 1.0 / 2, 1.0, 0.0)))
   }
 }
