@@ -583,6 +583,49 @@ object TrainOracles {
          |       COALESCE(MAX(CASE WHEN n = 1 THEN CAST(top AS DOUBLE) / total END), 0.0) AS top_token_frac,
          |       COALESCE(MAX(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / total END), 0.0) AS top_bigram_frac,
          |       COALESCE(MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / total END), 0.0) AS dup_trigram_frac
-         |FROM p GROUP BY doc_id""".stripMargin
+         |FROM p GROUP BY doc_id""".stripMargin,
+
+    // PII redaction twin: same planted addresses/URLs, same RE2-safe
+    // patterns (no dialect-dependent constructs), redaction checked by
+    // count + length + rolling hash of the redacted text (ASCII corpus:
+    // strlen bytes == Spark length chars)
+    "txt_redact" -> {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val url = "https?://[a-z0-9./_-]+"
+      s"""WITH t AS (SELECT doc_id,
+         |  text ||
+         |  CASE WHEN doc_id % 10 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' see https://example.com/d' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+         |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g') AS redacted
+         |  FROM t)
+         |SELECT doc_id, n_emails, n_urls,
+         |       CAST(strlen(redacted) AS BIGINT) AS redacted_len,
+         |       ${strHash("redacted")} AS redacted_hash
+         |FROM r""".stripMargin
+    },
+
+    // int8 quantization twin: same max-|x| fold, same 127/amax scale,
+    // same explicit half-away-from-zero rounding, same sequential
+    // checksum folds
+    "ann_quantize" ->
+      s"""WITH am AS (SELECT vec_id,
+         |  list_reduce(list_prepend(0.0, list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+         |              (m, x) -> greatest(m, x)) AS amax
+         |  FROM embeddings),
+         |s AS (SELECT e.vec_id, e.embedding,
+         |             CASE WHEN am.amax > 0 THEN 127.0 / am.amax ELSE 0.0 END AS sc
+         |      FROM embeddings e JOIN am USING (vec_id)),
+         |q AS (SELECT vec_id, sc, list_transform(embedding, x ->
+         |        CAST(CASE WHEN CAST(x AS DOUBLE) * sc >= 0 THEN floor(CAST(x AS DOUBLE) * sc + 0.5)
+         |                  ELSE -floor(-(CAST(x AS DOUBLE) * sc) + 0.5) END AS BIGINT)) AS qv
+         |      FROM s)
+         |SELECT vec_id, round(sc, 9) AS scale,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (acc, v) -> acc + v) AS q_sum,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (acc, v) -> (acc * 31 + (v + 128)) % $Mod) AS q_hash
+         |FROM q""".stripMargin
   )
 }

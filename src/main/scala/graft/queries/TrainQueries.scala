@@ -256,6 +256,26 @@ object TrainQueries {
 
     // Gopher/C4-style repetition quality metrics per document
     "txt_repetition" -> ((s, d) =>
-      graft.text.Curation.repetitionStats(docs(s, d)))
+      graft.text.Curation.repetitionStats(docs(s, d))),
+
+    // PII scrubbing. The synthetic corpus carries no emails/URLs, so the
+    // query plants them deterministically (every 10th doc an address,
+    // every 7th a URL — derived from doc_id, reproduced by the oracle)
+    // and redaction is checked via counts + length + content hash
+    "txt_redact" -> ((s, d) => {
+      val planted = docs(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 10 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" see https://example.com/d"),
+          col("doc_id").cast("string"))).otherwise(lit(""))))
+      graft.text.Curation.redactPii(planted)
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          length(col("redacted")).cast("long").as("redacted_len"),
+          graft.functions.PolyHash31(col("redacted")).as("redacted_hash"))
+    }),
+
+    // symmetric int8 quantization of the embedding column (scale +
+    // order-sensitive checksums pin every lane)
+    "ann_quantize" -> ((s, d) => Similarity.quantizeInt8(embs(s, d)))
   )
 }

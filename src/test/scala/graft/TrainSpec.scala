@@ -377,4 +377,35 @@ class TrainSpec extends AnyFunSuite {
     assert(r(2L) == ((6L, 3.0 / 6, 3.0 / 5, 1.0)))
     assert(r(3L) == ((2L, 1.0 / 2, 1.0, 0.0)))
   }
+
+  test("redactPii counts and replaces emails/urls, emails first") {
+    import graft.text.Curation
+    val df = docs(
+      (1L, "mail bob.smith@corp.example.org and https://a.example.com/x_1 now"),
+      (2L, "http://plain.example.com/p twice http://plain.example.com/q"),
+      (3L, "no pii here"))
+    val r = Curation.redactPii(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((1L, 1L, "mail <EMAIL> and <URL> now")))
+    assert(r(2L) == ((0L, 2L, "<URL> twice <URL>")))
+    assert(r(3L) == ((0L, 0L, "no pii here")))
+  }
+
+  test("quantizeInt8: extremes hit ±127, zeros stay zero, checksums exact") {
+    import graft.similarity.Similarity
+    val df = Seq(
+      (1L, Array(2.0f, -4.0f, 0.0f, 1.0f)),   // scale 127/4: q = 64,-127,0,32
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))    // all-zero: scale 0, q all 0
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(df, dim = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getLong(2), x.getLong(3)))).toMap
+    // q(2.0) = round(2 * 31.75) = round(63.5) = 64 (half away from zero)
+    val expHash = Seq(64L, -127L, 0L, 32L)
+      .foldLeft(0L)((acc, v) => (acc * 31 + (v + 128)) % graft.functions.PolyHash31.Mod)
+    assert(r(1L)._1 == math.floor(127.0 / 4 * 1e9 + 0.5) / 1e9)
+    assert(r(1L)._2 == 64L - 127L + 0L + 32L)
+    assert(r(1L)._3 == expHash)
+    val zeroHash = (1 to 4).foldLeft(0L)((acc, _) => (acc * 31 + 128) % graft.functions.PolyHash31.Mod)
+    assert(r(2L) == ((0.0, 0L, zeroHash)))
+  }
 }
