@@ -626,6 +626,17 @@ object TrainOracles {
          |SELECT vec_id, round(sc, 9) AS scale,
          |       list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (acc, v) -> acc + v) AS q_sum,
          |       list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (acc, v) -> (acc * 31 + (v + 128)) % $Mod) AS q_hash
-         |FROM q""".stripMargin
+         |FROM q""".stripMargin,
+
+    // cohort retention twin: date subtraction yields whole days in both
+    // engines (UTC sessions, date-truncated activity)
+    "evt_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |       CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM act a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

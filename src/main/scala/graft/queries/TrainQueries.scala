@@ -276,6 +276,22 @@ object TrainQueries {
 
     // symmetric int8 quantization of the embedding column (scale +
     // order-sensitive checksums pin every lane)
-    "ann_quantize" -> ((s, d) => Similarity.quantizeInt8(embs(s, d)))
+    "ann_quantize" -> ((s, d) => Similarity.quantizeInt8(embs(s, d))),
+
+    // cohort retention: users grouped by first-seen day, counted per
+    // day-offset of later activity. Distinct activity days -> per-user
+    // min -> user-keyed join -> (cohort, offset) rollup: every stage
+    // shuffles on user_id or the small (cohort, offset) key, so the
+    // shape holds at any event volume
+    "evt_retention" -> ((s, d) => {
+      val act = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      act.join(first, Seq("user_id"))
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+    })
   )
 }

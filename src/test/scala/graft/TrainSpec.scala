@@ -301,6 +301,25 @@ class TrainSpec extends AnyFunSuite {
     assert(r == Map(3L -> Some(2L), 4L -> None, 6L -> Some(5L)))
   }
 
+  test("retention counts distinct users per (cohort day, offset)") {
+    // user 7 first seen Jan 1, active again Jan 3; user 8 only Jan 3
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 7L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 09:00:00"), 7L),
+      (4L, java.sql.Timestamp.valueOf("2024-01-03 09:30:00"), 8L))
+      .toDF("event_id", "ts", "user_id")
+    val act = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val r = act.join(first, Seq("user_id"))
+      .select(col("cohort_day").cast("string").as("c"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("o"))
+      .groupBy("c", "o").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(r == Set(("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-03", 0L, 1L)))
+  }
+
   test("sessionize splits on gaps > 30min") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a", 1.0, "{}"),
