@@ -100,6 +100,16 @@ class PlanSpec extends AnyFunSuite {
       s"projection not codegen'd:\n$p")
   }
 
+  test("kmvDistinct keeps the min-k WindowGroupLimit pushdown") {
+    // the sketch's scale contract: each partition keeps only its local
+    // min-k before the exchange, so the shuffle never carries the
+    // distinct set — a non-literal k would silently defeat this
+    val hashes = viaParquet(Seq("a" -> 5L, "a" -> 9L, "b" -> 2L, "b" -> 7L)
+      .toDF("lang", "h"))
+    val p = plan(graft.text.Curation.kmvDistinct(hashes, k = 2))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
   test("range join plans as a hash equi-join on the bin, never a nested loop") {
     // the whole point of the binned rewrite: a naive v BETWEEN lo AND hi
     // join is BroadcastNestedLoopJoin (O(|P|*|I|) compares when the
