@@ -93,6 +93,32 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination: for every training document, the count
+   * and fraction of a benchmark document's shingles it contains — the
+   * train/test-overlap pass published LLM pipelines run before
+   * training. Pairs sharing at least `minShared` shingles survive;
+   * `containment` is shared / |bench shingles| (1.0 = the benchmark doc
+   * is fully contained in the training doc).
+   *
+   * The join shuffles on the shingle, but the benchmark side is tiny by
+   * nature (eval sets, not corpora), so at scale Catalyst broadcasts it
+   * and the pass costs one corpus scan; output is bounded by
+   * |bench shingle occurrences| x per-shingle train frequency, and the
+   * HAVING-style minShared filter sits directly on the aggregate.
+   */
+  def containment(trainShingles: DataFrame, benchShingles: DataFrame,
+                  minShared: Long): DataFrame = {
+    val bench = benchShingles.select(col("doc_id").as("bench_id"), col("shingle"))
+    val benchSizes = bench.groupBy("bench_id").agg(count(lit(1)).as("bench_n"))
+    trainShingles.join(bench, Seq("shingle"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(benchSizes, Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("bench_n")).as("containment"))
+  }
+
+  /**
    * Dedup cluster assignment: connected components of a near-dup pair
    * graph by iterative min-label (hash-min) propagation — every doc gets
    * the smallest doc_id reachable in its component as `cluster_rep`;

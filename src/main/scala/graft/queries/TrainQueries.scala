@@ -278,6 +278,17 @@ object TrainQueries {
     // order-sensitive checksums pin every lane)
     "ann_quantize" -> ((s, d) => Similarity.quantizeInt8(embs(s, d))),
 
+    // benchmark decontamination: every 50th doc plays the eval set;
+    // training docs sharing >= 3 shingles with a benchmark doc are
+    // flagged with their containment fraction
+    "txt_decontaminate" -> ((s, d) => {
+      val sh = shingles3(s, d)
+      Dedup.containment(
+        sh.filter(col("doc_id") % 50 =!= 0),
+        sh.filter(col("doc_id") % 50 === 0),
+        minShared = 3L)
+    }),
+
     // cohort retention: users grouped by first-seen day, counted per
     // day-offset of later activity. Distinct activity days -> per-user
     // min -> user-keyed join -> (cohort, offset) rollup: every stage

@@ -301,6 +301,21 @@ class TrainSpec extends AnyFunSuite {
     assert(r == Map(3L -> Some(2L), 4L -> None, 6L -> Some(5L)))
   }
 
+  test("containment flags train docs sharing >= minShared bench shingles") {
+    // bench doc 100: shingles {a b c, b c d, c d e}; train doc 1 shares
+    // two of them, train doc 2 shares one (below threshold)
+    val df = docs(
+      (100L, "a b c d e"),
+      (1L, "a b c d x"),
+      (2L, "z z a b c"))
+    val sh = Dedup.shingles(df, 3)
+    val r = Dedup.containment(
+      sh.filter(col("doc_id") =!= 100L), sh.filter(col("doc_id") === 100L),
+      minShared = 2L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((1L, 100L, 2L, 2.0 / 3)))
+  }
+
   test("retention counts distinct users per (cohort day, offset)") {
     // user 7 first seen Jan 1, active again Jan 3; user 8 only Jan 3
     val ev = Seq(
