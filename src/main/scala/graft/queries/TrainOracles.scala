@@ -650,6 +650,96 @@ object TrainOracles {
         |       CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM act a JOIN f USING (user_id)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Lloyd k-means twin: iterations unrolled as materialized CTEs —
+    // same deterministic init, same strict-order distance fold, same
+    // 1e-6 fixed-point centroid means, same (sqdist, cluster) tie-break
+    "ann_kmeans" -> ErOracles.materializeCtes(kmeansSql(k = 8, iters = 2)),
+
+    // TF-IDF twin: ln-based smoothed idf, ranked on the ROUNDED score
+    // (so a last-ULP ln difference can't flip the top-3), token
+    // tie-break
+    "txt_tfidf" -> ErOracles.materializeCtes(
+      s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_filter(string_split(nt, ' '), t -> length(t) > 0)) AS token FROM dn),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+         |         round(CAST(tf.tf AS DOUBLE) *
+         |               ln((CAST(nd.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)), 9) AS tfidf
+         |       FROM tf JOIN df USING (token) CROSS JOIN nd),
+         |rk AS (SELECT doc_id, token, tf, tfidf,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+         |       FROM sc)
+         |SELECT doc_id, token, tf, tfidf, CAST(rn AS BIGINT) AS rank
+         |FROM rk WHERE rn <= 3""".stripMargin),
+
+    // unigram-surprisal twin: per-token NLL rounded to 1e-9 fixed point
+    // and summed as BIGINT, so the per-doc mean is independent of
+    // aggregation order in both engines
+    "txt_lm_score" -> ErOracles.materializeCtes(
+      s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_filter(string_split(nt, ' '), t -> length(t) > 0)) AS token FROM dn),
+         |fr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY token),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM fr),
+         |nl AS (SELECT tk.doc_id,
+         |         CAST(round(-ln(CAST(fr.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) * 1000000000.0) AS BIGINT) AS nll_fix
+         |       FROM tk JOIN fr USING (token) CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       round(CAST(SUM(nll_fix) AS DOUBLE) / 1000000000.0 / CAST(COUNT(*) AS DOUBLE), 9) AS avg_nll
+         |FROM nl GROUP BY doc_id""".stripMargin),
+
+    // epoch-mix twin: whole epochs via integer division, fractional
+    // remainder via the shared Knuth-hash percent; DuckDB's
+    // generate_series(1, 0) is empty (Spark's would descend — guarded
+    // engine-side)
+    "txt_mix" -> ErOracles.materializeCtes(
+      """WITH w AS (SELECT doc_id, lang,
+        |             CASE WHEN lang = 'en' THEN 250 ELSE 50 END AS w
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |        CAST(w // 100 AS BIGINT) +
+        |        CASE WHEN ((doc_id * 2654435761) % 1000000007) % 100 < w % 100
+        |             THEN 1 ELSE 0 END AS copies
+        |      FROM w)
+        |SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
+        |FROM c""".stripMargin)
   )
+
+  /** Unrolled Lloyd k-means: c0 = k lowest-id vectors; then
+   * assign/update pairs a1,c1 .. a{iters},c{iters}; output = the final
+   * assignment against c{iters}. Textual twin of
+   * [[graft.similarity.KMeans]] — element order, fixed-point scaling,
+   * division associativity and tie-breaks all match. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    def assign(name: String, cent: String): String =
+      s"""$name AS (SELECT vec_id, cluster, ed, sqdist FROM (
+         |  SELECT vec_id, cluster, ed, sqdist,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist ASC, cluster ASC) AS rn
+         |  FROM (SELECT e.vec_id, c.cluster, e.ed,
+         |          list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |            i -> (e.ed[i] - c.centroid[i]) * (e.ed[i] - c.centroid[i]))),
+         |            (acc, v) -> acc + v) AS sqdist
+         |        FROM ed e CROSS JOIN $cent c) s0) s1 WHERE rn <= 1)""".stripMargin
+    def update(name: String, asg: String): String =
+      s"""$name AS (SELECT cluster, list(cval ORDER BY dim) AS centroid FROM (
+         |  SELECT cluster, dim,
+         |    CAST(SUM(vfix) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS cval
+         |  FROM (SELECT a.cluster, d.i - 1 AS dim,
+         |          CAST(round(a.ed[d.i] * 1000000.0) AS BIGINT) AS vfix
+         |        FROM $asg a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d) v
+         |  GROUP BY cluster, dim) g GROUP BY cluster)""".stripMargin
+    val iterCtes = (1 to iters).flatMap(n =>
+      Seq(assign(s"a$n", s"c${n - 1}"), update(s"c$n", s"a$n")))
+    val ctes = Seq(
+      "ed AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed FROM embeddings)",
+      s"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster,
+         |         ed AS centroid
+         |       FROM (SELECT vec_id, ed FROM ed ORDER BY vec_id LIMIT $k) q)""".stripMargin
+    ) ++ iterCtes :+ assign("afinal", s"c$iters")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT vec_id, cluster, round(sqdist, 9) AS sqdist FROM afinal""".stripMargin
+  }
 }

@@ -303,6 +303,29 @@ object TrainQueries {
           datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
         .groupBy("cohort_day", "day_offset")
         .agg(count(lit(1)).as("n_users"))
-    })
+    }),
+
+    // deterministic Lloyd k-means (k=8, 2 iterations) over the embedding
+    // corpus — topic bucketing / IVF coarse quantizer. Fixed-point
+    // centroid sums make the result identical on any partitioning; the
+    // oracle unrolls the two iterations as CTEs
+    "ann_kmeans" -> ((s, d) =>
+      graft.similarity.KMeans.kmeans(embs(s, d), k = 8, iters = 2)),
+
+    // TF-IDF top-3 terms per document (smoothed idf, rank on the rounded
+    // score so cross-engine ln ULPs can't flip the selection)
+    "txt_tfidf" -> ((s, d) =>
+      graft.text.Curation.tfidfTopK(docs(s, d), k = 3)),
+
+    // unigram LM surprisal: per-doc mean -ln p(token) under the corpus's
+    // own unigram distribution — the perplexity-proxy quality score
+    "txt_lm_score" -> ((s, d) =>
+      graft.text.Curation.lmSurprisal(docs(s, d))),
+
+    // epoch-weighted training mix: English 2.5 epochs, rest 0.5 —
+    // materialized as replayable (doc, copy) rows
+    "txt_mix" -> ((s, d) =>
+      graft.text.Curation.epochMix(docs(s, d),
+        weights = Map("en" -> 250), defaultWeight = 50))
   )
 }

@@ -194,6 +194,99 @@ object Curation {
       frac(3, col("dup")).as("dup_trigram_frac"))
   }
 
+  /**
+   * TF-IDF top terms per document: term frequency within the document ×
+   * smoothed inverse document frequency over the corpus, top `k` terms
+   * per doc by (rounded score desc, token asc). One token explode feeds
+   * both the per-doc counts and the document frequencies; the final
+   * selection is a literal-k per-doc window (WindowGroupLimit — partial
+   * top-k before the shuffle). The score is ranked AFTER rounding to 9
+   * decimals so a last-ULP `ln` difference between engines can never
+   * flip the selection order; exact score ties fall back to token order.
+   */
+  def tfidfTopK(docs: DataFrame, k: Int, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(
+      filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"),
+        graft.functions.FastRound.round(col("tf").cast("double") *
+          log((col("n_docs").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0)), 9).as("tfidf"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("token").asc)))
+      .filter(col("rank") <= lit(k))
+      .select(col("doc_id"), col("token"), col("tf"),
+        col("tfidf"), col("rank").cast("long").as("rank"))
+  }
+
+  /**
+   * Unigram language-model surprisal — the perplexity-proxy quality
+   * score published pipelines use to rank documents against the corpus
+   * distribution (rare-token soup scores high, fluent text low). Each
+   * token's negative log-probability −ln(cnt/total) comes from the
+   * corpus's own unigram counts; the per-document mean is the score.
+   *
+   * Per-token NLLs are summed per document, and a double sum over an
+   * unordered group depends on partial-aggregation order — so each NLL
+   * is first rounded to a 1e-9 fixed-point BIGINT and summed exactly
+   * (same posture as the k-means centroid update): the result is
+   * identical on any partitioning and any engine. The corpus-frequency
+   * join is a plain equi-join on token (vocab-sized right side; AQE
+   * broadcasts it when small), so the operator is one explode + two
+   * aggregations at any corpus size.
+   */
+  def lmSurprisal(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(
+      filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = freq.select(sum(col("cnt")).as("total"))
+    val nll = toks.join(freq, Seq("token")).crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        graft.functions.FastRound.round(
+          -log(col("cnt").cast("double") / col("total").cast("double")) *
+            1000000000.0, 0).cast("long").as("nll_fix"))
+    nll.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"), sum(col("nll_fix")).as("sfix"))
+      .select(col("doc_id"), col("n_tokens"),
+        graft.functions.FastRound.round(
+          col("sfix").cast("double") / 1000000000.0 /
+            col("n_tokens").cast("double"), 9).as("avg_nll"))
+  }
+
+  /**
+   * Epoch-weighted source mixing: materialize the training mix as
+   * (doc, copy) rows, where each stratum's weight is in hundredths of an
+   * epoch (250 = 2.5 epochs). Whole epochs replicate every document;
+   * the fractional remainder keeps a deterministic hash-chosen subset —
+   * replayable like [[stratifiedSample]], so re-running the pipeline
+   * regenerates the SAME mix. The explode guards the empty case
+   * explicitly (Spark's `sequence(1, 0)` DESCENDS); a zero-copy document
+   * drops out, matching the oracle's `generate_series` semantics. Pure
+   * map-side work — no shuffle at any scale.
+   */
+  def epochMix(docs: DataFrame, weights: Map[String, Int], defaultWeight: Int,
+               stratumCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    val copies = floor(w.cast("long") / 100L).cast("long") +
+      when(pmod(idHash(col(idCol)), lit(100L)) < w.cast("long") % 100L, 1L)
+        .otherwise(0L)
+    docs.select(col(idCol).as("doc_id"), col(stratumCol).as("lang"),
+        copies.as("copies"))
+      .select(col("doc_id"), col("lang"), explode(
+        when(col("copies") >= 1L, sequence(lit(1L), col("copies")))
+          .otherwise(array().cast("array<long>"))).as("copy"))
+  }
+
   /** Email/URL patterns shared by the operator and its spec. Conservative
    * character-class-only regexes: identical semantics in Java regex
    * (Spark) and RE2 (the DuckDB oracle) — no backreferences, no

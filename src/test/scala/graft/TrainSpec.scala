@@ -442,4 +442,65 @@ class TrainSpec extends AnyFunSuite {
     val zeroHash = (1 to 4).foldLeft(0L)((acc, _) => (acc * 31 + 128) % graft.functions.PolyHash31.Mod)
     assert(r(2L) == ((0.0, 0L, zeroHash)))
   }
+
+  test("kmeans separates planted groups and is partition-independent") {
+    import graft.similarity.KMeans
+    // init = two lowest ids, one per planted group
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.95f)),
+      (5L, Array(0.8f, 0.05f)), (6L, Array(0.05f, 0.9f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val r = KMeans.kmeans(df, k = 2, iters = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Seq(1L, 3L, 5L).map(r).toSet.size == 1)
+    assert(Seq(2L, 4L, 6L).map(r).toSet.size == 1)
+    assert(r(1L) != r(2L))
+    // fixed-point centroid sums: identical output on any partitioning
+    val a = KMeans.kmeans(df, k = 2, iters = 2).collect().toSet
+    val b = KMeans.kmeans(df.repartition(7), k = 2, iters = 2).collect().toSet
+    assert(a == b)
+  }
+
+  test("tfidfTopK ranks distinctive terms above ubiquitous ones") {
+    import graft.text.Curation
+    val df = docs(
+      (1L, "the zebra the the"), (2L, "the cat"), (3L, "the dog"))
+    val r = Curation.tfidfTopK(df, k = 2)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(4)))
+    // "the" appears in every doc -> idf ln(4/4)=0 -> score 0; distinctive
+    // tokens (df=1, idf ln(2)) outrank it everywhere
+    val byDoc = r.groupBy(_._1)
+    assert(byDoc(1L).find(_._4 == 1L).get._2 == "zebra")
+    assert(byDoc(1L).find(_._2 == "zebra").get._3 == 1L) // tf
+    assert(byDoc(2L).find(_._4 == 1L).get._2 == "cat")
+    assert(r.forall(_._4 <= 2L))
+  }
+
+  test("lmSurprisal: uniform corpus scores 0, rare tokens score high") {
+    import graft.text.Curation
+    val uni = docs((1L, "a a a"), (2L, "a a"))
+    val r0 = Curation.lmSurprisal(uni).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r0(1L) == 0.0 && r0(2L) == 0.0) // p(a)=1 -> -ln(1)=0
+    val mix = docs((1L, "a a a a"), (2L, "a a a rare"))
+    val r1 = Curation.lmSurprisal(mix).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r1(2L) > r1(1L) && r1(1L) > 0.0)
+  }
+
+  test("epochMix replicates whole epochs and hash-selects the remainder") {
+    import graft.text.Curation
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"))
+      .toDF("doc_id", "lang")
+    val r = Curation.epochMix(df, Map("en" -> 250), defaultWeight = 50)
+      .collect().map(x => (x.getLong(0), x.getLong(2)))
+    val copies = r.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    def extra(id: Long, frac: Long): Long =
+      if (((id * 2654435761L) % 1000000007L) % 100L < frac) 1L else 0L
+    for (id <- Seq(1L, 2L)) // en: 2.5 epochs -> 2 or 3 copies
+      assert(copies(id) == (1L to (2L + extra(id, 50))).toSeq)
+    for (id <- Seq(3L, 4L)) // default: 0.5 epochs -> 0 or 1 copy
+      assert(copies.getOrElse(id, Seq.empty[Long]) == (1L to extra(id, 50)).toSeq)
+  }
 }
