@@ -657,6 +657,11 @@ object TrainOracles {
     // 1e-6 fixed-point centroid means, same (sqdist, cluster) tie-break
     "ann_kmeans" -> ErOracles.materializeCtes(kmeansSql(k = 8, iters = 2)),
 
+    // IVF with the trained kmeans quantizer — shares the unrolled kmeans
+    // CTEs, then the standard assign/probe/rank IVF pipeline
+    "ann_ivf_kmeans_topk" -> ErOracles.materializeCtes(
+      ivfKmeansSql(k = 8, iters = 2, nProbe = 3, topK = 5)),
+
     // TF-IDF twin: ln-based smoothed idf, ranked on the ROUNDED score
     // (so a last-ULP ln difference can't flip the top-3), token
     // tie-break
@@ -708,12 +713,12 @@ object TrainOracles {
         |FROM c""".stripMargin)
   )
 
-  /** Unrolled Lloyd k-means: c0 = k lowest-id vectors; then
-   * assign/update pairs a1,c1 .. a{iters},c{iters}; output = the final
-   * assignment against c{iters}. Textual twin of
+  /** Unrolled Lloyd k-means CTEs: c0 = k lowest-id vectors; then
+   * assign/update pairs a1,c1 .. a{iters},c{iters}. Returns (shared
+   * CTEs, final-assignment CTE). Textual twin of
    * [[graft.similarity.KMeans]] — element order, fixed-point scaling,
    * division associativity and tie-breaks all match. */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): (Seq[String], String) = {
     def assign(name: String, cent: String): String =
       s"""$name AS (SELECT vec_id, cluster, ed, sqdist FROM (
          |  SELECT vec_id, cluster, ed, sqdist,
@@ -738,8 +743,43 @@ object TrainOracles {
       s"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster,
          |         ed AS centroid
          |       FROM (SELECT vec_id, ed FROM ed ORDER BY vec_id LIMIT $k) q)""".stripMargin
-    ) ++ iterCtes :+ assign("afinal", s"c$iters")
-    s"""WITH ${ctes.mkString(",\n")}
+    ) ++ iterCtes
+    (ctes, assign("afinal", s"c$iters"))
+  }
+
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val (ctes, afinal) = kmeansCtes(k, iters)
+    s"""WITH ${(ctes :+ afinal).mkString(",\n")}
        |SELECT vec_id, cluster, round(sqdist, 9) AS sqdist FROM afinal""".stripMargin
+  }
+
+  /** IVF probe/rank SQL against the trained c{iters} centroid table —
+   * the ann_ivf_topk twin with kmeans lists instead of lowest-id
+   * placeholder centroids. */
+  private def ivfKmeansSql(k: Int, iters: Int, nProbe: Int, topK: Int): String = {
+    val (ctes, _) = kmeansCtes(k, iters)
+    val ivf = Seq(
+      s"cent AS (SELECT cluster AS cid, centroid FROM c$iters)",
+      s"""asg0 AS (
+         |  SELECT c.vec_id AS nn_id, c.embedding AS ce, cent.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |           ORDER BY round(${cosine("c.embedding", "cent.centroid")}, 9) DESC, cent.cid ASC) AS rn
+         |  FROM embeddings c CROSS JOIN cent)""".stripMargin,
+      "asg AS (SELECT nn_id, ce, cid FROM asg0 WHERE rn = 1)",
+      s"""pr0 AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qe, cent.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |           ORDER BY round(${cosine("q.embedding", "cent.centroid")}, 9) DESC, cent.cid ASC) AS rn
+         |  FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 10)""".stripMargin,
+      s"pr AS (SELECT query_id, qe, cid FROM pr0 WHERE rn <= $nProbe)",
+      s"""cand AS (
+         |  SELECT pr.query_id, asg.nn_id, round(${cosine("pr.qe", "asg.ce")}, 9) AS cos
+         |  FROM asg JOIN pr USING (cid) WHERE pr.query_id <> asg.nn_id)""".stripMargin,
+      """ranked AS (
+        |  SELECT query_id, nn_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rn
+        |  FROM cand)""".stripMargin)
+    s"""WITH ${(ctes ++ ivf).mkString(",\n")}
+       |SELECT query_id, nn_id, cos, rn FROM ranked WHERE rn <= $topK""".stripMargin
   }
 }

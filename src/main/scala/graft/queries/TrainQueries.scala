@@ -32,9 +32,19 @@ object TrainQueries {
 
   private def simhashFp(s: SparkSession, d: String): DataFrame =
     simhashCache.getOrElseUpdate(d, graft.util.Snapshot(Dedup.simhash(docs(s, d))))
-  /** Pre-builds the memoized shingle/simhash caches (Warmup). */
+
+  /** Trained k-means centroids (k=8, 2 Lloyd iterations) shared by the
+   * assignment query and the IVF-with-kmeans query; the trainer already
+   * snapshots per iteration, so the memo just avoids re-running it. */
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def kmeansCentroids(s: SparkSession, d: String): DataFrame =
+    kmeansCache.getOrElseUpdate(d,
+      graft.similarity.KMeans.centroids(embs(s, d), k = 8, iters = 2))
+
+  /** Pre-builds the memoized shingle/simhash/centroid caches (Warmup). */
   def warm(s: SparkSession, d: String): Unit = {
-    shingles3(s, d); simhashFp(s, d); ()
+    shingles3(s, d); simhashFp(s, d); kmeansCentroids(s, d); ()
   }
 
   private def embs(s: SparkSession, d: String): DataFrame =
@@ -310,7 +320,18 @@ object TrainQueries {
     // centroid sums make the result identical on any partitioning; the
     // oracle unrolls the two iterations as CTEs
     "ann_kmeans" -> ((s, d) =>
-      graft.similarity.KMeans.kmeans(embs(s, d), k = 8, iters = 2)),
+      graft.similarity.KMeans.assignFinal(embs(s, d), kmeansCentroids(s, d))),
+
+    // IVF top-k with the TRAINED coarse quantizer (kmeans centroids
+    // replacing ann_ivf_topk's lowest-id placeholder lists): 8 lists,
+    // probe the 3 nearest
+    "ann_ivf_kmeans_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.ivfTopKWith(e, e.filter(col("vec_id") < 10),
+        kmeansCentroids(s, d)
+          .select(col("cluster").as("cid"), col("centroid")),
+        k = 5, nProbe = 3)
+    }),
 
     // TF-IDF top-3 terms per document (smoothed idf, rank on the rounded
     // score so cross-engine ln ULPs can't flip the selection)

@@ -90,18 +90,27 @@ object KMeans {
 
   /**
    * Run `iters` Lloyd iterations from the deterministic init and return
-   * the final assignment: (vec_id, cluster, sqdist rounded to 9). Each
+   * the trained centroids (cluster, centroid: array<double>). Each
    * intermediate centroid set is k·dim rows — snapshotted eagerly so the
    * lineage stays one-iteration deep (the connected-components lesson:
    * never let an iterative plan nest).
    */
-  def kmeans(embs: DataFrame, k: Int, iters: Int): DataFrame = {
+  def centroids(embs: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = embs.select("vec_id", "embedding")
-    var centroids = graft.util.Snapshot(initCentroids(e, k))
+    var cents = graft.util.Snapshot(initCentroids(e, k))
     for (_ <- 1 to iters)
-      centroids = graft.util.Snapshot(update(assign(e, centroids)))
-    assign(e, centroids)
+      cents = graft.util.Snapshot(update(assign(e, cents)))
+    cents
+  }
+
+  /** Final assignment against a trained centroid set:
+   * (vec_id, cluster, sqdist rounded to 9). */
+  def assignFinal(embs: DataFrame, cents: DataFrame): DataFrame =
+    assign(embs.select("vec_id", "embedding"), cents)
       .select(col("vec_id"), col("cluster"),
         graft.functions.FastRound.round(col("sqdist"), 9).as("sqdist"))
-  }
+
+  /** Train + assign in one call. */
+  def kmeans(embs: DataFrame, k: Int, iters: Int): DataFrame =
+    assignFinal(embs, centroids(embs, k, iters))
 }

@@ -120,9 +120,20 @@ object Similarity {
    * ~nProbe/nCentroids of the corpus.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cent = corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopKWith(corpus, queries,
+      corpus.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid")),
+      k, nProbe)
+
+  /** IVF against an externally trained coarse quantizer — e.g.
+   * [[KMeans.centroids]] (cid, centroid: array<double>); VecDot accepts
+   * the float corpus side against the double centroid side directly.
+   * Same dataflow as [[ivfTopK]]: broadcast centroids, one O(N)
+   * equi-join shuffle on the list id. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                  k: Int, nProbe: Int): DataFrame = {
+    val cent = centroids
     // inverted lists: nearest centroid per corpus vector (rounded cosine,
     // ties to the lower centroid id — same total order as the oracle)
     val assigned = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))

@@ -462,6 +462,22 @@ class TrainSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ivfTopKWith kmeans centroids: full probe equals brute force") {
+    import graft.similarity.KMeans
+    val vecs = (1L to 20L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11).toFloat / 11f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = KMeans.centroids(df, k = 3, iters = 2)
+      .select(col("cluster").as("cid"), col("centroid"))
+    val q = df.filter(col("vec_id") <= 3)
+    // probing every list degrades IVF to exact search
+    val ivf = Similarity.ivfTopKWith(df, q, cents, k = 4, nProbe = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSet
+    val brute = Similarity.bruteForceTopK(df, q, k = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSet
+    assert(ivf == brute)
+  }
+
   test("tfidfTopK ranks distinctive terms above ubiquitous ones") {
     import graft.text.Curation
     val df = docs(
