@@ -27,11 +27,14 @@ import org.apache.spark.sql.functions._
  *    is identical on any partitioning, any engine.
  *
  * Per iteration: one broadcast of k·dim doubles to every task (the
- * assignment cross join — no shuffle of the corpus), then one
- * (cluster, dim)-keyed aggregation of k·dim long sums (map-side
- * combinable, so the exchange carries O(partitions · k · dim) rows, not
- * the corpus). That is the canonical scalable k-means shape: the corpus
- * is scanned `iters + 1` times and never shuffled.
+ * assignment cross join — the corpus·k candidate rows are generated and
+ * pruned in place: the literal top-1 window plans as WindowGroupLimit,
+ * so the exchange behind it carries ≈ one row per vector, not per
+ * (vector, centroid)), then one (cluster, dim)-keyed aggregation of
+ * k·dim long sums (map-side combinable, so that exchange carries
+ * O(partitions · k · dim) rows, not the corpus). That is the canonical
+ * scalable k-means shape: per iteration the corpus is scanned once and
+ * crosses the wire once, pre-reduced.
  */
 object KMeans {
 

@@ -124,4 +124,24 @@ class PlanSpec extends AnyFunSuite {
       s"range join fell back to a nested loop:\n$p")
     assert(p.contains("HashJoin"), s"no hash join in:\n$p")
   }
+
+  test("tfidf's literal top-k keeps the WindowGroupLimit pushdown") {
+    val docs = viaParquet(Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text"))
+    val p = plan(graft.text.Curation.tfidfTopK(docs, k = 3))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("kmeans assignment broadcasts centroids and pre-prunes the argmin window") {
+    // the iteration's scale contract: centroids ship as a broadcast (the
+    // corpus side never shuffles for the join) and the per-vector top-1
+    // is a WindowGroupLimit, so the exchange behind it carries ~1 row
+    // per vector instead of one per (vector, centroid)
+    val embs = viaParquet(Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.2f))).toDF("vec_id", "embedding"))
+    val cents = graft.similarity.KMeans.initCentroids(embs, k = 2)
+    val p = plan(graft.similarity.KMeans.assignFinal(embs, cents))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast join in:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
 }
