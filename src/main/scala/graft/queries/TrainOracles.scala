@@ -585,6 +585,27 @@ object TrainOracles {
          |       COALESCE(MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / total END), 0.0) AS dup_trigram_frac
          |FROM p GROUP BY doc_id""".stripMargin,
 
+    // chunk-dedup twin: same 10-token chunking over the normalized token
+    // stream, same fused BIGINT position key (doc_id*1e6 + chunk_idx)
+    // argmin, same order-preserving reassembly (string_agg ORDER BY
+    // chunk_idx == Spark's array_sort-by-struct-then-join)
+    "txt_chunk_dedup" -> ErOracles.materializeCtes(
+      s"""WITH dn AS (SELECT doc_id,
+         |         list_filter(string_split(${norm("text")}, ' '), t -> length(t) > 0) AS toks
+         |       FROM documents),
+         |ch AS (SELECT doc_id, CAST(x.i AS BIGINT) AS chunk_idx,
+         |         array_to_string(list_slice(toks, CAST(x.i * 10 + 1 AS BIGINT), CAST(x.i * 10 + 10 AS BIGINT)), ' ') AS chunk
+         |       FROM dn, unnest(generate_series(0, CAST(floor((len(toks) - 1) / 10.0) AS BIGINT))) AS x(i)
+         |       WHERE len(toks) > 0),
+         |ky AS (SELECT doc_id, chunk_idx, chunk,
+         |         doc_id * 1000000 + chunk_idx AS pos_key FROM ch),
+         |fs AS (SELECT chunk, MIN(pos_key) AS keep_key FROM ky GROUP BY chunk),
+         |kp AS (SELECT ky.doc_id, ky.chunk_idx, ky.chunk
+         |       FROM ky JOIN fs ON ky.chunk = fs.chunk AND ky.pos_key = fs.keep_key)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+         |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+         |FROM kp GROUP BY doc_id""".stripMargin),
+
     // PII redaction twin: same planted addresses/URLs, same RE2-safe
     // patterns (no dialect-dependent constructs), redaction checked by
     // count + length + rolling hash of the redacted text (ASCII corpus:

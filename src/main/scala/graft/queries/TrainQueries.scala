@@ -272,6 +272,11 @@ object TrainQueries {
     // query plants them deterministically (every 10th doc an address,
     // every 7th a URL — derived from doc_id, reproduced by the oracle)
     // and redaction is checked via counts + length + content hash
+    // C4-style duplicate-span removal: w=10-token chunks, global
+    // first-occurrence survivors, order-preserving reassembly
+    "txt_chunk_dedup" -> ((s, d) =>
+      graft.text.Curation.chunkDedup(docs(s, d), w = 10)),
+
     "txt_redact" -> ((s, d) => {
       val planted = docs(s, d).withColumn("text", concat(col("text"),
         when(col("doc_id") % 10 === 0, concat(lit(" contact user"),

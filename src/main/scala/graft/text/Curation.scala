@@ -287,6 +287,53 @@ object Curation {
           .otherwise(array().cast("array<long>"))).as("copy"))
   }
 
+  /**
+   * C4-style duplicate-span removal (cf. the reference-free "three-
+   * sentence dedup" every published web-corpus pipeline runs): split each
+   * document's normalized token stream into fixed `w`-token chunks, keep
+   * only the globally FIRST occurrence of each distinct chunk — ordered
+   * by (doc_id, chunk_idx) through a single BIGINT position key — and
+   * reassemble each document from its surviving chunks in original order.
+   * Documents whose every chunk appeared earlier elsewhere drop out.
+   *
+   * Shape at scale: one explode (corpus → chunks), one hash aggregation
+   * on the chunk text (exact match — no collision risk from hashing),
+   * one equi-join back, one per-doc aggregation. No windows, no
+   * broadcast of anything corpus-sized; the chunk group-by is the same
+   * shuffle a groupBy-count dedup pays. The argmin is `min` over the
+   * fused position key rather than a struct min so both engines compare
+   * a single BIGINT (doc ids are dense-from-0; chunk_idx < 1e6 holds for
+   * any document under w·1e6 tokens, asserted nowhere because the fused
+   * key only needs to be ORDER-compatible, which it is whenever
+   * chunk_idx fits its slot).
+   *
+   * Returns (doc_id, kept_chunks, text_dedup).
+   */
+  def chunkDedup(docs: DataFrame, w: Int, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0).as("toks"))
+    // last chunk index = floor((n_tokens-1)/w); empty docs get no chunks
+    // (sequence(0,-1) would DESCEND — guard explicitly, as everywhere)
+    val chunks = toks.select(col("doc_id"), posexplode(
+      when(size(col("toks")) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / lit(w)).cast("int")),
+          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " ")))))
+      .toDF("doc_id", "chunk_idx", "chunk")
+    val keyed = chunks.select(col("doc_id"), col("chunk_idx"), col("chunk"),
+      (col("doc_id") * lit(1000000L) + col("chunk_idx")).as("pos_key"))
+    val firstSeen = keyed.groupBy("chunk").agg(min(col("pos_key")).as("keep_key"))
+    keyed.join(firstSeen, Seq("chunk"))
+      .filter(col("pos_key") === col("keep_key"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_chunks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk"))).as("text_dedup"))
+  }
+
   /** Email/URL patterns shared by the operator and its spec. Conservative
    * character-class-only regexes: identical semantics in Java regex
    * (Spark) and RE2 (the DuckDB oracle) — no backreferences, no

@@ -425,6 +425,21 @@ class TrainSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 0L, "no pii here")))
   }
 
+  test("chunkDedup keeps first global occurrence, reassembles in order") {
+    import graft.text.Curation
+    val df = docs(
+      (1L, "a b c d e f"),   // chunks (w=2): "a b","c d","e f"
+      (2L, "c d x y"),       // "c d" seen in doc 1 -> drops; "x y" kept
+      (3L, "a b c d"),       // both chunks seen -> doc drops entirely
+      (4L, "e f e f g"))     // "e f" dup of doc1; second "e f" dup; tail "g" kept
+    val r = Curation.chunkDedup(df, w = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r(1L) == ((3L, "a b c d e f")))
+    assert(r(2L) == ((1L, "x y")))
+    assert(!r.contains(3L))
+    assert(r(4L) == ((1L, "g")))
+  }
+
   test("quantizeInt8: extremes hit ±127, zeros stay zero, checksums exact") {
     import graft.similarity.Similarity
     val df = Seq(
