@@ -76,7 +76,11 @@ object Blocking {
           concat(col("attribute"), lit("_"), col("token")).as("key"))
       else
         base.select(col("profile_id"), col("source_id"), col("token").as("key"))
-    keyed.distinct()
+    // dropDuplicates, not distinct(): identical batch plan (both rewrite
+    // to a hash Aggregate), but Deduplicate is ALSO a supported streaming
+    // operator, so the same blocking-key projection runs unchanged as a
+    // Structured Stream (see EventStreams.tokenBlockingStreaming)
+    keyed.dropDuplicates()
   }
 
   /**

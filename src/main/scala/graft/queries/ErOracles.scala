@@ -324,6 +324,10 @@ object ErOracles {
     "er_tokens" -> (prelude(clean = false) +
       "x AS (SELECT 1) SELECT profile_id, key FROM toks"),
 
+    // streaming twin drains to the same pairs as the batch query
+    "er_tokens_stream" -> (prelude(clean = false) +
+      "x AS (SELECT 1) SELECT profile_id, key FROM toks"),
+
     "er_tokens_attr" -> (prelude(clean = false) +
       """atoks AS (
         |  SELECT DISTINCT profile_id, attribute || '_' || tok AS key FROM (

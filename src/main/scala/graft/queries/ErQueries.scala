@@ -35,8 +35,14 @@ object ErQueries {
     scala.collection.concurrent.TrieMap.empty[(String, Boolean, WeightType.Value), DataFrame]
 
   def partAttrs(spark: SparkSession, dir: String, twoSources: Boolean,
-                numSources: Int = 2): DataFrame = {
-    val part = spark.read.parquet(s"$dir/part.parquet")
+                numSources: Int = 2): DataFrame =
+    partAttrsOf(spark.read.parquet(s"$dir/part.parquet"), twoSources, numSources)
+
+  /** The part→profile attribute projection over an already-loaded (batch
+   * OR streaming) part frame — pure narrow ops, so the same definition
+   * serves the batch queries and the streaming blocking ingest. */
+  def partAttrsOf(part: DataFrame, twoSources: Boolean,
+                  numSources: Int = 2): DataFrame = {
     val src = if (twoSources) (col("p_partkey") % numSources).cast("int") else lit(0).cast("int")
     part.select(col("p_partkey").as("profile_id"), src.as("source_id"),
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
@@ -171,6 +177,13 @@ object ErQueries {
       .select("profile_id", "attribute", "value")),
 
     "er_tokens" -> ((s, d) => keys(s, d, twoSources = false).select("profile_id", "key")),
+
+    // the same blocking-key projection run as a Structured Stream over
+    // the profile files (incremental ER ingest); single AvailableNow
+    // batch => equals the batch query, which is the oracle
+    "er_tokens_stream" -> ((s, d) =>
+      graft.streaming.EventStreams.tokenBlockingStreaming(s, d,
+        p => partAttrsOf(p, twoSources = false))),
 
     "er_tokens_attr" -> ((s, d) =>
       Blocking.tokenKeys(partAttrs(s, d, twoSources = false), attrQualified = true)

@@ -50,11 +50,11 @@ object EventStreams {
   /** Temp dir holding a symlink to the events file — the file-stream
    * source only accepts directories. Recursively deleted on JVM exit
    * (deleteOnExit would silently no-op: the dir is never empty). */
-  private def streamDirFor(dir: String, prefix: String): String = {
+  private def streamDirFor(dir: String, prefix: String,
+                           file: String = "events.parquet"): String = {
     import java.nio.file.{Files, Paths}
     val d = Files.createTempDirectory(prefix)
-    Files.createSymbolicLink(d.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet"))
+    Files.createSymbolicLink(d.resolve(file), Paths.get(s"$dir/$file"))
     graft.util.Cleanup.onExitDelete(d.toString)
     d.toString
   }
@@ -174,6 +174,34 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_type", "event_day")
       .select("event_type", "event_day")
     drainAvailableNow(dedup, "events_dedup_wm", "append")
+  }
+
+  /**
+   * Streaming ER ingest — token blocking as a Structured Stream. Profiles
+   * arrive as parquet files; the blocking-key projection
+   * (filter/explode/lower/concat inside [[graft.er.Blocking.tokenKeys]])
+   * is fully stateless, and the trailing key-pair dedup is streaming
+   * `dropDuplicates` state: as new profiles stream in, each (profile_id,
+   * key) emits exactly once — the incremental form of the reference's
+   * batch blocking step, which has no streaming story at all. `attrsOf`
+   * maps the raw file rows to the (profile_id, source_id, attribute,
+   * value) layout, so any profile source reuses this drain. Exact-distinct
+   * state grows with the key universe (drain-harness posture, same as
+   * [[distinctPairsStreaming]]); an unbounded deployment would bound it
+   * with `dropDuplicatesWithinWatermark` on an arrival-time column.
+   * With AvailableNow + a single batch the emitted pairs equal batch
+   * token blocking, so the batch SQL is the oracle.
+   */
+  def tokenBlockingStreaming(spark0: SparkSession, dir: String,
+                             attrsOf: DataFrame => DataFrame): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/part.parquet").schema
+    val parts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(streamDirFor(dir, "part_tokens_", "part.parquet"))
+    val keys = graft.er.Blocking.tokenKeys(attrsOf(parts))
+      .select("profile_id", "key")
+    drainAvailableNow(keys, "er_tokens_stream", "append")
   }
 
   /**

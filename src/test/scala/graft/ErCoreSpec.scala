@@ -213,5 +213,15 @@ class ErCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r._4 - 0.5) < 1e-12 && math.abs(r._5 - 0.5) < 1e-12)
   }
 
+  test("tokenBlockingStreaming drains the same pairs as batch token blocking") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.EventStreams.tokenBlockingStreaming(
+      spark, dir, p => graft.queries.ErQueries.partAttrsOf(p, twoSources = false))
+    val batch = graft.queries.ErQueries.keys(spark, dir, twoSources = false)
+      .select("profile_id", "key")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   override def afterAll(): Unit = () // keep shared session for other specs
 }
