@@ -243,6 +243,29 @@ object TrainOracles {
          |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
          |SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a""".stripMargin),
 
+    // cluster-aware split twin: same transitive closure as dedup_clusters,
+    // then the Knuth-hash bucket of the cluster REPRESENTATIVE decides the
+    // split (pure BIGINT arithmetic — bit-identical in both engines)
+    "dedup_cluster_split" -> (shinglePrelude.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
+      s"""bk AS (
+         |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         |         array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(sig AS VARCHAR))), ',') AS band_key
+         |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS u, d2 AS v FROM cand UNION ALL SELECT d2, d1 FROM cand),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+         |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a)
+         |SELECT doc_id, cluster_rep,
+         |       CASE WHEN (cluster_rep * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+         |            WHEN (cluster_rep * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM cl""".stripMargin),
+
     "dedup_simhash" ->
       s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
          |tk AS (

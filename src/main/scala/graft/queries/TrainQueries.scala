@@ -75,6 +75,14 @@ object TrainQueries {
       Dedup.clusters(docs(s, d),
         Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4).select("d1", "d2"))),
 
+    // leakage-safe split: the whole near-dup cluster hashes to one of
+    // train/val/test via its representative, so near-duplicates never
+    // straddle the train/eval boundary
+    "dedup_cluster_split" -> ((s, d) =>
+      graft.text.Curation.clusterSplit(
+        Dedup.clusters(docs(s, d),
+          Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4).select("d1", "d2")))),
+
     "dedup_simhash" -> ((s, d) => simhashFp(s, d)),
 
     "dedup_simhash_pairs" -> ((s, d) =>

@@ -288,6 +288,32 @@ object Curation {
   }
 
   /**
+   * Leakage-safe train/val/test split: every document inherits its dedup
+   * cluster's split, decided by a deterministic hash of the cluster
+   * REPRESENTATIVE — so a near-duplicate pair can never straddle the
+   * train/eval boundary (the classic contamination bug of doc-level
+   * random splits). `trainPct`/`valPct` are integer percents; the
+   * remainder is test. Input is the (doc_id, cluster_rep) frame from
+   * [[graft.dedup.Dedup.clusters]]; singleton docs are their own rep, so
+   * un-clustered corpora degrade to a plain hash split.
+   *
+   * Scale shape: one narrow projection — no shuffle, no state. The split
+   * is reproducible across runs/engines (Knuth hash, pure BIGINT
+   * arithmetic), so the assignment can be recomputed anywhere instead of
+   * stored.
+   */
+  def clusterSplit(clustered: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+                   idCol: String = "doc_id",
+                   repCol: String = "cluster_rep"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val bucket = pmod(idHash(col(repCol)), lit(100L))
+    clustered.select(col(idCol).as("doc_id"), col(repCol).as("cluster_rep"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /**
    * C4-style duplicate-span removal (cf. the reference-free "three-
    * sentence dedup" every published web-corpus pipeline runs): split each
    * document's normalized token stream into fixed `w`-token chunks, keep

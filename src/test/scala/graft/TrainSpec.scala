@@ -425,6 +425,27 @@ class TrainSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 0L, "no pii here")))
   }
 
+  test("clusterSplit: whole cluster shares one split, hash decides it") {
+    import graft.text.Curation
+    // two clusters (reps 1 and 4) plus a singleton (7)
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (7L, 7L))
+      .toDF("doc_id", "cluster_rep")
+    val r = Curation.clusterSplit(cl).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    // all members of a cluster get the representative's split
+    assert(r(1L)._2 == r(2L)._2 && r(2L)._2 == r(3L)._2)
+    assert(r(4L)._2 == r(5L)._2)
+    // expected buckets: (rep*2654435761) % 1000000007 % 100
+    def bucket(rep: Long) = (rep * 2654435761L) % 1000000007L % 100L
+    def split(rep: Long) = { val b = bucket(rep)
+      if (b < 80) "train" else if (b < 90) "val" else "test" }
+    Seq(1L, 4L, 7L).foreach(rep => assert(r(rep)._2 == split(rep)))
+    // degenerate ratios: trainPct=0, valPct=100 -> never "train"
+    val all = Curation.clusterSplit(cl, trainPct = 0, valPct = 100)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(all == Set("val"))
+  }
+
   test("chunkDedup keeps first global occurrence, reassembles in order") {
     import graft.text.Curation
     val df = docs(
