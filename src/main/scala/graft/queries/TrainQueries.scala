@@ -42,6 +42,16 @@ object TrainQueries {
     kmeansCache.getOrElseUpdate(d,
       graft.similarity.KMeans.centroids(embs(s, d), k = 8, iters = 2))
 
+  /** Dedup cluster assignment (MinHash-LSH near-dup graph -> hash-min CC),
+   * snapshot ONCE per dir: both the clusters query and the cluster-aware
+   * split consume it, and the CC iterations are the expensive part. */
+  private val clustersCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def clusters3(s: SparkSession, d: String): DataFrame =
+    clustersCache.getOrElseUpdate(d,
+      graft.util.Snapshot(Dedup.clusters(docs(s, d),
+        Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4).select("d1", "d2"))))
+
   /** Pre-builds the memoized shingle/simhash/centroid caches (Warmup). */
   def warm(s: SparkSession, d: String): Unit = {
     shingles3(s, d); simhashFp(s, d); kmeansCentroids(s, d); ()
@@ -71,17 +81,13 @@ object TrainQueries {
     // cluster assignment over the MinHash-LSH near-dup graph: smallest
     // reachable doc_id as the cluster representative (survivor set =
     // cluster_rep == doc_id)
-    "dedup_clusters" -> ((s, d) =>
-      Dedup.clusters(docs(s, d),
-        Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4).select("d1", "d2"))),
+    "dedup_clusters" -> ((s, d) => clusters3(s, d)),
 
     // leakage-safe split: the whole near-dup cluster hashes to one of
     // train/val/test via its representative, so near-duplicates never
     // straddle the train/eval boundary
     "dedup_cluster_split" -> ((s, d) =>
-      graft.text.Curation.clusterSplit(
-        Dedup.clusters(docs(s, d),
-          Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4).select("d1", "d2")))),
+      graft.text.Curation.clusterSplit(clusters3(s, d))),
 
     "dedup_simhash" -> ((s, d) => simhashFp(s, d)),
 
