@@ -41,6 +41,8 @@ object SupQueries {
 
   private val positivesCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val keysNoDefaultCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val featCleanCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
@@ -181,15 +183,19 @@ object SupQueries {
 
     // excludeDefaultCluster parity: source-1 'type' removed from the
     // attribute universe so 0_type stays unclustered (default cluster) and
-    // its keys must disappear from the blocking key space
-    "blast_keys_nodefault" -> ((s, d) => {
-      val attrs2 = ErQueries.partAttrs(s, d, twoSources = true)
-        .filter(!(col("source_id") === 1 && col("attribute") === "type"))
-      val cl = AttributeClustering.clusterAttributes(attrs2, k = 16, bands = 4,
-        maxFactor = 0.8, computeEntropy = true)
-      AttributeClustering.clusterKeys(attrs2, cl, excludeDefaultCluster = true)
-        .select("profile_id", "key").distinct()
-    }),
+    // its keys must disappear from the blocking key space. Snapshot per
+    // dir: the whole LSH+CC attribute-clustering chain re-ran on every
+    // call (8.9s steady at sf0.1 for a frame Verify+Bench read 3 times).
+    "blast_keys_nodefault" -> ((s, d) =>
+      keysNoDefaultCache.getOrElseUpdate(d, {
+        val attrs2 = ErQueries.partAttrs(s, d, twoSources = true)
+          .filter(!(col("source_id") === 1 && col("attribute") === "type"))
+        val cl = AttributeClustering.clusterAttributes(attrs2, k = 16, bands = 4,
+          maxFactor = 0.8, computeEntropy = true)
+        graft.util.Snapshot(
+          AttributeClustering.clusterKeys(attrs2, cl, excludeDefaultCluster = true)
+            .select("profile_id", "key").distinct())
+      })),
 
     // full BLAST-style pipeline: cluster-qualified keys -> cleaned blocks
     // -> chi2 WNP with entropy weighting
