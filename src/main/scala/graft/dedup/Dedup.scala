@@ -136,6 +136,28 @@ object Dedup {
       pairs, idCol = "doc_id", srcCol = "d1", dstCol = "d2",
       labelCol = "cluster_rep", maxIter = maxIter)
 
+  /**
+   * Quality-aware survivor selection: within each near-dup cluster keep
+   * the single BEST document (highest score, smallest doc_id on ties)
+   * instead of [[clusters]]' min-id convention — the production
+   * survivorship rule ("keep the most complete copy"), with the score
+   * column left to the caller (token count, quality score, recency…).
+   *
+   * Scale shape: one equi-join (clusters × scores) and one top-1 window.
+   * The literal rank-1 filter plans as WindowGroupLimit — each input
+   * partition pre-reduces to its local best per cluster before the
+   * shuffle, so the exchange carries O(clusters), not O(docs).
+   * Returns (cluster_rep, survivor_id, score-named column).
+   */
+  def survivors(clustered: DataFrame, scored: DataFrame,
+                scoreCol: String = "n_tokens"): DataFrame =
+    clustered.join(scored, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_rep")
+          .orderBy(col(scoreCol).desc, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("survivor_id"), col(scoreCol))
+
   /** Deterministic MinHash permutation constants, reproducible in SQL:
    * a_i = (1103515245*(i+1) + 12345) % Mod, b_i = (2654435761*(i+1)) % Mod. */
   def hashA(i: Column): Column = pmod(lit(1103515245L) * (i + 1) + 12345L, lit(Mod))

@@ -243,6 +243,33 @@ object TrainOracles {
          |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
          |SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a""".stripMargin),
 
+    // survivor twin: same transitive closure, then top-1 per cluster by
+    // (token count DESC, doc_id ASC) — the same whitespace token count
+    // as the txt_analysis oracle
+    "dedup_survivors" -> (shinglePrelude.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
+      s"""bk AS (
+         |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         |         array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(sig AS VARCHAR))), ',') AS band_key
+         |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS u, d2 AS v FROM cand UNION ALL SELECT d2, d1 FROM cand),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+         |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a),
+         |tc AS (SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+         |       FROM documents),
+         |rk AS (SELECT cl.cluster_rep, cl.doc_id, tc.n_tokens,
+         |         ROW_NUMBER() OVER (PARTITION BY cl.cluster_rep
+         |                            ORDER BY tc.n_tokens DESC, cl.doc_id ASC) AS rn
+         |       FROM cl JOIN tc ON cl.doc_id = tc.doc_id)
+         |SELECT cluster_rep, doc_id AS survivor_id, n_tokens FROM rk WHERE rn = 1""".stripMargin),
+
     // cluster-aware split twin: same transitive closure as dedup_clusters,
     // then the Knuth-hash bucket of the cluster REPRESENTATIVE decides the
     // split (pure BIGINT arithmetic — bit-identical in both engines)

@@ -89,6 +89,12 @@ object TrainQueries {
     "dedup_cluster_split" -> ((s, d) =>
       graft.text.Curation.clusterSplit(clusters3(s, d))),
 
+    // production survivorship: keep the longest copy per near-dup
+    // cluster (token count, id tiebreak), not the min-id one
+    "dedup_survivors" -> ((s, d) =>
+      Dedup.survivors(clusters3(s, d), docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")))),
+
     "dedup_simhash" -> ((s, d) => simhashFp(s, d)),
 
     "dedup_simhash_pairs" -> ((s, d) =>

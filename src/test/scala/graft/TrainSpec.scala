@@ -425,6 +425,19 @@ class TrainSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 0L, "no pii here")))
   }
 
+  test("survivors keeps the highest-score doc per cluster, id tiebreak") {
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "cluster_rep")
+    val sc = Seq((1L, 4), (2L, 7), (3L, 7), (5L, 2), (6L, 2), (9L, 0))
+      .toDF("doc_id", "n_tokens")
+    val r = Dedup.survivors(cl, sc).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2)))).toMap
+    assert(r == Map(
+      1L -> ((2L, 7)),  // 2 and 3 tie on 7; smaller id wins
+      5L -> ((5L, 2)),  // tie again -> 5
+      9L -> ((9L, 0)))) // singleton survives itself
+  }
+
   test("clusterSplit: whole cluster shares one split, hash decides it") {
     import graft.text.Curation
     // two clusters (reps 1 and 4) plus a singleton (7)
