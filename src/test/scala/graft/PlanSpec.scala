@@ -52,6 +52,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("survivors' rank-1 filter plans as WindowGroupLimit") {
+    val cl = viaParquet(Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_rep"))
+    val sc = viaParquet(Seq((1L, 5), (2L, 9), (3L, 2)).toDF("doc_id", "n_tokens"))
+    val p = plan(graft.dedup.Dedup.survivors(cl, sc))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
   test("domainCap prunes the documents scan to (doc_id, source) — no text column") {
     val df = graft.text.Curation.domainCap(
       spark.read.parquet(s"$sf/documents.parquet"), k = 5)
