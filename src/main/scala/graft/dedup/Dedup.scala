@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
  *    sets, band buckets replace the full inverted index — the 100 TB path
  *    (signature size is O(k) per doc regardless of doc length, candidate
  *    generation is an equi-join on band keys);
- *  - SimHash: 32-bit fingerprints, banded for candidate generation, exact
- *    Hamming verification via xor/bit_count.
+ *  - SimHash: 64-bit fingerprints (four 16-bit affine lanes), banded for
+ *    candidate generation, exact Hamming verification via xor/bit_count.
  *
  * Everything is hash arithmetic in Column expressions (codegen-friendly,
  * no UDFs) with fixed constants so the DuckDB oracle reproduces results
@@ -205,15 +205,26 @@ object Dedup {
   }
 
   /**
-   * 32-bit SimHash fingerprints: per distinct token, hash; per bit b,
+   * 64-bit SimHash fingerprints: per distinct token, hash; per bit k,
    * +1/-1 vote by bit value; fingerprint bit = majority (> 0). Returns
    * (doc_id, simhash).
    *
-   * The 32 votes are 32 bit-count aggregate COLUMNS in a single groupBy —
-   * no 32-way row explode (r1 shipped token-rows x32 through the shuffle:
-   * 59s at sf0.1 for this query alone). The +1/-1 vote sum for bit b
+   * The 31-bit token hash only carries 31 independent bits, so the 64
+   * fingerprint bits are drawn from four affine lane hashes
+   * h_j = (hashA(j)*h + hashB(j)) % Mod (the MinHash permutation family):
+   * fingerprint bit k comes from bit (k%16) of lane k/16. Each 16-bit
+   * band of the fingerprint therefore has a full 65,536-value range —
+   * this is what keeps [[simhashPairs]]' band buckets O(N/65536) instead
+   * of O(N/256) as corpus size grows (the 32-bit/8-bit-band version was
+   * the one O(N^2)-ish self-join left at 100x scale).
+   *
+   * The 64 votes are 64 bit-count aggregate COLUMNS in a single groupBy —
+   * no 64-way row explode (r1 shipped token-rows x32 through the shuffle:
+   * 59s at sf0.1 for this query alone). The +1/-1 vote sum for bit k
    * equals 2*count(bit set) - n(tokens), so per doc the shuffle carries
-   * one row of 33 longs, all inside whole-stage codegen.
+   * one row of 65 longs, all inside whole-stage codegen. Bit 63 makes the
+   * fingerprint negative in two's-complement; band extraction masks after
+   * the arithmetic shift, so signedness never leaks.
    */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
@@ -221,28 +232,33 @@ object Dedup {
         explode(filter(split(normalize(col(textCol)), " "), t => length(t) > 0)).as("tok"))
       .distinct()
       .select(col("doc_id"), strHash(col("tok")).as("h"))
-    val bitCounts = (0 until 32).map(b =>
-      sum(expr(s"shiftright(h, $b) & 1")).as(s"_c$b"))
-    val fingerprint = (0 until 32).map { b =>
-      // vote sum = 2*c_b - n; bit set on strict majority (> 0)
-      when(lit(2) * col(s"_c$b") - col("_n") > 0, lit(1L << b)).otherwise(lit(0L))
+    val lanes = toks.select(
+      col("doc_id") +: (0 until 4).map(j =>
+        pmod(hashA(lit(j)) * col("h") + hashB(lit(j)), lit(Mod)).as(s"_l$j")): _*)
+    val bitCounts = (0 until 64).map(k =>
+      sum(expr(s"shiftright(_l${k / 16}, ${k % 16}) & 1")).as(s"_c$k"))
+    val fingerprint = (0 until 64).map { k =>
+      // vote sum = 2*c_k - n; bit set on strict majority (> 0)
+      when(lit(2) * col(s"_c$k") - col("_n") > 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
-    toks.groupBy("doc_id")
+    lanes.groupBy("doc_id")
       .agg(count(lit(1)).as("_n"), bitCounts: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
   /**
    * SimHash near-dup pairs with Hamming distance <= maxDist: candidates
-   * share at least one of four 8-bit bands (pigeonhole guarantees recall
-   * for maxDist <= 3), verified with bit_count(xor).
+   * share at least one of four 16-bit bands (pigeonhole guarantees recall
+   * for maxDist <= 3), verified with bit_count(xor). 65,536 values per
+   * band keep bucket population ~N/65536 — the band self-join stays
+   * equi-join-shaped at 100x corpus scale.
    */
   def simhashPairs(fp0: DataFrame, maxDist: Int = 3): DataFrame = {
     val fp = graft.util.Snapshot(fp0) // both sides of the band self-join read it
     val banded = fp.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_val",
-        expr("shiftright(simhash, cast(band * 8 as int)) & 255"))
+        expr("shiftright(simhash, cast(band * 16 as int)) & 65535"))
     val a = banded.select(col("band"), col("band_val"),
       col("doc_id").as("d1"), col("simhash").as("f1"))
     val b = banded.select(col("band"), col("band_val"),

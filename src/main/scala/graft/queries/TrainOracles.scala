@@ -53,6 +53,30 @@ object TrainOracles {
        | FROM $vecTable e CROSS JOIN (SELECT unnest(generate_series(0, ${planes - 1})) AS p) p
        | GROUP BY e.vec_id, e.embedding""".stripMargin.replace("\n", " ")
 
+  /** Twin of Dedup.simhash's lane votes: from a `th(doc_id, h)` CTE of
+   * distinct-token hashes, four affine lane hashes
+   * (hashA(j)*h + hashB(j)) % Mod and a +1/-1 vote per fingerprint bit
+   * k = j*16 + b (bit b of lane j). */
+  private val simhashLanesVotes =
+    s"""lh AS (
+       |  SELECT doc_id, j.j AS j,
+       |         ((CAST(1103515245 AS BIGINT) * (j.j + 1) + 12345) % $Mod * h
+       |          + (2654435761 * (j.j + 1)) % $Mod) % $Mod AS lh
+       |  FROM th, (SELECT unnest(generate_series(0, 3)) AS j) j),
+       |votes AS (
+       |  SELECT doc_id, j * 16 + b.b AS k,
+       |         SUM(CASE WHEN (lh >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM lh, (SELECT unnest(generate_series(0, 15)) AS b) b
+       |  GROUP BY doc_id, j * 16 + b.b)""".stripMargin
+
+  /** 64-bit fingerprint from the votes CTE; bit 63 is the sign bit, so its
+   * weight is the Long.MinValue literal (DuckDB raises on 1::BIGINT << 63;
+   * the CASE keeps the shift argument < 63). */
+  private val simhashFromVotes =
+    """CAST(SUM(CASE WHEN v <= 0 THEN 0
+      |              WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |              ELSE (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) END) AS BIGINT)""".stripMargin.replace("\n", " ")
+
   /** Shared doc-shingle prelude: normalized tokens and distinct 3-gram
    * shingles with their hashes. */
   private val shinglePrelude =
@@ -299,13 +323,8 @@ object TrainOracles {
          |  SELECT DISTINCT doc_id, t AS tok
          |  FROM dn, unnest(list_filter(string_split(nt, ' '), x -> length(x) > 0)) AS u(t)),
          |th AS (SELECT doc_id, ${strHash("tok")} AS h FROM tk),
-         |votes AS (
-         |  SELECT doc_id, b.b AS b,
-         |         SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) b
-         |  GROUP BY doc_id, b.b)
-         |SELECT doc_id,
-         |       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |$simhashLanesVotes
+         |SELECT doc_id, $simhashFromVotes AS simhash
          |FROM votes GROUP BY doc_id""".stripMargin,
 
     "dedup_simhash_pairs" ->
@@ -314,18 +333,13 @@ object TrainOracles {
          |  SELECT DISTINCT doc_id, t AS tok
          |  FROM dn, unnest(list_filter(string_split(nt, ' '), x -> length(x) > 0)) AS u(t)),
          |th AS (SELECT doc_id, ${strHash("tok")} AS h FROM tk),
-         |votes AS (
-         |  SELECT doc_id, b.b AS b,
-         |         SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) b
-         |  GROUP BY doc_id, b.b),
+         |$simhashLanesVotes,
          |fp AS (
-         |  SELECT doc_id,
-         |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |  SELECT doc_id, $simhashFromVotes AS simhash
          |  FROM votes GROUP BY doc_id),
          |banded AS (
          |  SELECT doc_id, simhash, b.b AS band,
-         |         (simhash >> CAST(b.b * 8 AS INTEGER)) & 255 AS band_val
+         |         (simhash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS band_val
          |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b)
          |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
          |       bit_count(xor(a.simhash, b.simhash)) AS hamming
