@@ -120,6 +120,21 @@ object AttributeClustering {
                         maxFactor: Double = 0.8,
                         computeEntropy: Boolean = true,
                         normalizeEntropy: Boolean = false): DataFrame = {
+    val allAssigned = assignments(attrs, k, bands, maxFactor)
+    if (!computeEntropy) allAssigned.withColumn("entropy", lit(1.0))
+      .select("qattr", "cluster_id", "entropy", "is_default")
+    else withClusterEntropy(allAssigned, attributeEntropy(attrs), normalizeEntropy)
+  }
+
+  /**
+   * Cluster assignments without entropy: (qattr, cluster_id, is_default).
+   * Split out from [[clusterAttributes]] because the assignment chain
+   * (token scan -> signatures -> banding -> CC) is identical for the raw-
+   * and normalized-entropy variants — callers running both snapshot this
+   * once and pay the LSH chain a single time.
+   */
+  def assignments(attrs: DataFrame, k: Int = 16, bands: Int = 4,
+                  maxFactor: Double = 0.8): DataFrame = {
     val tokens = attrTokens(attrs).transform(graft.util.Snapshot.apply)
     val sig = signatures(tokens, k)
     val cand = candidatePairs(sig, k, bands)
@@ -133,13 +148,20 @@ object AttributeClustering {
       .withColumn("cluster_id", (row_number().over(Window.orderBy("lbl")) - 1).cast("int"))
     val nClusters = ids.count().toInt
     val assigned = clusteredLabels.join(ids, Seq("lbl")).select("qattr", "cluster_id")
-    val allAssigned = vertices.join(assigned, Seq("qattr"), "left")
+    vertices.join(assigned, Seq("qattr"), "left")
       .na.fill(Map("cluster_id" -> nClusters))
       .withColumn("is_default", col("cluster_id") === lit(nClusters))
-    if (!computeEntropy) return allAssigned.withColumn("entropy", lit(1.0))
-      .select("qattr", "cluster_id", "entropy", "is_default")
+  }
 
-    // per-attribute token counts over profile occurrences (non-distinct)
+  /**
+   * Per-attribute Shannon entropy over token occurrences (non-distinct):
+   * (qattr, tot, attr_entropy) with attr_entropy = -sum(p*log2 p) as a
+   * sorted sequential fold (double-sum order must match the SQL oracle).
+   * `tot` is carried so normalization can be applied downstream without
+   * rescanning: normalized = attr_entropy / log2(tot) — the same operand
+   * order as computing it inside the aggregate.
+   */
+  def attributeEntropy(attrs: DataFrame): DataFrame = {
     val occurrences = attrs
       .filter(col("attribute").isNotNull && col("value").isNotNull)
       .select(qualify(col("source_id"), col("attribute")).as("qattr"),
@@ -147,22 +169,32 @@ object AttributeClustering {
       .filter(length(col("token")) > 0)
     val tokenCounts = occurrences.groupBy("qattr", "token").agg(count(lit(1)).as("c"))
     val attrTotals = tokenCounts.groupBy("qattr").agg(sum(col("c")).as("tot"))
-    // sorted sequential folds: double-sum order must match the SQL oracle
     val rawEntropy =
       -expr("aggregate(array_sort(collect_list(term)), cast(0.0 as double), (acc, x) -> acc + x)")
-    val attrEntropy = tokenCounts.join(attrTotals, Seq("qattr"))
+    tokenCounts.join(attrTotals, Seq("qattr"))
       .withColumn("p", col("c").cast("double") / col("tot"))
       .withColumn("term", col("p") * log2(col("p")))
       .groupBy(col("qattr"), col("tot"))
-      .agg((if (normalizeEntropy) rawEntropy / log2(col("tot").cast("double"))
-            else rawEntropy).as("attr_entropy"))
-      .select("qattr", "attr_entropy")
-    val clusterEntropy = allAssigned.join(attrEntropy, Seq("qattr"), "left")
+      .agg(rawEntropy.as("attr_entropy"))
+      .select("qattr", "tot", "attr_entropy")
+  }
+
+  /** Cluster-mean entropy over assignments: joins [[attributeEntropy]]
+   * onto [[assignments]] output and averages per cluster (sorted fold).
+   * Returns (qattr, cluster_id, entropy, is_default). */
+  def withClusterEntropy(assigned: DataFrame, attrEnt: DataFrame,
+                         normalizeEntropy: Boolean = false): DataFrame = {
+    val perAttr =
+      if (normalizeEntropy)
+        attrEnt.select(col("qattr"),
+          (col("attr_entropy") / log2(col("tot").cast("double"))).as("attr_entropy"))
+      else attrEnt.select("qattr", "attr_entropy")
+    val clusterEntropy = assigned.join(perAttr, Seq("qattr"), "left")
       .na.fill(Map("attr_entropy" -> 0.0))
       .groupBy("cluster_id")
       .agg((expr("aggregate(array_sort(collect_list(attr_entropy)), cast(0.0 as double), (acc, x) -> acc + x)")
         / count(lit(1))).as("entropy"))
-    allAssigned.join(clusterEntropy, Seq("cluster_id"))
+    assigned.join(clusterEntropy, Seq("cluster_id"))
       .select("qattr", "cluster_id", "entropy", "is_default")
   }
 

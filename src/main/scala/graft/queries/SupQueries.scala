@@ -18,13 +18,33 @@ object SupQueries {
   private val clustersCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  private val assignCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val attrEntCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cluster assignments (the LSH+CC chain) over the parity-split part
+   * attrs, snapshot once per dir: attr_clusters and attr_clusters_norm
+   * differ only in entropy normalization, so the expensive chain is
+   * shared and each variant is a tiny join+aggregate on top. */
+  def assigned(s: SparkSession, d: String): DataFrame =
+    assignCache.getOrElseUpdate(d,
+      graft.util.Snapshot(AttributeClustering.assignments(
+        ErQueries.partAttrs(s, d, twoSources = true), k = 16, bands = 4,
+        maxFactor = 0.8)))
+
+  /** Per-attribute raw entropy + totals, shared by both entropy variants. */
+  def attrEntropies(s: SparkSession, d: String): DataFrame =
+    attrEntCache.getOrElseUpdate(d,
+      graft.util.Snapshot(AttributeClustering.attributeEntropy(
+        ErQueries.partAttrs(s, d, twoSources = true))))
+
   /** Attribute clusters over the parity-split part attrs, shared by
    * attr_clusters and blast_wnp. */
   def clusters(s: SparkSession, d: String): DataFrame =
     clustersCache.getOrElseUpdate(d,
-      graft.util.Snapshot(AttributeClustering.clusterAttributes(
-        ErQueries.partAttrs(s, d, twoSources = true), k = 16, bands = 4,
-        maxFactor = 0.8, computeEntropy = true)))
+      graft.util.Snapshot(AttributeClustering.withClusterEntropy(
+        assigned(s, d), attrEntropies(s, d))))
 
   /** Supervised-MB features over the dirty cleaned block collection,
    * labeled with the p_name ground truth. */
@@ -175,9 +195,8 @@ object SupQueries {
         graft.functions.FastRound.round(col("entropy"), 9).as("entropy"))),
 
     "attr_clusters_norm" -> ((s, d) =>
-      AttributeClustering.clusterAttributes(
-        ErQueries.partAttrs(s, d, twoSources = true), k = 16, bands = 4,
-        maxFactor = 0.8, computeEntropy = true, normalizeEntropy = true)
+      AttributeClustering.withClusterEntropy(
+        assigned(s, d), attrEntropies(s, d), normalizeEntropy = true)
         .select(col("qattr"), col("cluster_id"),
           graft.functions.FastRound.round(col("entropy"), 9).as("entropy"))),
 
