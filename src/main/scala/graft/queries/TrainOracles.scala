@@ -312,8 +312,8 @@ object TrainOracles {
          |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
          |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a)
          |SELECT doc_id, cluster_rep,
-         |       CASE WHEN (cluster_rep * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
-         |            WHEN (cluster_rep * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+         |       CASE WHEN ((cluster_rep % 1000000007) * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+         |            WHEN ((cluster_rep % 1000000007) * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM cl""".stripMargin),
 
@@ -439,13 +439,13 @@ object TrainOracles {
       """WITH pr AS (
         |  SELECT doc_id, source,
         |         ROW_NUMBER() OVER (PARTITION BY source
-        |           ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS rn
+        |           ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007 ASC, doc_id ASC) AS rn
         |  FROM documents)
         |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM pr WHERE rn <= 5""".stripMargin,
 
     "txt_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id * 2654435761) % 1000000007) % 100
+        |WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100
         |      < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)""".stripMargin,
 
     "txt_vocab" ->
@@ -791,7 +791,7 @@ object TrainOracles {
         |           FROM documents),
         |c AS (SELECT doc_id, lang,
         |        CAST(w // 100 AS BIGINT) +
-        |        CASE WHEN ((doc_id * 2654435761) % 1000000007) % 100 < w % 100
+        |        CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < w % 100
         |             THEN 1 ELSE 0 END AS copies
         |      FROM w)
         |SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy

@@ -39,16 +39,18 @@ object Warmup {
   }
 
   def run(s: SparkSession, d: String): Unit = {
-    import scala.concurrent.{ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     def task(name: String)(f: => Any): Future[Unit] =
       Future(step(name)(f)).transform(
         identity,
         { e => System.err.println(s"[warmup] step $name FAILED: $e"); e })
+    var indep: Seq[Future[Unit]] = Nil
     try {
       // independent chains: start now, join at the very end
-      val indep = Seq(
+      indep = Seq(
         task("blast_chain") {
           step("blast_chain/clusters")(SupQueries.clusters(s, d))
           step("blast_chain/weighted")(SupQueries.blastWeighted(s, d))
@@ -79,6 +81,14 @@ object Warmup {
         task("directed_cbs_clean")(ErQueries.directedCbsClean(s, d)),
         task("positives")(SupQueries.positives(s, d))))
       awaitAll(indep)
-    } finally pool.shutdown()
+    } finally {
+      // A failed dependent wave skips awaitAll(indep) — drain the
+      // independent chains here regardless, so their in-flight Spark jobs
+      // can't overlap (and contaminate) Bench's timed query loop after a
+      // warmup failure. Await.ready is a no-op when they already finished
+      // and does not rethrow their failures.
+      indep.foreach(f => scala.util.Try(Await.ready(f, 30.minutes)))
+      pool.shutdown()
+    }
   }
 }

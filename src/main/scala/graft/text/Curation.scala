@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Deterministic pseudo-random priority from an id: Knuth
-   * multiplicative hash folded to [0, 1e9) — pure BIGINT arithmetic the
-   * SQL oracle reproduces exactly (products stay far under 2^63 for any
-   * doc id this engine assigns). */
+   * multiplicative hash folded to [0, 1e9+7) — pure BIGINT arithmetic the
+   * SQL oracle reproduces exactly. The id is folded mod 1e9+7 BEFORE the
+   * multiply so the product stays under 2^62 for ANY 64-bit id (the
+   * unfolded form silently wrapped in Spark and raised in DuckDB once ids
+   * passed ~3.47e9 — plausible document counts at 100 TB). Values are
+   * unchanged for ids below 1e9+7. */
   private def idHash(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(1000000007L))
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(1000000007L))
 
   /**
    * Keep at most `k` documents per domain (`source`), selecting by
@@ -329,9 +332,10 @@ object Curation {
    * shuffle a groupBy-count dedup pays. The argmin is `min` over the
    * fused position key rather than a struct min so both engines compare
    * a single BIGINT (doc ids are dense-from-0; chunk_idx < 1e6 holds for
-   * any document under w·1e6 tokens, asserted nowhere because the fused
-   * key only needs to be ORDER-compatible, which it is whenever
-   * chunk_idx fits its slot).
+   * any document under w·1e6 tokens). The fused key is only
+   * ORDER-compatible while chunk_idx fits its slot, so a document that
+   * overflows it (>= 1e6 chunks, i.e. >= w·1e6 tokens) raises at runtime
+   * instead of silently keeping the wrong first occurrence.
    *
    * Returns (doc_id, kept_chunks, text_dedup).
    */
@@ -349,7 +353,12 @@ object Curation {
           i => array_join(slice(col("toks"), i * w + 1, lit(w)), " ")))))
       .toDF("doc_id", "chunk_idx", "chunk")
     val keyed = chunks.select(col("doc_id"), col("chunk_idx"), col("chunk"),
-      (col("doc_id") * lit(1000000L) + col("chunk_idx")).as("pos_key"))
+      when(col("chunk_idx") < lit(1000000L),
+          col("doc_id") * lit(1000000L) + col("chunk_idx"))
+        .otherwise(raise_error(concat(
+          lit("chunkDedup: chunk_idx >= 1e6 overflows the fused pos_key slot (doc_id "),
+          col("doc_id"), lit("); widen the slot for >= 1e6-chunk documents"))))
+        .as("pos_key"))
     val firstSeen = keyed.groupBy("chunk").agg(min(col("pos_key")).as("keep_key"))
     keyed.join(firstSeen, Seq("chunk"))
       .filter(col("pos_key") === col("keep_key"))
