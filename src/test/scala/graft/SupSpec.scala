@@ -124,6 +124,19 @@ class SupSpec extends AnyFunSuite {
       s"mean p_match $meanP far from positive rate $rate — calibration broken")
   }
 
+  test("fixedScore: frozen-coefficient logistic is monotone and separates the fixture") {
+    val feats = Seq(
+      (1L, 2L, 20.0, 0.9, 0.9, 3L, 3L, 0.9, 4.0, 0.9, 0.9, 1),   // match-like
+      (3L, 4L, 1.0, 0.05, 0.05, 9L, 9L, 0.05, 0.1, 0.05, 0.05, 0) // noise-like
+    ).toDF("p1", "p2", "cfibf", "raccb", "js", "num_comp_p1", "num_comp_p2",
+      "rs", "aejs", "nrs", "wjs", "is_match")
+    val p = SupervisedMB.fixedScore(feats)
+      .orderBy("p1").select("p_match").as[Double].collect()
+    assert(p.forall(v => v > 0.0 && v < 1.0))
+    assert(p(0) > 0.5 && p(1) < 0.5,
+      s"frozen model should separate the fixture: got ${p.toSeq}")
+  }
+
   test("ppsEmission ranks by likelihood then weight") {
     val weighted = Seq((1L, 2L, 5.0, 5.0), (1L, 3L, 1.0, 1.0), (4L, 5L, 3.0, 3.0))
       .toDF("p1", "p2", "w1", "w2")
