@@ -11,11 +11,17 @@ import org.apache.spark.sql.types._
  * real decoder (JNI / subprocess / native lib) drops in without changing
  * the plan shape.
  *
- * The actual codec is STUBBED — this container has no image/audio
- * libraries — with a deterministic fake (see [[fakeDecode]]) so the
- * Spark-side contract (schema, batch shape, partitioning, null handling)
- * is real and testable end-to-end. Swap `fakeDecode` for the real decoder
- * at deployment; everything else stays.
+ * Two decoders ride behind the same batched contract:
+ *
+ *  - [[fakeDecode]], a deterministic stand-in for heavyweight codecs
+ *    (libjpeg/ffmpeg — not in this container);
+ *  - [[decodePpm]], a REAL pure-JVM decoder for binary PPM (P6): header
+ *    tokenizer (whitespace + '#' comments), dimension/maxval parse, pixel
+ *    plane scan. [[encodePpm]] writes the format; the fixture generator
+ *    ([[ppmFixture]]) produces real P6 files whose pixels are closed-form
+ *    in the doc id, so the oracle can verify the decoded stats without
+ *    parsing PPM itself. Swapping in a native codec changes only the
+ *    decoder function; the plan shape stays.
  */
 object Multimodal {
 
@@ -66,24 +72,107 @@ object Multimodal {
     Row(docId, width, height, frames, math.floor(mean * 1e6 + 0.5) / 1e6)
   }
 
+  /** Decoded-PPM row: real dimensions from the header, a position-weighted
+   * pixel checksum (catches byte-order bugs a plain sum would miss) and
+   * the mean intensity over the RGB plane. */
+  val PpmFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixel_checksum", LongType, nullable = false),
+    StructField("mean_intensity", DoubleType, nullable = false)))
+
+  /** Binary PPM (P6, maxval 255) writer: ASCII header + raw RGB plane. */
+  def encodePpm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"encodePpm: ${rgb.length} bytes for ${width}x$height RGB")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /**
+   * REAL PPM (P6) decoder, pure JVM: tokenizes the header (arbitrary
+   * whitespace, '#' comments to end-of-line, the format's single
+   * whitespace byte after maxval), validates magic/maxval/plane length,
+   * then scans the pixel plane once for the checksum
+   * (sum of (position+1) * value over the flattened RGB stream) and the
+   * mean intensity (half-up to 1e-6, the same rounding as [[fakeDecode]]).
+   */
+  def decodePpm(docId: Long, payload: Array[Byte]): Row = {
+    var pos = 0
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && pos < payload.length) {
+        if (isWs(payload(pos))) pos += 1
+        else if (payload(pos) == '#') {
+          while (pos < payload.length && payload(pos) != '\n') pos += 1
+        } else go = false
+      }
+    }
+    def intToken(): Int = {
+      skipWsAndComments()
+      require(pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9',
+        s"PPM: expected integer at byte $pos (doc $docId)")
+      var v = 0
+      while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+        v = v * 10 + (payload(pos) - '0'); pos += 1
+      }
+      v
+    }
+    require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
+      s"PPM: not a P6 payload (doc $docId)")
+    pos = 2
+    val w = intToken(); val h = intToken(); val maxval = intToken()
+    require(maxval == 255, s"PPM: unsupported maxval $maxval (doc $docId)")
+    pos += 1 // the format's single whitespace byte between maxval and plane
+    val n = w * h * 3
+    require(payload.length - pos >= n, s"PPM: truncated pixel plane (doc $docId)")
+    var sum = 0L; var chk = 0L; var j = 0
+    while (j < n) {
+      val v = payload(pos + j) & 0xff
+      sum += v; chk += (j + 1).toLong * v; j += 1
+    }
+    val mean = if (n == 0) 0.0 else math.floor(sum.toDouble / n * 1e6 + 0.5) / 1e6
+    Row(docId, w, h, chk, mean)
+  }
+
+  /** Deterministic real-PPM fixture for a doc id: width 4 + id%5, height
+   * 3 + id%4, flattened RGB byte i = (id*31 + i*7) % 256 — closed-form
+   * arithmetic the SQL oracle recomputes, wrapped through the REAL
+   * [[encodePpm]] writer so [[decodePpm]] exercises genuine bytes. */
+  def ppmFixture(docId: Long): Array[Byte] = {
+    val w = 4 + (docId % 5).toInt
+    val h = 3 + (docId % 4).toInt
+    val rgb = Array.tabulate(w * h * 3)(i => ((docId * 31 + i.toLong * 7) % 256).toByte)
+    encodePpm(w, h, rgb)
+  }
+
   /**
    * Per-partition batched decode: iterates the partition in `batchSize`
    * groups (the shape a vectorized/native decoder wants), preserving
    * laziness — no partition is materialized whole. Repartitions to
    * `parallelism` so decode cost spreads evenly even when the upstream
-   * partitioning was size-skewed (media blobs usually are).
+   * partitioning was size-skewed (media blobs usually are). `decoder` and
+   * `schema` select the codec ([[fakeDecode]] by default; [[decodePpm]] +
+   * [[PpmFeatureSchema]] for real PPM payloads).
    */
   def decodeFeatures(mm: DataFrame, parallelism: Int = 0,
-                     batchSize: Int = 64): DataFrame = {
+                     batchSize: Int = 64,
+                     decoder: (Long, Array[Byte]) => Row = fakeDecode,
+                     schema: StructType = FeatureSchema): DataFrame = {
     val spark = mm.sparkSession
     val in = if (parallelism > 0) mm.repartition(parallelism, col("doc_id")) else mm
     val rdd = in.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // a real decoder would process `batch` in one native call
-        batch.iterator.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+        batch.iterator.map(r => decoder(r.getLong(0), r.getAs[Array[Byte]](1)))
       }
     }
-    spark.createDataFrame(rdd, FeatureSchema)
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Resize contract: aspect-preserving fit of (width, height) into a

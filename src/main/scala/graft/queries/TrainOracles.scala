@@ -554,6 +554,23 @@ object TrainOracles {
          |            ELSE floor(bytesum / len * 1000000 + 0.5) / 1000000 END AS mean_intensity
          |FROM m""".stripMargin,
 
+    // twin of the REAL PPM decode: the fixture's dims/pixels are
+    // closed-form in doc_id, so the expected header fields, the
+    // position-weighted checksum and the mean recompute in SQL
+    "mm_decode_ppm" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS width,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height, i.i AS i,
+        |         (doc_id * 31 + (i.i - 1) * 7) % 256 AS v
+        |  FROM dims, unnest(generate_series(1, width * height * 3)) AS i(i))
+        |SELECT doc_id, width, height,
+        |       CAST(SUM(i * v) AS BIGINT) AS pixel_checksum,
+        |       floor(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_intensity
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+
     "mm_resize" ->
       s"""WITH m AS (
          |  SELECT doc_id,

@@ -234,9 +234,21 @@ object TrainQueries {
         .select(col("doc_id"), col("meta.modality").as("modality"),
           col("meta.byte_len").as("byte_len"))),
 
-    // stubbed codec -> no SQL oracle; driver records rows-only
+    // stubbed codec (fakeDecode closed-form twin in the oracle)
     "mm_decode_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.asMultimodal(docs(s, d)), parallelism = 8)),
+
+    // REAL codec path: deterministic fixtures are genuine P6 files (real
+    // encoder), parsed back by the real pure-JVM PPM decoder behind the
+    // same batched mapPartitions contract; the oracle recomputes the
+    // decoded stats closed-form from doc_id without parsing PPM
+    "mm_decode_ppm" -> ((s, d) => {
+      import s.implicits._
+      val mm = docs(s, d).select("doc_id").as[Long]
+        .map(id => (id, Multimodal.ppmFixture(id))).toDF("doc_id", "payload")
+      Multimodal.decodeFeatures(mm, parallelism = 8,
+        decoder = Multimodal.decodePpm, schema = Multimodal.PpmFeatureSchema)
+    }),
 
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(

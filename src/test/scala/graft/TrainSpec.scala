@@ -112,6 +112,32 @@ class TrainSpec extends AnyFunSuite {
     assert(r == Set((0L, 1L, 1), (0L, 2L, 2)))
   }
 
+  test("decodePpm parses real P6 bytes: round-trip, comments, malformed input") {
+    // hand-built 2x1 image: pixels (1,2,3)(250,251,252)
+    val rgb = Array[Byte](1, 2, 3, 250.toByte, 251.toByte, 252.toByte)
+    val r = Multimodal.decodePpm(7L, Multimodal.encodePpm(2, 1, rgb))
+    assert(r.getInt(1) == 2 && r.getInt(2) == 1)
+    // checksum = 1*1 + 2*2 + 3*3 + 4*250 + 5*251 + 6*252
+    assert(r.getLong(3) == 1 + 4 + 9 + 1000 + 1255 + 1512)
+    val mean = (1 + 2 + 3 + 250 + 251 + 252) / 6.0
+    assert(math.abs(r.getDouble(4) - mean) < 1e-6)
+    // a header with comments and odd whitespace is still valid PPM
+    val wild = ("P6 # comment after magic\n# full-line comment\n 2\t1 " +
+      "\n255\n").getBytes("US-ASCII") ++ rgb
+    val rw = Multimodal.decodePpm(8L, wild)
+    assert(rw.getInt(1) == 2 && rw.getInt(2) == 1 && rw.getLong(3) == r.getLong(3))
+    // malformed inputs fail loudly, not silently
+    intercept[IllegalArgumentException](Multimodal.decodePpm(9L, "P5\n1 1\n255\n".getBytes ++ Array[Byte](0)))
+    intercept[IllegalArgumentException](Multimodal.decodePpm(9L, Multimodal.encodePpm(2, 1, rgb).dropRight(1)))
+    // the distributed path: fixtures through the batched mapPartitions
+    val feats = Multimodal.decodeFeatures(
+      Seq(3L, 11L).map(id => (id, Multimodal.ppmFixture(id))).toDF("doc_id", "payload"),
+      decoder = Multimodal.decodePpm, schema = Multimodal.PpmFeatureSchema)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(feats(3L).getInt(1) == 4 + 3 % 5 && feats(3L).getInt(2) == 3 + 3 % 4)
+    assert(feats(11L).getInt(1) == 4 + 11 % 5 && feats(11L).getInt(2) == 3 + 11 % 4)
+  }
+
   test("multimodal decode produces deterministic features + frame samples") {
     val df = docs((1L, "abcd"))
     val mm = Multimodal.asMultimodal(df)
