@@ -24,9 +24,10 @@ object Bench {
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     System.err.println(f"[bench] warmup_caches $warmupSec%.2fs")
-    // each query twice: run1 = what a first consumer pays after warmup
-    // (plan + codegen + execute), run2 = steady state (plan cache, snapshot
-    // reads warm) — regressions are attributable to one or the other.
+    // each query 1+3 times: run1 = what a first consumer pays after warmup
+    // (plan + codegen + execute); then three steady passes whose per-query
+    // median is `queries_steady` — regressions are attributable to plan
+    // cost or steady state, and single-run host-noise spikes are filtered.
     // Failures are recorded EXPLICITLY (name -> error in "failed", rc = 1),
     // never folded into a plausible-looking fast time.
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -42,17 +43,26 @@ object Bench {
       System.err.println(f"[bench] $name $dt%.2fs")
       name -> dt
     }
-    val run2 = SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
+    // three steady passes, report the per-query MEDIAN: this host's CPU
+    // noise produced one-off 5x spikes (r4: er_cep_cbs_clean 22.8s vs
+    // 2.8s steady) that a single steady run couldn't distinguish from a
+    // real regression — the median of three can.
+    val steadyRuns = Seq.fill(3)(
+      SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) })
+    val steadyMedian = SparkEntry.queries.keys.map { name =>
+      name -> steadyRuns.map(_(name)).sorted.apply(1)
+    }
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val queriesJson = jmap(run1 ++ Map("warmup_caches" -> warmupSec))
-    val steadyJson = jmap(run2)
+    val steadyJson = jmap(steadyMedian)
+    val warmupJson = jmap(queries.Warmup.lastTimings)
     val failedJson = failed
       .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = run1.values.sum + warmupSec
     val rc = if (failed.isEmpty) 0 else 1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson,"queries_steady":$steadyJson,"failed":$failedJson,"rc":$rc,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson,"queries_steady":$steadyJson,"warmup_steps":$warmupJson,"failed":$failedJson,"rc":$rc,"sf":"$sfDir"}""")
     spark.stop()
     if (rc != 0) sys.exit(rc)
   }

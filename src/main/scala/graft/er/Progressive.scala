@@ -146,9 +146,17 @@ object Progressive {
    * the rank emitted here. Proven row-for-row (weights AND order) against a
    * driver-side simulation of the reference algorithm in SupSpec
    * ("gspsn emission == reference window-sweep PriorityQueue simulation").
-   * Remaining (documented) tiebreak: positions of equal tokens are assigned
-   * in (token, profile_id) order where the reference inherits partition
-   * chance from sortBy.
+   *
+   * PINNED RULE (equal-token tiebreak): token-stream positions are
+   * assigned in total (token, profile_id) order — [[tokenPositions]]
+   * sorts on exactly that key, and the oracle bakes the same rule in as
+   * `ROW_NUMBER() OVER (ORDER BY key, profile_id)` (SupOracles
+   * prog_gspsn / prog_gspsn_clean), so the hash gate ENFORCES it. The
+   * reference leaves the order among equal tokens to sortBy partition
+   * chance (progressive.py:307) — i.e. each reference run draws one
+   * arbitrary order from the set our pinned rule selects from
+   * deterministically; there is no reference-observable order to adopt.
+   * This is the engine's defined contract, not a residual divergence.
    */
   def gspsn(keys: DataFrame, window: Int = 2, limit: Int = 1000,
             clean: Boolean = false): DataFrame = {

@@ -21,10 +21,19 @@ import graft.er.WeightType
  * wave while the spine sat finished).
  */
 object Warmup {
+  /** Per-step wall times of the latest run (steps execute concurrently —
+   * TrieMap). Bench surfaces this as `warmup_steps` in its JSON so warmup
+   * regressions are attributable round-over-round instead of hiding in
+   * one opaque warmup_caches number. */
+  private val timings = scala.collection.concurrent.TrieMap.empty[String, Double]
+  def lastTimings: Map[String, Double] = timings.toMap
+
   private def step(name: String)(f: => Any): Unit = {
     val t0 = System.nanoTime()
     f
-    System.err.println(f"[warmup] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val dt = (System.nanoTime() - t0) / 1e9
+    timings(name) = dt
+    System.err.println(f"[warmup] $name $dt%.2fs")
   }
 
   /** Run steps concurrently and await ALL of them (Future.sequence with a
@@ -41,6 +50,7 @@ object Warmup {
   def run(s: SparkSession, d: String): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
+    timings.clear()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     def task(name: String)(f: => Any): Future[Unit] =
