@@ -158,6 +158,40 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("cluster_rep"), col("doc_id").as("survivor_id"), col(scoreCol))
 
+  /**
+   * Golden-record consolidation: for each near-dup cluster, elect one
+   * canonical value per attribute — the MODE over the cluster's members,
+   * ties broken by the smallest value (a deterministic total order, where
+   * classic MDM survivorship leaves ties to arrival order). The standard
+   * "merge" step after ER/dedup: [[clusters]] decides WHICH records are
+   * the same entity; this decides what the merged entity looks like.
+   *
+   * Scale shape: one equi-join (clusters x attributes), then per attribute
+   * a count aggregate + top-1 window. The literal rank-1 filter plans as
+   * WindowGroupLimit — partial per-cluster top-1 before the exchange — and
+   * the count aggregate is map-side combinable, so nothing quadratic ever
+   * forms. Returns (cluster_rep, n_members, <attr>_golden...).
+   */
+  def goldenRecord(clustered: DataFrame, records: DataFrame,
+                   attrCols: Seq[String],
+                   idCol: String = "doc_id"): DataFrame = {
+    require(attrCols.nonEmpty)
+    // read once per attribute column + once for sizes: snapshot the join
+    val joined = graft.util.Snapshot(
+      clustered.select(col(idCol).as(idCol), col("cluster_rep"))
+        .join(records.select(col(idCol).as(idCol) +: attrCols.map(col): _*), Seq(idCol)))
+    val sizes = joined.groupBy("cluster_rep").agg(count(lit(1)).as("n_members"))
+    attrCols.foldLeft(sizes) { (acc, c) =>
+      val mode = joined.groupBy(col("cluster_rep"), col(c))
+        .agg(count(lit(1)).as("_cnt"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("cluster_rep").orderBy(col("_cnt").desc, col(c).asc)))
+        .filter(col("_rn") === 1)
+        .select(col("cluster_rep"), col(c).as(s"${c}_golden"))
+      acc.join(mode, Seq("cluster_rep"))
+    }
+  }
+
   /** Deterministic MinHash permutation constants, reproducible in SQL:
    * a_i = (1103515245*(i+1) + 12345) % Mod, b_i = (2654435761*(i+1)) % Mod. */
   def hashA(i: Column): Column = pmod(lit(1103515245L) * (i + 1) + 12345L, lit(Mod))

@@ -294,6 +294,36 @@ object TrainOracles {
          |       FROM cl JOIN tc ON cl.doc_id = tc.doc_id)
          |SELECT cluster_rep, doc_id AS survivor_id, n_tokens FROM rk WHERE rn = 1""".stripMargin),
 
+    // golden-record twin: same transitive closure, then per-cluster MODE
+    // of each attribute (ties -> smallest value) + member count
+    "dedup_golden" -> (shinglePrelude.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
+      s"""bk AS (
+         |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         |         array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(sig AS VARCHAR))), ',') AS band_key
+         |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS u, d2 AS v FROM cand UNION ALL SELECT d2, d1 FROM cand),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+         |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a),
+         |j AS (SELECT cl.cluster_rep, d.lang, d.source
+         |      FROM cl JOIN documents d USING (doc_id)),
+         |szs AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members FROM j GROUP BY cluster_rep),
+         |lm AS (SELECT cluster_rep, lang AS lang_golden FROM (
+         |         SELECT cluster_rep, lang,
+         |                ROW_NUMBER() OVER (PARTITION BY cluster_rep ORDER BY COUNT(*) DESC, lang ASC) AS rn
+         |         FROM j GROUP BY cluster_rep, lang) WHERE rn = 1),
+         |sm AS (SELECT cluster_rep, source AS source_golden FROM (
+         |         SELECT cluster_rep, source,
+         |                ROW_NUMBER() OVER (PARTITION BY cluster_rep ORDER BY COUNT(*) DESC, source ASC) AS rn
+         |         FROM j GROUP BY cluster_rep, source) WHERE rn = 1)
+         |SELECT szs.cluster_rep, szs.n_members, lm.lang_golden, sm.source_golden
+         |FROM szs JOIN lm USING (cluster_rep) JOIN sm USING (cluster_rep)""".stripMargin),
+
     // cluster-aware split twin: same transitive closure as dedup_clusters,
     // then the Knuth-hash bucket of the cluster REPRESENTATIVE decides the
     // split (pure BIGINT arithmetic — bit-identical in both engines)
@@ -686,6 +716,22 @@ object TrainOracles {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
          |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
          |FROM kp GROUP BY doc_id""".stripMargin),
+
+    // boilerplate twin: same chunking, then drop chunks whose distinct-doc
+    // frequency exceeds 1 (every copy, unlike chunk_dedup's keep-first)
+    "txt_boilerplate" -> ErOracles.materializeCtes(
+      s"""WITH dn AS (SELECT doc_id,
+         |         list_filter(string_split(${norm("text")}, ' '), t -> length(t) > 0) AS toks
+         |       FROM documents),
+         |ch AS (SELECT doc_id, CAST(x.i AS BIGINT) AS chunk_idx,
+         |         array_to_string(list_slice(toks, CAST(x.i * 10 + 1 AS BIGINT), CAST(x.i * 10 + 10 AS BIGINT)), ' ') AS chunk
+         |       FROM dn, unnest(generate_series(0, CAST(floor((len(toks) - 1) / 10.0) AS BIGINT))) AS x(i)
+         |       WHERE len(toks) > 0),
+         |keep AS (SELECT chunk FROM ch GROUP BY chunk HAVING COUNT(DISTINCT doc_id) <= 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+         |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean
+         |FROM ch JOIN keep USING (chunk)
+         |GROUP BY doc_id""".stripMargin),
 
     // PII redaction twin: same planted addresses/URLs, same RE2-safe
     // patterns (no dialect-dependent constructs), redaction checked by

@@ -95,6 +95,12 @@ object TrainQueries {
       Dedup.survivors(clusters3(s, d), docs(s, d).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens")))),
 
+    // MDM-style golden record: one canonical lang/source per near-dup
+    // cluster (mode over members, smallest value on ties) — the merge
+    // step after cluster assignment
+    "dedup_golden" -> ((s, d) =>
+      Dedup.goldenRecord(clusters3(s, d), docs(s, d), Seq("lang", "source"))),
+
     "dedup_simhash" -> ((s, d) => simhashFp(s, d)),
 
     "dedup_simhash_pairs" -> ((s, d) =>
@@ -308,6 +314,12 @@ object TrainQueries {
     // first-occurrence survivors, order-preserving reassembly
     "txt_chunk_dedup" -> ((s, d) =>
       graft.text.Curation.chunkDedup(docs(s, d), w = 10)),
+
+    // CCNet-style boilerplate removal: any 10-token chunk appearing in
+    // more than one distinct document is dropped EVERYWHERE (vs
+    // chunk_dedup's keep-first rule)
+    "txt_boilerplate" -> ((s, d) =>
+      graft.text.Curation.removeBoilerplate(docs(s, d), w = 10, maxDf = 1)),
 
     "txt_redact" -> ((s, d) => {
       val planted = docs(s, d).withColumn("text", concat(col("text"),

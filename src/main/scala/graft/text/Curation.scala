@@ -339,19 +339,27 @@ object Curation {
    *
    * Returns (doc_id, kept_chunks, text_dedup).
    */
-  def chunkDedup(docs: DataFrame, w: Int, textCol: String = "text",
-                 idCol: String = "doc_id"): DataFrame = {
+  /** Fixed `w`-token chunks of each document's normalized token stream:
+   * (doc_id, chunk_idx, chunk). Last chunk index = floor((n_tokens-1)/w);
+   * empty docs get no chunks (sequence(0,-1) would DESCEND — guard
+   * explicitly, as everywhere). Shared by [[chunkDedup]] and
+   * [[removeBoilerplate]]. */
+  private def tokenChunks(docs: DataFrame, w: Int, textCol: String,
+                          idCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
         t => length(t) > 0).as("toks"))
-    // last chunk index = floor((n_tokens-1)/w); empty docs get no chunks
-    // (sequence(0,-1) would DESCEND — guard explicitly, as everywhere)
-    val chunks = toks.select(col("doc_id"), posexplode(
+    toks.select(col("doc_id"), posexplode(
       when(size(col("toks")) === 0, array().cast("array<string>"))
         .otherwise(transform(
           sequence(lit(0), floor((size(col("toks")) - 1) / lit(w)).cast("int")),
           i => array_join(slice(col("toks"), i * w + 1, lit(w)), " ")))))
       .toDF("doc_id", "chunk_idx", "chunk")
+  }
+
+  def chunkDedup(docs: DataFrame, w: Int, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val chunks = tokenChunks(docs, w, textCol, idCol)
     val keyed = chunks.select(col("doc_id"), col("chunk_idx"), col("chunk"),
       when(col("chunk_idx") < lit(1000000L),
           col("doc_id") * lit(1000000L) + col("chunk_idx"))
@@ -367,6 +375,43 @@ object Curation {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
           s => s.getField("chunk"))).as("text_dedup"))
+  }
+
+  /**
+   * CCNet-style cross-document boilerplate removal: drop EVERY copy of
+   * any `w`-token chunk that appears in more than `maxDf` distinct
+   * documents (headers, footers, navigation text, license blurbs — the
+   * segments whose document frequency explodes), then reassemble each
+   * document from its surviving chunks in original order. Complementary
+   * to [[chunkDedup]]: that keeps the globally first copy of every
+   * duplicated span; this removes high-frequency spans EVERYWHERE, the
+   * published recipe for boilerplate (a first copy of a nav header is
+   * still boilerplate).
+   *
+   * Shape at scale: one explode, one distinct-count aggregation on the
+   * chunk text, one semi-join back, one per-doc reassembly aggregation —
+   * the same single-shuffle family as [[chunkDedup]]; the df aggregate
+   * bounds itself (high-frequency chunks collapse to one row each).
+   * Documents whose every chunk is boilerplate drop out.
+   *
+   * Returns (doc_id, kept_chunks, text_clean).
+   */
+  def removeBoilerplate(docs: DataFrame, w: Int, maxDf: Int = 1,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(maxDf >= 1)
+    // read twice (df aggregate + join back): snapshot, not recompute
+    val chunks = graft.util.Snapshot(tokenChunks(docs, w, textCol, idCol))
+    val keep = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("chunk")
+    chunks.join(keep, Seq("chunk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_chunks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk"))).as("text_clean"))
   }
 
   /** Email/URL patterns shared by the operator and its spec. Conservative

@@ -500,6 +500,45 @@ class TrainSpec extends AnyFunSuite {
     assert(r(4L) == ((1L, "g")))
   }
 
+  test("removeBoilerplate drops EVERY copy of cross-doc chunks, keeps in-doc repeats") {
+    import graft.text.Curation
+    val df = docs(
+      (1L, "a b c d e f"),   // "a b" shared with doc 3 -> dropped everywhere
+      (2L, "x y x y"),       // "x y" repeats WITHIN one doc: df=1, both kept
+      (3L, "a b q r"),       // loses "a b", keeps "q r"
+      (4L, "a b"))           // only chunk is boilerplate -> doc drops entirely
+    val r = Curation.removeBoilerplate(df, w = 2, maxDf = 1).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r(1L) == ((2L, "c d e f")))
+    assert(r(2L) == ((2L, "x y x y")))
+    assert(r(3L) == ((1L, "q r")))
+    assert(!r.contains(4L))
+    // raising maxDf re-admits the shared chunk
+    val loose = Curation.removeBoilerplate(df, w = 2, maxDf = 3).collect()
+    assert(loose.length == 4)
+  }
+
+  test("goldenRecord elects per-cluster attribute modes with smallest-value ties") {
+    val clustered = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_rep")
+    val recs = Seq(
+      (1L, "en", "web"), (2L, "en", "books"), (3L, "de", "books"),
+      (4L, "fr", "news"))
+      .toDF("doc_id", "lang", "source")
+    val g = Dedup.goldenRecord(clustered, recs, Seq("lang", "source"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    // cluster 1: lang en (2 vs 1), source tie web/books 1-2? books wins 2-1
+    assert(g(1L) == ((3L, "en", "books")))
+    assert(g(4L) == ((1L, "fr", "news")))
+    // tie case: two values with equal counts -> smallest value wins
+    val tie = Dedup.goldenRecord(
+      Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_rep"),
+      Seq((1L, "b"), (2L, "a")).toDF("doc_id", "lang"), Seq("lang"))
+      .collect().head
+    assert(tie.getString(2) == "a")
+  }
+
   test("quantizeInt8: extremes hit ±127, zeros stay zero, checksums exact") {
     import graft.similarity.Similarity
     val df = Seq(
