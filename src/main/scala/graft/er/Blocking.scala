@@ -126,6 +126,44 @@ object Blocking {
   }
 
   /**
+   * Incremental blocking: the candidate pairs a NEW batch of profiles
+   * introduces against a standing corpus — the production path when
+   * profiles keep arriving after the initial ER run and re-running the
+   * full pipeline over O(corpus) is wasteful. A pair qualifies when the
+   * two profiles share at least one blocking key whose COMBINED block
+   * stays within `maxBlockSize` (oversized keys are purged — the same
+   * skew bound block purging applies semantically) and at least one side
+   * is new. Returns (p1, p2, n_new) with n_new = 2 for new-new pairs and
+   * 1 for new-old.
+   *
+   * Scale shape: old-old pairs are never formed — the join's left side
+   * is only the new batch's keys, so the work is O(|new keys| x mean
+   * bounded block size), independent of corpus size; the key-size filter
+   * bounds skew before the join, and the dedup aggregate shuffles
+   * O(new-pair) rows only. The standing corpus side is a parquet scan of
+   * its key snapshot, never recomputed.
+   */
+  def incrementalPairs(existingKeys: DataFrame, newKeys: DataFrame,
+                       maxBlockSize: Long = 1000L): DataFrame = {
+    val all = existingKeys.select(col("key"), col("profile_id"))
+      .withColumn("is_new", lit(0))
+      .unionByName(newKeys.select(col("key"), col("profile_id"))
+        .withColumn("is_new", lit(1)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    val sized = all.withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") <= maxBlockSize).drop("_n")
+    val a = sized.filter(col("is_new") === 1)
+      .select(col("key"), col("profile_id").as("pa"))
+    val b = sized.select(col("key"), col("profile_id").as("pb"), col("is_new").as("nb"))
+    a.join(b, Seq("key"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("p1"),
+        greatest(col("pa"), col("pb")).as("p2"),
+        (lit(1) + col("nb")).cast("int").as("n_new"))
+      .distinct()
+  }
+
+  /**
    * Per-block statistics. `comparisons` follows the reference's
    * get_comparison_size (dirty: n*(n-1), python/sparker/objects.py:186-190;
    * clean: sum over source pairs of |si|*|sj|, objects.py:127-143).

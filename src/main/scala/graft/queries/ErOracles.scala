@@ -328,6 +328,20 @@ object ErOracles {
     "er_tokens_stream" -> (prelude(clean = false) +
       "x AS (SELECT 1) SELECT profile_id, key FROM toks"),
 
+    // incremental twin: same toks universe tagged new (id % 10 = 0) /
+    // old, per-key size cap, pairs with >= 1 new side
+    "er_incremental" -> (prelude(clean = false) +
+      """ak AS (SELECT profile_id, key,
+        |         CASE WHEN profile_id % 10 = 0 THEN 1 ELSE 0 END AS is_new
+        |       FROM toks),
+        |ksz AS (SELECT key FROM ak GROUP BY key HAVING COUNT(*) <= 1000),
+        |kk AS (SELECT ak.profile_id, ak.key, ak.is_new FROM ak JOIN ksz USING (key))
+        |SELECT DISTINCT LEAST(a.profile_id, b.profile_id) AS p1,
+        |       GREATEST(a.profile_id, b.profile_id) AS p2,
+        |       CAST(a.is_new + b.is_new AS INTEGER) AS n_new
+        |FROM kk a JOIN kk b
+        |  ON a.key = b.key AND a.profile_id <> b.profile_id AND a.is_new = 1""".stripMargin),
+
     "er_tokens_attr" -> (prelude(clean = false) +
       """atoks AS (
         |  SELECT DISTINCT profile_id, attribute || '_' || tok AS key FROM (

@@ -193,6 +193,16 @@ object ErQueries {
       Blocking.tokenKeys(partAttrs(s, d, twoSources = false), removeStopWords = true)
         .select("profile_id", "key")),
 
+    // incremental ER: the 10% batch (profile_id % 10 == 0) arrives against
+    // the standing 90% corpus; only pairs touching a new profile form —
+    // never an old-old pair, the point of the incremental path
+    "er_incremental" -> ((s, d) => {
+      val attrs = partAttrs(s, d, twoSources = false)
+      Blocking.incrementalPairs(
+        Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 =!= 0)),
+        Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 === 0)))
+    }),
+
     "er_blocks_dirty" -> ((s, d) =>
       cleaned(s, d, clean = false).stats0.select("key", "size", "comparisons")),
 

@@ -57,6 +57,19 @@ class ErCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean == Set("u"))
   }
 
+  test("incrementalPairs: only new-touching pairs, oversized keys purged") {
+    // keys: "t" shared by old 1,2 and new 10 -> pairs (1,10),(2,10), never (1,2);
+    // "n" shared by new 10,11 -> new-new pair (10,11) with n_new=2;
+    // "big" shared by 4 profiles incl. a new one -> purged at maxBlockSize=3
+    val oldK = Seq((1L, "t"), (2L, "t"), (3L, "big"), (4L, "big"), (5L, "big"))
+      .toDF("profile_id", "key")
+    val newK = Seq((10L, "t"), (10L, "n"), (11L, "n"), (12L, "big"))
+      .toDF("profile_id", "key")
+    val r = Blocking.incrementalPairs(oldK, newK, maxBlockSize = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(r == Set((1L, 10L, 1), (2L, 10L, 1), (10L, 11L, 2)))
+  }
+
   test("blockStats comparisons: dirty n*(n-1), clean sum of cross products") {
     val dirtyMembers = Seq((1L, 0, "t"), (2L, 0, "t"), (3L, 0, "t"))
       .toDF("profile_id", "source_id", "key")
