@@ -59,6 +59,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("goldenRecord's per-attribute top-1 plans as WindowGroupLimit") {
+    val cl = viaParquet(Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_rep"))
+    val recs = viaParquet(Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("doc_id", "lang"))
+    val p = plan(graft.dedup.Dedup.goldenRecord(cl, recs, Seq("lang")))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
   test("domainCap prunes the documents scan to (doc_id, source) — no text column") {
     val df = graft.text.Curation.domainCap(
       spark.read.parquet(s"$sf/documents.parquet"), k = 5)
