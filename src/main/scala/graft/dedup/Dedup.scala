@@ -239,6 +239,53 @@ object Dedup {
   }
 
   /**
+   * ROW-WISE MinHash band keys: the same (doc_id, band, band_val)
+   * assignment [[minhashLsh]] derives from the exploded shingle index,
+   * computed entirely inside one row — tokens, distinct n-gram shingles,
+   * k permutation minima, and the per-band signature string are array
+   * expressions over the text column, so the operator is a pure
+   * projection: no explode, no shuffle, no state.
+   *
+   * That shape is what makes LSH *streamable*: a document's band keys
+   * depend on nothing but the document, so a Structured Stream can
+   * compute them statelessly and equi-join the standing corpus index
+   * ([[graft.streaming.EventStreams.lshIngestStreaming]]). It is also
+   * the right batch shape at 100 TB when only the keys are needed — the
+   * per-doc cost is identical to the exploded form, but nothing ever
+   * leaves the row until the band explode (`bands` rows per doc, vs one
+   * row per shingle x k/bands).
+   *
+   * Band values are the comma-joined signature minima in position order,
+   * identical in content to [[minhashLsh]]'s sorted "i:sig" band key
+   * (positions within a band are consecutive, so position order = sorted
+   * order). Docs with no shingle (< n tokens) have no key — same as the
+   * exploded form, where they produce no index row.
+   */
+  def minhashBandKeys(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1 && k % bands == 0)
+    val r = k / bands
+    val aConst = (0 until k).map(i => (1103515245L * (i + 1) + 12345L) % Mod)
+    val bConst = (0 until k).map(i => (2654435761L * (i + 1)) % Mod)
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(normalize(col(textCol)), " "), t => length(t) > 0).as("_toks"))
+      .withColumn("_shs", expr(
+        s"if(size(_toks) < $n, array(), " +
+          s"array_distinct(transform(sequence(1, size(_toks) - ${n - 1}), " +
+          s"i -> array_join(slice(_toks, i, $n), ' '))))"))
+      .filter(size(col("_shs")) > 0)
+      .withColumn("_xs", transform(col("_shs"), s => strHash(s)))
+    val sigCols = (0 until k).map { i =>
+      array_min(transform(col("_xs"),
+        x => pmod(lit(aConst(i)) * x + lit(bConst(i)), lit(Mod)))).cast("string")
+    }
+    val bandVals = (0 until bands).map(b => concat_ws(",", sigCols.slice(b * r, b * r + r): _*))
+    base.select(col("doc_id"), posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+  }
+
+  /**
    * 64-bit SimHash fingerprints: per distinct token, hash; per bit k,
    * +1/-1 vote by bit value; fingerprint bit = majority (> 0). Returns
    * (doc_id, simhash).

@@ -249,6 +249,18 @@ object TrainOracles {
          |JOIN sigs s2 ON c.d2 = s2.doc_id AND s1.i = s2.i
          |GROUP BY c.d1, c.d2""".stripMargin),
 
+    // streaming LSH ingest twin: band values as position-ordered signature
+    // strings (positions in a band are consecutive, so this equals the
+    // engine's row-wise concat), new (id % 10 = 0) probing old (else)
+    "dedup_lsh_stream" -> (shinglePrelude + sigCte +
+      s"""bk AS (
+         |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         |         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_val
+         |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER))
+         |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+         |FROM bk n JOIN bk o ON n.band = o.band AND n.band_val = o.band_val
+         |WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0""".stripMargin),
+
     // transitive closure (recursive CTE) over the MinHash-LSH pair graph:
     // feasible because sf0.01 components are small; the engine side is the
     // iterative hash-min propagation that scales

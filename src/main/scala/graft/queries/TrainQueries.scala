@@ -101,6 +101,13 @@ object TrainQueries {
     "dedup_golden" -> ((s, d) =>
       Dedup.goldenRecord(clusters3(s, d), docs(s, d), Seq("lang", "source"))),
 
+    // streaming near-dup gate: the 10% batch streams in and probes the
+    // standing 90% corpus's LSH band index (stream-static join on
+    // row-local band keys); single AvailableNow batch => equals the
+    // batch band-key join, which is the oracle
+    "dedup_lsh_stream" -> ((s, d) =>
+      EventStreams.lshIngestStreaming(s, d)),
+
     "dedup_simhash" -> ((s, d) => simhashFp(s, d)),
 
     "dedup_simhash_pairs" -> ((s, d) =>

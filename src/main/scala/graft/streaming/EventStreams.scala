@@ -205,6 +205,47 @@ object EventStreams {
   }
 
   /**
+   * Streaming near-dup ingest — MinHash-LSH as a Structured Stream: new
+   * documents (doc_id % 10 == 0, the same batch convention as
+   * er_incremental) arrive as parquet files and are checked against the
+   * STANDING corpus (the other 90%) for near-duplicate candidates before
+   * admission — the production "dedup the incoming crawl against the
+   * existing corpus" gate.
+   *
+   * Shape: [[graft.dedup.Dedup.minhashBandKeys]] computes each new doc's
+   * band keys as a stateless row-local projection (no shuffle on the
+   * stream side), then a stream-STATIC equi-join probes the corpus band
+   * index, and the trailing `dropDuplicates` collapses multi-band hits.
+   * At scale the static side is the persisted index of the corpus —
+   * loaded per micro-batch, never recomputed from text — and stream
+   * state is only the emitted pair set (bound it with
+   * `dropDuplicatesWithinWatermark` on arrival time when the stream is
+   * unbounded). New-new duplicates inside one batch are left to the
+   * periodic batch compaction pass ([[graft.dedup.Dedup.minhashLsh]]);
+   * this gate's contract is new-vs-corpus.
+   *
+   * AvailableNow + single batch => the emitted pairs equal the batch
+   * band-key join, which is the DuckDB oracle.
+   */
+  def lshIngestStreaming(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val corpusIdx = graft.dedup.Dedup.minhashBandKeys(
+        spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") % 10 =!= 0))
+      .select(col("band"), col("band_val"), col("doc_id").as("corpus_id"))
+    val newDocs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(streamDirFor(dir, "docs_lsh_", "documents.parquet"))
+      .filter(col("doc_id") % 10 === 0)
+    val pairs = graft.dedup.Dedup.minhashBandKeys(newDocs)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(corpusIdx, Seq("band", "band_val"))
+      .select("new_id", "corpus_id")
+      .dropDuplicates("new_id", "corpus_id")
+    drainAvailableNow(pairs, "dedup_lsh_stream", "append")
+  }
+
+  /**
    * STREAM-STREAM interval join (funnel attribution): clicks joined to the
    * same user's purchases within (click_ts, click_ts + windowMinutes]. Both
    * sides carry watermarks and the join condition bounds event-time

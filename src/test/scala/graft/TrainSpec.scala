@@ -171,6 +171,32 @@ class TrainSpec extends AnyFunSuite {
     assert(ivf1.groupBy("query_id").count().select("count").as[Long].collect().forall(_ <= 5))
   }
 
+  test("row-wise minhashBandKeys buckets docs identically to the exploded LSH index") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bk = Dedup.minhashBandKeys(d)
+    val a = bk.select(col("band"), col("band_val"), col("doc_id").as("d1"))
+    val b = bk.select(col("band"), col("band_val"), col("doc_id").as("d2"))
+    val rowwise = a.join(b, Seq("band", "band_val")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val exploded = Dedup.minhashLsh(Dedup.shingles(d, 3), k = 16, bands = 4)
+      .select("d1", "d2")
+    assert(rowwise.count() > 0)
+    assert(rowwise.exceptAll(exploded).isEmpty && exploded.exceptAll(rowwise).isEmpty)
+  }
+
+  test("lshIngestStreaming equals the batch new-vs-corpus band-key join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.lshIngestStreaming(spark, dir)
+    val bk = Dedup.minhashBandKeys(spark.read.parquet(s"$dir/documents.parquet"))
+    val batch = bk.filter(col("doc_id") % 10 === 0).withColumnRenamed("doc_id", "new_id")
+      .join(bk.filter(col("doc_id") % 10 =!= 0)
+        .select(col("band"), col("band_val"), col("doc_id").as("corpus_id")),
+        Seq("band", "band_val"))
+      .select("new_id", "corpus_id").distinct()
+    assert(streamed.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sessionizeStreaming (flatMapGroupsWithState) matches the batch twin") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventStreams.sessionizeStreaming(spark, dir)
