@@ -119,6 +119,55 @@ object Dedup {
   }
 
   /**
+   * Bloom-accelerated [[containment]]: same result, with a Bloom-filter
+   * pre-filter on the corpus side before the shingle join — the runtime
+   * row-level filtering pattern, expressed in Column arithmetic.
+   *
+   * The bench side's shingle hashes set `kProbes` positions each in an
+   * `mBits`-bit filter, packed into a one-row map(word -> 64-bit word)
+   * that Catalyst BROADCASTS (the engine's standard 1-row cross-join
+   * pattern). Every corpus shingle tests its probes with element_at +
+   * shiftright + AND — O(1) per probe, whole-stage codegen, no UDF —
+   * and only surviving rows enter the exact containment join.
+   *
+   * Losslessness: a corpus shingle equal to a bench shingle has the same
+   * hash, hence the same probe positions, hence passes the filter — so
+   * the exact join sees every true match, and its equality predicate
+   * removes the false positives. The oracle is therefore the NAIVE
+   * containment SQL (the lossless-rewrite rule, same as RangeJoin).
+   *
+   * At 100 TB this is the difference between shuffling every corpus
+   * shingle into the join and shuffling ~the true-match set: the filter
+   * is a few KB broadcast once, and the corpus scan discards non-matches
+   * at the scan stage. With |bench| shingles n and mBits/n >= 16 bits
+   * per element the false-positive rate at k=3 stays ~1e-2.
+   */
+  def containmentBloom(trainShingles: DataFrame, benchShingles: DataFrame,
+                       minShared: Long, mBits: Int = 1 << 16,
+                       kProbes: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && kProbes >= 1)
+    val aConst = (0 until kProbes).map(j => (1103515245L * (j + 1) + 12345L) % Mod)
+    val bConst = (0 until kProbes).map(j => (2654435761L * (j + 1)) % Mod)
+    def posSql(j: Int, h: String) = s"(pmod(${aConst(j)}L * $h + ${bConst(j)}L, ${Mod}L) % $mBits)"
+    val mask = benchShingles
+      .select(strHash(col("shingle")).as("_h")).distinct()
+      .select(explode(array((0 until kProbes).map(j => expr(posSql(j, "_h"))): _*)).as("pos"))
+      .select(expr("cast(pos div 64 as int)").as("w"), expr("shiftleft(1L, cast(pos % 64 as int))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .groupBy().agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("_bloom"))
+    val hitSql = (0 until kProbes).map { j =>
+      val p = posSql(j, "_h")
+      s"((shiftright(coalesce(element_at(_bloom, cast($p div 64 as int)), 0L), cast($p % 64 as int)) & 1) = 1)"
+    }.mkString(" AND ")
+    val prefiltered = trainShingles
+      .withColumn("_h", strHash(col("shingle")))
+      .crossJoin(broadcast(mask))
+      .filter(expr(hitSql))
+      .drop("_h", "_bloom")
+    containment(prefiltered, benchShingles, minShared)
+  }
+
+  /**
    * Dedup cluster assignment: connected components of a near-dup pair
    * graph by iterative min-label (hash-min) propagation — every doc gets
    * the smallest doc_id reachable in its component as `cluster_rep`;

@@ -790,6 +790,19 @@ object TrainOracles {
 
     // decontamination twin: same shingle sets, same bench/train split,
     // same HAVING-on-shared filter and containment division
+    // bloom-prefiltered twin: the rewrite is LOSSLESS (exact join confirms
+    // after the bloom), so the oracle is the same naive containment SQL
+    "txt_decon_bloom" -> (shinglePrelude +
+      s"""b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+         |t AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+         |j AS (SELECT t.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |      FROM t JOIN b USING (shingle) GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |bn AS (SELECT doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS bench_n
+         |       FROM sh WHERE doc_id % 50 = 0 GROUP BY 1)
+         |SELECT j.doc_id, j.bench_id, j.n_shared,
+         |       CAST(j.n_shared AS DOUBLE) / bn.bench_n AS containment
+         |FROM j JOIN bn USING (bench_id)""".stripMargin),
+
     "txt_decontaminate" -> (shinglePrelude +
       s"""b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
          |t AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),

@@ -355,6 +355,17 @@ object TrainQueries {
         minShared = 3L)
     }),
 
+    // the same decontamination pass behind a broadcast Bloom pre-filter
+    // (lossless: exact join confirms, so the oracle is the naive SQL) —
+    // the 100 TB shape, where the corpus side is pruned at scan time
+    "txt_decon_bloom" -> ((s, d) => {
+      val sh = shingles3(s, d)
+      Dedup.containmentBloom(
+        sh.filter(col("doc_id") % 50 =!= 0),
+        sh.filter(col("doc_id") % 50 === 0),
+        minShared = 3L)
+    }),
+
     // cohort retention: users grouped by first-seen day, counted per
     // day-offset of later activity. Distinct activity days -> per-user
     // min -> user-keyed join -> (cohort, offset) rollup: every stage

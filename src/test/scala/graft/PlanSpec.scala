@@ -66,6 +66,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("containmentBloom broadcasts the 1-row mask and keeps the probe in codegen") {
+    // the bench shingle must overlap the train side: an empty result lets
+    // AQE collapse the whole plan to EmptyRelation and prove nothing
+    val sh = viaParquet(Seq((1L, "a b c"), (2L, "x y z"), (50L, "a b c"))
+      .toDF("doc_id", "shingle"))
+    val p = plan(graft.dedup.Dedup.containmentBloom(
+      sh.filter($"doc_id" =!= 50L), sh.filter($"doc_id" === 50L), 1L))
+    // the bloom mask reaches the corpus side as a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"no broadcast of the bloom mask in:\n$p")
+    // the probe (shiftright & 1) runs as a plain filter expression
+    assert(p.contains("shiftright"), s"no shiftright probe in:\n$p")
+  }
+
   test("domainCap prunes the documents scan to (doc_id, source) — no text column") {
     val df = graft.text.Curation.domainCap(
       spark.read.parquet(s"$sf/documents.parquet"), k = 5)

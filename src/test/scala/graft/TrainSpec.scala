@@ -171,6 +171,20 @@ class TrainSpec extends AnyFunSuite {
     assert(ivf1.groupBy("query_id").count().select("count").as[Long].collect().forall(_ <= 5))
   }
 
+  test("containmentBloom equals exact containment for any filter size (lossless)") {
+    val sh = Dedup.shingles(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 3)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+    val exact = Dedup.containment(train, bench, 1L)
+    val bloom = Dedup.containmentBloom(train, bench, 1L)
+    assert(bloom.count() > 0 && bloom.count() == exact.count())
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    // a saturated 64-bit filter passes everything -> still exact, never lossy
+    val tiny = Dedup.containmentBloom(train, bench, 1L, mBits = 64, kProbes = 2)
+    assert(tiny.exceptAll(exact).isEmpty && exact.exceptAll(tiny).isEmpty)
+  }
+
   test("row-wise minhashBandKeys buckets docs identically to the exploded LSH index") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bk = Dedup.minhashBandKeys(d)
