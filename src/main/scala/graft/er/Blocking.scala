@@ -164,6 +164,52 @@ object Blocking {
   }
 
   /**
+   * Incremental meta-blocking: [[incrementalPairs]]' candidates weighted
+   * and pruned, completing the incremental path end-to-end (candidates ->
+   * weighted graph -> per-profile pruning) without ever touching the
+   * O(corpus) neighborhood graph. CBS weight = number of shared capped
+   * keys; threshold = the WNP average scheme, but LOCAL TO THE ARRIVING
+   * BATCH: each new profile's threshold is the mean weight of its own
+   * incremental edges (an incremental system cannot recompute the standing
+   * corpus's neighborhoods, and never forms old-old edges). A pair
+   * survives when it meets the threshold of ANY new endpoint (the OR
+   * composition, matching [[MetaBlocking.wnp]]).
+   *
+   * The threshold test is exact integer arithmetic (cbs * n_edges >=
+   * sum_cbs <=> cbs >= mean), so no floating-point divergence exists for
+   * the oracle to trip on. Scale shape: directed edges only from new
+   * profiles, one countDistinct aggregate + one per-src aggregate over
+   * O(|new batch| x bounded block size) rows.
+   *
+   * Returns (p1, p2, cbs, n_new), n_new as in [[incrementalPairs]].
+   */
+  def incrementalWnp(existingKeys: DataFrame, newKeys: DataFrame,
+                     maxBlockSize: Long = 1000L): DataFrame = {
+    val all = existingKeys.select(col("key"), col("profile_id"))
+      .withColumn("is_new", lit(0))
+      .unionByName(newKeys.select(col("key"), col("profile_id"))
+        .withColumn("is_new", lit(1)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    val sized = all.withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") <= maxBlockSize).drop("_n")
+    val a = sized.filter(col("is_new") === 1)
+      .select(col("key"), col("profile_id").as("src"))
+    val b = sized.select(col("key"), col("profile_id").as("dst"), col("is_new").as("nb"))
+    // directed new->any edges; snapshot: read by the threshold aggregate
+    // and the pruning join (small: O(new-batch candidates))
+    val de = graft.util.Snapshot(
+      a.join(b, Seq("key")).filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst", "nb").agg(countDistinct("key").as("cbs")))
+    val thr = de.groupBy("src").agg(count(lit(1)).as("n_e"), sum("cbs").as("s"))
+    de.join(thr, Seq("src"))
+      .filter(col("cbs") * col("n_e") >= col("s"))
+      .select(least(col("src"), col("dst")).as("p1"),
+        greatest(col("src"), col("dst")).as("p2"),
+        col("cbs"), (lit(1) + col("nb")).cast("int").as("n_new"))
+      .distinct()
+  }
+
+  /**
    * Per-block statistics. `comparisons` follows the reference's
    * get_comparison_size (dirty: n*(n-1), python/sparker/objects.py:186-190;
    * clean: sum over source pairs of |si|*|sj|, objects.py:127-143).

@@ -342,6 +342,29 @@ object ErOracles {
         |FROM kk a JOIN kk b
         |  ON a.key = b.key AND a.profile_id <> b.profile_id AND a.is_new = 1""".stripMargin),
 
+    // incremental WNP twin: directed new->any edges weighted by distinct
+    // shared capped keys, per-src mean threshold as exact integer test
+    // (cbs * n_e >= sum), OR across new endpoints via DISTINCT
+    "er_incremental_wnp" -> (prelude(clean = false) +
+      """ak AS (SELECT profile_id, key,
+        |         CASE WHEN profile_id % 10 = 0 THEN 1 ELSE 0 END AS is_new
+        |       FROM toks),
+        |ksz AS (SELECT key FROM ak GROUP BY key HAVING COUNT(*) <= 1000),
+        |kk AS (SELECT ak.profile_id, ak.key, ak.is_new FROM ak JOIN ksz USING (key)),
+        |de AS (SELECT a.profile_id AS src, b.profile_id AS dst, b.is_new AS nb,
+        |              CAST(COUNT(DISTINCT a.key) AS BIGINT) AS cbs
+        |       FROM kk a JOIN kk b
+        |         ON a.key = b.key AND a.profile_id <> b.profile_id AND a.is_new = 1
+        |       GROUP BY 1, 2, 3),
+        |ithr AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_e,
+        |               CAST(SUM(cbs) AS BIGINT) AS s
+        |        FROM de GROUP BY src)
+        |SELECT DISTINCT LEAST(de.src, de.dst) AS p1,
+        |       GREATEST(de.src, de.dst) AS p2,
+        |       de.cbs, CAST(1 + de.nb AS INTEGER) AS n_new
+        |FROM de JOIN ithr USING (src)
+        |WHERE de.cbs * ithr.n_e >= ithr.s""".stripMargin),
+
     "er_tokens_attr" -> (prelude(clean = false) +
       """atoks AS (
         |  SELECT DISTINCT profile_id, attribute || '_' || tok AS key FROM (

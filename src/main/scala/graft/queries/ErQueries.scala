@@ -203,6 +203,16 @@ object ErQueries {
         Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 === 0)))
     }),
 
+    // the incremental path end-to-end: the same new batch's candidates
+    // CBS-weighted and WNP-pruned with batch-local average thresholds —
+    // exact integer threshold test, no corpus neighborhood recompute
+    "er_incremental_wnp" -> ((s, d) => {
+      val attrs = partAttrs(s, d, twoSources = false)
+      Blocking.incrementalWnp(
+        Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 =!= 0)),
+        Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 === 0)))
+    }),
+
     "er_blocks_dirty" -> ((s, d) =>
       cleaned(s, d, clean = false).stats0.select("key", "size", "comparisons")),
 

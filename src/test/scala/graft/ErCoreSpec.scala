@@ -70,6 +70,18 @@ class ErCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Set((1L, 10L, 1), (2L, 10L, 1), (10L, 11L, 2)))
   }
 
+  test("incrementalWnp: batch-local mean thresholds, OR across new endpoints") {
+    val oldK = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("profile_id", "key")
+    val newK = Seq((10L, "a"), (10L, "b"), (10L, "c"), (11L, "c"))
+      .toDF("profile_id", "key")
+    val r = Blocking.incrementalWnp(oldK, newK)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // src 10's edges: cbs 2 (to 1), 1 (to 2), 1 (to 11); mean 4/3 -> only
+    // (1,10) meets it. src 11's single edge has mean 1 -> (10,11) survives
+    // through 11's threshold (the OR), though 10's own threshold pruned it.
+    assert(r == Set((1L, 10L, 2L, 1), (10L, 11L, 1L, 2)))
+  }
+
   test("blockStats comparisons: dirty n*(n-1), clean sum of cross products") {
     val dirtyMembers = Seq((1L, 0, "t"), (2L, 0, "t"), (3L, 0, "t"))
       .toDF("profile_id", "source_id", "key")
