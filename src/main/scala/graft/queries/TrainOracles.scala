@@ -249,6 +249,26 @@ object TrainOracles {
          |JOIN sigs s2 ON c.d2 = s2.doc_id AND s1.i = s2.i
          |GROUP BY c.d1, c.d2""".stripMargin),
 
+    // winnowing twin: identical (h+1)*2^31 - i encoding, windowed MIN over
+    // CURRENT ROW..3 FOLLOWING, integer decode; full windows only
+    "txt_winnow" -> (
+      s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
+         |g AS (
+         |  SELECT doc_id, i.i AS i,
+         |         ${strHash("substr(nt, CAST(i.i AS INTEGER), 5)")} AS h,
+         |         (length(nt) - 4) AS ng
+         |  FROM dn, unnest(generate_series(1, greatest(length(nt) - 4, 0))) AS i(i)),
+         |win AS (
+         |  SELECT doc_id, i, ng,
+         |         MIN((h + 1) * 2147483648 - i) OVER (
+         |           PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+         |  FROM g)
+         |SELECT DISTINCT doc_id,
+         |       (m // 2147483648 + 1) * 2147483648 - m AS pos,
+         |       m // 2147483648 AS gram_hash
+         |FROM win WHERE i <= ng - 3""".stripMargin),
+
     // streaming LSH ingest twin: band values as position-ordered signature
     // strings (positions in a band are consecutive, so this equals the
     // engine's row-wise concat), new (id % 10 = 0) probing old (else)

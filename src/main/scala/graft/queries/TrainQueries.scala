@@ -65,6 +65,11 @@ object TrainQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_analysis" -> ((s, d) => TextAnalysis.analyze(docs(s, d), "text")),
 
+    // winnowing fingerprints (MOSS): rightmost-min of each w-window of
+    // char k-gram hashes via one encoded windowed min — the classic
+    // plagiarism/near-dup fingerprint with the ~2/(w+1) density bound
+    "txt_winnow" -> ((s, d) => TextAnalysis.winnow(docs(s, d))),
+
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
 
     "dedup_shingles" -> ((s, d) => shingles3(s, d)),

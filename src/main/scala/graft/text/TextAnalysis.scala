@@ -130,6 +130,55 @@ object TextAnalysis {
   private def charFold(s: Column): Column = graft.functions.PolyHash31(s)
 
   /**
+   * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+   * — the MOSS algorithm): hash every character k-gram of the normalized
+   * text, slide a window of `w` consecutive gram hashes, and keep the
+   * window minimum — rightmost position on ties (the position-independent
+   * tie rule; the paper's "repeat previous" refinement is sequential
+   * state, deliberately traded away for a relational form). Guarantee:
+   * any substring match of length >= k + w - 1 shares at least one
+   * selected fingerprint, with ~2/(w+1) of grams kept.
+   *
+   * The rightmost-min selection is ONE windowed aggregate: each gram
+   * encodes (hash, position) as `h * 2^31 - i` — minimizing picks the
+   * smallest hash and, among equals, the largest i — and the frame
+   * minimum decodes back exactly with integer arithmetic (h < 2^31,
+   * 1 <= i < 2^31). No self-join, no per-window argmin subquery: the
+   * whole operator is one explode + one bounded running window per doc +
+   * one distinct. Docs with fewer than w grams emit nothing (no full
+   * window), the standard contract.
+   *
+   * Returns distinct (doc_id, pos, gram_hash).
+   */
+  def winnow(df: DataFrame, k: Int = 5, w: Int = 4,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val C = 2147483648L // 2^31 > Mod: makes the (hash, position) encoding injective
+    val grams = df
+      .select(col(idCol).as("doc_id"),
+        graft.dedup.Dedup.normalize(col(textCol)).as("_nt"))
+      .select(col("doc_id"), col("_nt"),
+        explode(expr(s"if(length(_nt) < $k, array(), " +
+          s"sequence(1, length(_nt) - ${k - 1}))")).as("i"))
+      .select(col("doc_id"), col("i"),
+        charFold(expr(s"substring(_nt, i, $k)")).as("h"),
+        (length(col("_nt")) - (k - 1)).as("_ng"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    // encode (h+1)*C - i, not h*C - i: the +1 keeps the key strictly
+    // positive even for h = 0, where Spark's truncating `div` and
+    // DuckDB's flooring `//` would otherwise disagree on the decode
+    grams
+      .withColumn("_m", min((col("h") + 1) * C - col("i")).over(frame))
+      .filter(col("i") <= col("_ng") - (w - 1)) // full windows only
+      .select(col("doc_id"),
+        (expr(s"(_m div ${C}L + 1) * ${C}L") - col("_m")).as("pos"),
+        expr(s"_m div ${C}L").as("gram_hash"))
+      .distinct()
+  }
+
+  /**
    * All analyses as named columns over a text column.
    *
    * `fused = true` (default) computes every token-derived statistic from

@@ -171,6 +171,24 @@ class TrainSpec extends AnyFunSuite {
     assert(ivf1.groupBy("query_id").count().select("count").as[Long].collect().forall(_ <= 5))
   }
 
+  test("winnow: rightmost-min ties, window coverage, shared-substring guarantee") {
+    // all-equal gram hashes -> each full window selects its LAST position:
+    // len 10, k=5 -> grams 1..6; starts 1..3 pick positions 4, 5, 6
+    val rep = TextAnalysis.winnow(docs((1L, "aaaaaaaaaa")))
+      .select("pos").as[Long].collect().toSet
+    assert(rep == Set(4L, 5L, 6L))
+    // two docs sharing a substring of length >= k + w - 1 = 8 must share
+    // at least one fingerprint hash (the winnowing guarantee)
+    val f = TextAnalysis.winnow(docs((1L, "xxINVARIANTzz"), (2L, "qqqINVARIANTp")))
+    val sets = f.select("doc_id", "gram_hash").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert((sets(1L) intersect sets(2L)).nonEmpty)
+    // density: every full window contributes, so selections per doc are
+    // bounded by window starts and non-empty
+    val counts = f.groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(counts.forall(c => c > 0 && c <= 9))
+  }
+
   test("containmentBloom equals exact containment for any filter size (lossless)") {
     val sh = Dedup.shingles(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 3)
