@@ -834,6 +834,15 @@ object TrainOracles {
          |       CAST(j.n_shared AS DOUBLE) / bn.bench_n AS containment
          |FROM j JOIN bn USING (bench_id)""".stripMargin),
 
+    // salted-join twin: the salt is partitioning-only, so the oracle is
+    // the NAIVE join (lossless-rewrite rule, same as RangeJoin)
+    "evt_salted_join" ->
+      """WITH c AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |           FROM events GROUP BY user_id)
+        |SELECT c.cohort_day, e.event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
     // cohort retention twin: date subtraction yields whole days in both
     // engines (UTC sessions, date-truncated activity)
     "evt_retention" ->

@@ -371,6 +371,18 @@ object TrainQueries {
         minShared = 3L)
     }),
 
+    // events joined to the per-user cohort dim through the skew-salted
+    // join (hot users spread over 8 reducers); lossless -> naive-join
+    // oracle. The salt never reaches the result, only the partitioning.
+    "evt_salted_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val cohort = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      graft.operators.SaltedJoin.equiJoin(ev, cohort, Seq("user_id"),
+          salt = 8, saltCols = Seq("ts"))
+        .groupBy("cohort_day", "event_type").agg(count(lit(1)).as("n"))
+    }),
+
     // cohort retention: users grouped by first-seen day, counted per
     // day-offset of later activity. Distinct activity days -> per-user
     // min -> user-keyed join -> (cohort, offset) rollup: every stage

@@ -66,6 +66,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("SaltedJoin shuffles on (key, salt) so a hot key spreads across reducers") {
+    val probe = viaParquet((1 to 50).map(i => ("hot", i.toLong)).toDF("k", "seq"))
+    val build = viaParquet(Seq(("hot", 10), ("c", 20)).toDF("k", "v"))
+    // disable auto-broadcast: a broadcast join would erase the exchange
+    // this test inspects (production build sides exceed the threshold)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.operators.SaltedJoin.equiJoin(
+        probe, build, Seq("k"), salt = 4, saltCols = Seq("seq")))
+      assert(p.contains("__salt"), s"no __salt in the shuffle keys of:\n$p")
+      assert(p.contains("hashpartitioning(k"), s"no hash exchange on k in:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("containmentBloom broadcasts the 1-row mask and keeps the probe in codegen") {
     // the bench shingle must overlap the train side: an empty result lets
     // AQE collapse the whole plan to EmptyRelation and prove nothing

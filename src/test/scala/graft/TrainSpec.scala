@@ -433,6 +433,20 @@ class TrainSpec extends AnyFunSuite {
     assert(r(1)._3 == 1 && math.abs(r(1)._4 - 3.0) < 1e-9)
   }
 
+  test("SaltedJoin equals the naive join under planted skew, any salt") {
+    // one hot key with 500 rows, a cold tail; build side 3 keys
+    val probe = ((1 to 500).map(i => ("hot", i.toLong)) ++
+      Seq(("c1", 900L), ("c2", 901L))).toDF("k", "seq")
+    val build = Seq(("hot", 10), ("c1", 20), ("nomatch", 30)).toDF("k", "v")
+    val naive = probe.join(build, "k")
+    for (salt <- Seq(1, 4, 13)) {
+      val salted = graft.operators.SaltedJoin.equiJoin(
+        probe, build, Seq("k"), salt = salt, saltCols = Seq("seq"))
+      assert(salted.count() == naive.count())
+      assert(salted.exceptAll(naive).isEmpty && naive.exceptAll(salted).isEmpty)
+    }
+  }
+
   test("RangeJoin.pointInInterval equals the naive range predicate") {
     import graft.operators.RangeJoin
     // points at bin boundaries, interval edges, and far outside; intervals
