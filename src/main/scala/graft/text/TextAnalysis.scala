@@ -179,6 +179,31 @@ object TextAnalysis {
   }
 
   /**
+   * MOSS matching over [[winnow]] fingerprints: pairs of documents
+   * sharing at least `minShared` distinct fingerprint hashes, with the
+   * shared count — the candidate step of fingerprint-based near-dup /
+   * plagiarism detection. Same inverted-index shape as the ER blocking
+   * core: hashes shared by more than `maxHashFreq` docs are dropped
+   * before the self-join (boilerplate grams are the skew risk, exactly
+   * like stopword shingles), so the join stays equi-join-shaped at any
+   * corpus size. Positions are deliberately ignored here; a locator pass
+   * joins them back for the surviving pairs only.
+   */
+  def winnowPairs(fps0: DataFrame, minShared: Long,
+                  maxHashFreq: Int = 1000): DataFrame = {
+    val hs = graft.util.Snapshot( // both sides of the self-join read it
+      fps0.select("doc_id", "gram_hash").distinct())
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram_hash")
+    val freqOk = hs.withColumn("_f", count(lit(1)).over(w))
+      .filter(col("_f") <= maxHashFreq).drop("_f")
+    freqOk.select(col("gram_hash"), col("doc_id").as("d1"))
+      .join(freqOk.select(col("gram_hash"), col("doc_id").as("d2")), Seq("gram_hash"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
    * All analyses as named columns over a text column.
    *
    * `fused = true` (default) computes every token-derived statistic from

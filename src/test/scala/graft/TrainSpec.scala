@@ -189,6 +189,23 @@ class TrainSpec extends AnyFunSuite {
     assert(counts.forall(c => c > 0 && c <= 9))
   }
 
+  test("winnowPairs: shared-count correctness and frequency cap") {
+    // doc 1 and 2 share the long INVARIANTBLOCK substring -> many shared
+    // fingerprints; doc 3 is unrelated
+    val f = TextAnalysis.winnow(docs(
+      (1L, "xxINVARIANTBLOCKzz"), (2L, "qqINVARIANTBLOCKpp"), (3L, "totally other")))
+    val pairs = TextAnalysis.winnowPairs(f, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    // n_shared equals the exact distinct-hash intersection size
+    val sets = f.select("doc_id", "gram_hash").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert(pairs((1L, 2L)) == (sets(1L) intersect sets(2L)).size.toLong)
+    // a frequency cap of 1 drops every hash present in 2+ docs -> no pairs
+    assert(TextAnalysis.winnowPairs(f, minShared = 1, maxHashFreq = 1).isEmpty)
+  }
+
   test("containmentBloom equals exact containment for any filter size (lossless)") {
     val sh = Dedup.shingles(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 3)
