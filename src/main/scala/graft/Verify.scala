@@ -14,6 +14,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // driver testdata writes naive parquet timestamps (isAdjustedToUTC =
+      // false); read them as TIMESTAMP (not NTZ) so event-time semantics —
+      // watermarks, windows — work, identical to DuckDB under UTC session tz
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))

@@ -495,6 +495,31 @@ object ErOracles {
         |       CASE WHEN pc + pq > 0.0 THEN 2.0 * pc * pq / (pc + pq) ELSE 0.0 END AS f1
         |FROM base""".stripMargin),
 
+    // sorted-neighborhood blocking: ROW_NUMBER is the oracle's total order;
+    // the engine's distributed two-phase rank must match it exactly
+    "er_snb_pairs" ->
+      """WITH k AS (SELECT p_partkey AS profile_id, lower(p_name) AS sort_key FROM part),
+        |r AS (SELECT profile_id, ROW_NUMBER() OVER (ORDER BY sort_key, profile_id) AS rn FROM k)
+        |SELECT a.profile_id AS p1, b.profile_id AS p2, CAST(b.rn - a.rn AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 6""".stripMargin,
+
+    // matching stage: normalized Levenshtein over the WNP(cbs, avg, or)
+    // candidate set — same retained-pair CTE as er_wnp_cbs_avg_or_dirty
+    "er_match_edit" ->
+      (prelude(clean = false) + wpw("cbs") + directedSelf("cbs") +
+        """th AS (SELECT a, SUM(w) / COUNT(*) AS theta FROM directed GROUP BY a),
+          |cand AS (SELECT wpw.p1, wpw.p2
+          |         FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
+          |         WHERE (w1 >= t2.theta - 0.0 OR w1 >= t1.theta - 0.0)),
+          |nm AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
+          |scored AS (
+          |  SELECT c.p1, c.p2,
+          |         1.0 - CAST(levenshtein(n1.nm, n2.nm) AS DOUBLE) /
+          |               GREATEST(length(n1.nm), length(n2.nm)) AS sim0
+          |  FROM cand c JOIN nm n1 ON c.p1 = n1.p_partkey
+          |              JOIN nm n2 ON c.p2 = n2.p_partkey)
+          |SELECT p1, p2, ROUND(sim0, 9) AS sim FROM scored WHERE sim0 >= 0.5""".stripMargin),
+
     "er_ngram_blocks" ->
       """WITH ntoks AS (
         |  SELECT DISTINCT profile_id, tok FROM (

@@ -388,6 +388,34 @@ object ErQueries {
       val k = Blocking.ngramKeys(attrs, n = 4)
       val m = Blocking.validBlocks(k, clean = false)
       Blocking.blockStats(m, clean = false).select("key", "size", "comparisons")
+    }),
+
+    // sorted-neighborhood blocking over the part-name sort key: pairs at
+    // sort distance < 7; the rank is a distributed two-phase scan and the
+    // window an equi-join on rank buckets (Blocking.sortedNeighborhood)
+    "er_snb_pairs" -> ((s, d) =>
+      Blocking.sortedNeighborhood(
+        s.read.parquet(s"$d/part.parquet")
+          .select(col("p_partkey").as("profile_id"),
+            lower(col("p_name")).as("sort_key")),
+        window = 7)),
+
+    // comparison/matching stage after meta-blocking: normalized Levenshtein
+    // similarity of the two part names over the WNP candidate pairs —
+    // completes blocking -> pruning -> comparison as one declarative chain
+    "er_match_edit" -> ((s, d) => {
+      val names = s.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey"), lower(col("p_name")).as("nm"))
+      val cand = wnpCbsAvgOrDirty(s, d).select("p1", "p2")
+      val sim = cand
+        .join(names.select(col("p_partkey").as("p1"), col("nm").as("nm1")), "p1")
+        .join(names.select(col("p_partkey").as("p2"), col("nm").as("nm2")), "p2")
+        .withColumn("sim",
+          lit(1.0) - levenshtein(col("nm1"), col("nm2")).cast("double") /
+            greatest(length(col("nm1")), length(col("nm2"))).cast("double"))
+      sim.filter(col("sim") >= 0.5)
+        .select(col("p1"), col("p2"),
+          graft.functions.FastRound.round(col("sim"), 9).as("sim"))
     })
   )
 }

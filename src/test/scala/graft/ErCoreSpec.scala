@@ -13,6 +13,8 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // naive parquet timestamps read as TIMESTAMP, not NTZ (see Verify)
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .getOrCreate()
 }
 
