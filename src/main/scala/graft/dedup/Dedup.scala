@@ -72,12 +72,17 @@ object Dedup {
    * Jaccard = common / (|A| + |B| - common) >= threshold. The self-join
    * shuffles on the shingle — frequency skew is the scale risk, so shingles
    * shared by more than `maxShingleFreq` docs are dropped (stopword-shingle
-   * purging, same rationale as ER block purging).
+   * purging, same rationale as ER block purging). The cap costs recall
+   * (dropped postings no longer count toward |A∩B|), so the drop count is
+   * observable: metrics node `jaccard_pairs_cap`
+   * ([[graft.util.CapMetrics]]).
    */
   def jaccardPairs(sh0: DataFrame, threshold: Double,
                    maxShingleFreq: Int = 1000): DataFrame = {
     val sh = graft.util.Snapshot(sh0) // read by the index (twice, self-join) + sizes; parquet snapshot, not MemoryStore (lock contention at local[32])
-    val freqOk = sh.withColumn("_f", count(lit(1)).over(Window.partitionBy("shingle")))
+    val freqOk = graft.util.CapMetrics.observeDrops(
+        sh.withColumn("_f", count(lit(1)).over(Window.partitionBy("shingle"))),
+        "jaccard_pairs_cap", col("_f") > maxShingleFreq)
       .filter(col("_f") <= maxShingleFreq).drop("_f")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = freqOk.select(col("shingle"), col("doc_id").as("d1"))
@@ -215,30 +220,31 @@ object Dedup {
    * "merge" step after ER/dedup: [[clusters]] decides WHICH records are
    * the same entity; this decides what the merged entity looks like.
    *
-   * Scale shape: one equi-join (clusters x attributes), then per attribute
-   * a count aggregate + top-1 window. The literal rank-1 filter plans as
-   * WindowGroupLimit — partial per-cluster top-1 before the exchange — and
-   * the count aggregate is map-side combinable, so nothing quadratic ever
-   * forms. Returns (cluster_rep, n_members, <attr>_golden...).
+   * Scale shape: ONE equi-join (clusters x attributes) and ONE hash
+   * aggregate — every attribute's mode is a `mode(attr, deterministic =
+   * true)` aggregate column (most frequent value, LOWEST value on
+   * frequency ties: exactly this operator's tie rule, evaluated as a
+   * per-group value-count map with map-side partial merge), so the member
+   * rows cross the wire once regardless of attribute count. The previous
+   * shape — per-attribute count aggregate + top-1 window + join — paid k
+   * aggregates, k windows, and k joins at k attributes; MDM-typical widths
+   * (20+ attrs) made that 20+ shuffles where this is one.
+   *
+   * NULL semantics: `mode` ignores NULL members (a NULL can no longer be
+   * elected golden; all-NULL clusters get NULL) — the standard aggregate
+   * contract, and strictly more useful than the windowed form's
+   * nulls-first accident. Returns (cluster_rep, n_members,
+   * <attr>_golden...).
    */
   def goldenRecord(clustered: DataFrame, records: DataFrame,
                    attrCols: Seq[String],
                    idCol: String = "doc_id"): DataFrame = {
     require(attrCols.nonEmpty)
-    // read once per attribute column + once for sizes: snapshot the join
-    val joined = graft.util.Snapshot(
-      clustered.select(col(idCol).as(idCol), col("cluster_rep"))
-        .join(records.select(col(idCol).as(idCol) +: attrCols.map(col): _*), Seq(idCol)))
-    val sizes = joined.groupBy("cluster_rep").agg(count(lit(1)).as("n_members"))
-    attrCols.foldLeft(sizes) { (acc, c) =>
-      val mode = joined.groupBy(col("cluster_rep"), col(c))
-        .agg(count(lit(1)).as("_cnt"))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy("cluster_rep").orderBy(col("_cnt").desc, col(c).asc)))
-        .filter(col("_rn") === 1)
-        .select(col("cluster_rep"), col(c).as(s"${c}_golden"))
-      acc.join(mode, Seq("cluster_rep"))
-    }
+    val joined = clustered.select(col(idCol).as(idCol), col("cluster_rep"))
+      .join(records.select(col(idCol).as(idCol) +: attrCols.map(col): _*), Seq(idCol))
+    joined.groupBy("cluster_rep").agg(
+      count(lit(1)).as("n_members"),
+      attrCols.map(c => mode(col(c), deterministic = true).as(s"${c}_golden")): _*)
   }
 
   /** Deterministic MinHash permutation constants, reproducible in SQL:

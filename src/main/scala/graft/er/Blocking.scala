@@ -145,13 +145,8 @@ object Blocking {
    */
   def incrementalPairs(existingKeys: DataFrame, newKeys: DataFrame,
                        maxBlockSize: Long = 1000L): DataFrame = {
-    val all = existingKeys.select(col("key"), col("profile_id"))
-      .withColumn("is_new", lit(0))
-      .unionByName(newKeys.select(col("key"), col("profile_id"))
-        .withColumn("is_new", lit(1)))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
-    val sized = all.withColumn("_n", count(lit(1)).over(w))
-      .filter(col("_n") <= maxBlockSize).drop("_n")
+    val sized = cappedKeys(existingKeys, newKeys, maxBlockSize,
+      "incremental_pairs_cap")
     val a = sized.filter(col("is_new") === 1)
       .select(col("key"), col("profile_id").as("pa"))
     val b = sized.select(col("key"), col("profile_id").as("pb"), col("is_new").as("nb"))
@@ -163,49 +158,94 @@ object Blocking {
       .distinct()
   }
 
-  /**
-   * Incremental meta-blocking: [[incrementalPairs]]' candidates weighted
-   * and pruned, completing the incremental path end-to-end (candidates ->
-   * weighted graph -> per-profile pruning) without ever touching the
-   * O(corpus) neighborhood graph. CBS weight = number of shared capped
-   * keys; threshold = the WNP average scheme, but LOCAL TO THE ARRIVING
-   * BATCH: each new profile's threshold is the mean weight of its own
-   * incremental edges (an incremental system cannot recompute the standing
-   * corpus's neighborhoods, and never forms old-old edges). A pair
-   * survives when it meets the threshold of ANY new endpoint (the OR
-   * composition, matching [[MetaBlocking.wnp]]).
-   *
-   * The threshold test is exact integer arithmetic (cbs * n_edges >=
-   * sum_cbs <=> cbs >= mean), so no floating-point divergence exists for
-   * the oracle to trip on. Scale shape: directed edges only from new
-   * profiles, one countDistinct aggregate + one per-src aggregate over
-   * O(|new batch| x bounded block size) rows.
-   *
-   * Returns (p1, p2, cbs, n_new), n_new as in [[incrementalPairs]].
-   */
-  def incrementalWnp(existingKeys: DataFrame, newKeys: DataFrame,
-                     maxBlockSize: Long = 1000L): DataFrame = {
+  /** The capped (key, profile_id, is_new) union both incremental operators
+   * start from: corpus keys tagged old, batch keys tagged new, keys whose
+   * COMBINED block exceeds `maxBlockSize` purged. The cap changes recall,
+   * so the purge count is observable (metrics node `metricName`,
+   * [[graft.util.CapMetrics]]). */
+  private def cappedKeys(existingKeys: DataFrame, newKeys: DataFrame,
+                         maxBlockSize: Long, metricName: String): DataFrame = {
     val all = existingKeys.select(col("key"), col("profile_id"))
       .withColumn("is_new", lit(0))
       .unionByName(newKeys.select(col("key"), col("profile_id"))
         .withColumn("is_new", lit(1)))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
-    val sized = all.withColumn("_n", count(lit(1)).over(w))
+    graft.util.CapMetrics.observeDrops(
+        all.withColumn("_n", count(lit(1)).over(w)),
+        metricName, col("_n") > maxBlockSize)
       .filter(col("_n") <= maxBlockSize).drop("_n")
+  }
+
+  /**
+   * Incremental meta-blocking: [[incrementalPairs]]' candidates weighted
+   * and pruned, completing the incremental path end-to-end (candidates ->
+   * weighted graph -> per-profile pruning) without ever touching the
+   * O(corpus) neighborhood graph. Threshold = the WNP average scheme, but
+   * LOCAL TO THE ARRIVING BATCH: each new profile's threshold is the mean
+   * weight of its own incremental edges (an incremental system cannot
+   * recompute the standing corpus's neighborhoods, and never forms
+   * old-old edges). A pair survives when it meets the threshold of ANY
+   * new endpoint (the OR composition, matching [[MetaBlocking.wnp]]).
+   *
+   * Weight schemes (mirroring the batch §2.6 matrix on batch-computable
+   * statistics, python/sparker/common_node_pruning.py:203-262 semantics):
+   *  - CBS: shared capped-key count; the threshold test is exact integer
+   *    arithmetic (cbs * n_edges >= sum_cbs <=> cbs >= mean), so no
+   *    floating-point divergence exists for the oracle to trip on.
+   *  - JS (Jaccard): cbs / (|keys(src)| + |keys(dst)| - cbs) over the
+   *    capped key sets. Per-profile key counts are one map-side-combinable
+   *    aggregate over the capped union — in production the corpus side of
+   *    that statistic is maintained incrementally with the key snapshot,
+   *    not recomputed per batch. Fractional weights make the mean
+   *    threshold a double; the keep test subtracts `eps` (1e-9), the same
+   *    ULP guard the batch WNP uses for fractional schemes.
+   *
+   * Scale shape: directed edges only from new profiles, one countDistinct
+   * aggregate + one per-src aggregate over O(|new batch| x bounded block
+   * size) rows.
+   *
+   * Returns (p1, p2, cbs, w, n_new): `w` is the scheme weight (cbs as
+   * double under CBS), n_new as in [[incrementalPairs]].
+   */
+  def incrementalWnp(existingKeys: DataFrame, newKeys: DataFrame,
+                     maxBlockSize: Long = 1000L,
+                     weight: WeightType.Value = WeightType.CBS,
+                     eps: Double = 1e-9): DataFrame = {
+    require(weight == WeightType.CBS || weight == WeightType.JS,
+      s"incrementalWnp supports CBS and JS, got $weight")
+    val sized = cappedKeys(existingKeys, newKeys, maxBlockSize,
+      "incremental_wnp_cap")
     val a = sized.filter(col("is_new") === 1)
       .select(col("key"), col("profile_id").as("src"))
     val b = sized.select(col("key"), col("profile_id").as("dst"), col("is_new").as("nb"))
+    val deCbs = a.join(b, Seq("key")).filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst", "nb").agg(countDistinct("key").as("cbs"))
     // directed new->any edges; snapshot: read by the threshold aggregate
     // and the pruning join (small: O(new-batch candidates))
-    val de = graft.util.Snapshot(
-      a.join(b, Seq("key")).filter(col("src") =!= col("dst"))
-        .groupBy("src", "dst", "nb").agg(countDistinct("key").as("cbs")))
-    val thr = de.groupBy("src").agg(count(lit(1)).as("n_e"), sum("cbs").as("s"))
-    de.join(thr, Seq("src"))
-      .filter(col("cbs") * col("n_e") >= col("s"))
+    val de = graft.util.Snapshot(weight match {
+      case WeightType.CBS =>
+        deCbs.withColumn("w", col("cbs").cast("double"))
+      case _ =>
+        val kc = sized.groupBy("profile_id").agg(countDistinct("key").as("nk"))
+        deCbs
+          .join(kc.select(col("profile_id").as("src"), col("nk").as("k1")), Seq("src"))
+          .join(kc.select(col("profile_id").as("dst"), col("nk").as("k2")), Seq("dst"))
+          .withColumn("w", col("cbs").cast("double") /
+            (col("k1") + col("k2") - col("cbs")).cast("double"))
+          .select("src", "dst", "nb", "cbs", "w")
+    })
+    val keep =
+      if (weight == WeightType.CBS) {
+        val thr = de.groupBy("src").agg(count(lit(1)).as("n_e"), sum("cbs").as("s"))
+        de.join(thr, Seq("src")).filter(col("cbs") * col("n_e") >= col("s"))
+      } else {
+        val thr = de.groupBy("src").agg((sum(col("w")) / count(lit(1))).as("theta"))
+        de.join(thr, Seq("src")).filter(col("w") >= col("theta") - eps)
+      }
+    keep
       .select(least(col("src"), col("dst")).as("p1"),
         greatest(col("src"), col("dst")).as("p2"),
-        col("cbs"), (lit(1) + col("nb")).cast("int").as("n_new"))
+        col("cbs"), col("w"), (lit(1) + col("nb")).cast("int").as("n_new"))
       .distinct()
   }
 

@@ -248,29 +248,39 @@ object ErOracles {
   private def directedFor(clean: Boolean, scheme: String): String =
     if (clean) directed else directedSelf(scheme)
 
-  private def wnpSql(clean: Boolean, scheme: String, tt: String, ct: String,
-                     eps: String, roundW: Boolean, chi2divider: String = "2.0",
-                     numSources: Int = 2): String = {
-    val thetaAgg = tt match {
+  /** The WNP per-profile threshold CTE `th(a, theta)` over `directed`. */
+  private def wnpThetaCte(tt: String): String = {
+    val agg = tt match {
       case "avg" => "SUM(w) / COUNT(*)"
       case "max2" => "MAX(w) / 2.0"
     }
-    val keep =
-      if (scheme == "chisq" && tt == "chisqrule")
+    s"th AS (SELECT a, $agg AS theta FROM directed GROUP BY a)"
+  }
+
+  /** The WNP keep condition over `wpw JOIN th t1 ... JOIN th t2` — the ONE
+   * source of truth for the retained-pair rule; wnpSql and every oracle
+   * that re-derives a WNP candidate set (er_match_edit) must build their
+   * WHERE from this. */
+  private def wnpKeepCond(scheme: String, tt: String, ct: String,
+                          eps: String, chi2divider: String = "2.0"): String =
+    if (scheme == "chisq" && tt == "chisqrule")
+      s"w1 >= SQRT(POWER(t1.theta, 2.0) + POWER(t2.theta, 2.0)) / $chi2divider - $eps"
+    else ct match {
+      case "or" => s"(w1 >= t2.theta - $eps OR w1 >= t1.theta - $eps)"
+      case "and" => s"(w1 >= t2.theta - $eps AND w1 >= t1.theta - $eps)"
+      case "chisqrule" =>
         s"w1 >= SQRT(POWER(t1.theta, 2.0) + POWER(t2.theta, 2.0)) / $chi2divider - $eps"
-      else ct match {
-        case "or" => s"(w1 >= t2.theta - $eps OR w1 >= t1.theta - $eps)"
-        case "and" => s"(w1 >= t2.theta - $eps AND w1 >= t1.theta - $eps)"
-        case "chisqrule" =>
-          s"w1 >= SQRT(POWER(t1.theta, 2.0) + POWER(t2.theta, 2.0)) / $chi2divider - $eps"
-      }
-    val agg = if (tt == "avg") "SUM(w) / COUNT(*)" else "MAX(w) / 2.0"
+    }
+
+  private def wnpSql(clean: Boolean, scheme: String, tt: String, ct: String,
+                     eps: String, roundW: Boolean, chi2divider: String = "2.0",
+                     numSources: Int = 2): String = {
     val out = if (roundW) "ROUND(w1, 9)" else "w1"
     prelude(clean, numSources) + wpw(scheme) + directedFor(clean, scheme) +
-      s"""th AS (SELECT a, $agg AS theta FROM directed GROUP BY a)
+      s"""${wnpThetaCte(tt)}
          |SELECT wpw.p1, wpw.p2, $out AS w
          |FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
-         |WHERE $keep""".stripMargin
+         |WHERE ${wnpKeepCond(scheme, tt, ct, eps, chi2divider)}""".stripMargin
   }
 
   private def wepSql(clean: Boolean, scheme: String, eps: String): String =
@@ -364,6 +374,64 @@ object ErOracles {
         |       de.cbs, CAST(1 + de.nb AS INTEGER) AS n_new
         |FROM de JOIN ithr USING (src)
         |WHERE de.cbs * ithr.n_e >= ithr.s""".stripMargin),
+
+    // incremental JS twin: same capped universe + directed edges, JS =
+    // cbs / (|keys(src)| + |keys(dst)| - cbs) over per-profile capped key
+    // counts, per-src mean threshold with the fractional 1e-9 guard
+    "er_incremental_js" -> (prelude(clean = false) +
+      """ak AS (SELECT profile_id, key,
+        |         CASE WHEN profile_id % 10 = 0 THEN 1 ELSE 0 END AS is_new
+        |       FROM toks),
+        |ksz AS (SELECT key FROM ak GROUP BY key HAVING COUNT(*) <= 1000),
+        |kk AS (SELECT ak.profile_id, ak.key, ak.is_new FROM ak JOIN ksz USING (key)),
+        |kc AS (SELECT profile_id, CAST(COUNT(DISTINCT key) AS BIGINT) AS nk
+        |       FROM kk GROUP BY 1),
+        |de AS (SELECT a.profile_id AS src, b.profile_id AS dst, b.is_new AS nb,
+        |              CAST(COUNT(DISTINCT a.key) AS BIGINT) AS cbs
+        |       FROM kk a JOIN kk b
+        |         ON a.key = b.key AND a.profile_id <> b.profile_id AND a.is_new = 1
+        |       GROUP BY 1, 2, 3),
+        |dw AS (SELECT de.src, de.dst, de.nb, de.cbs,
+        |              CAST(de.cbs AS DOUBLE) / (k1.nk + k2.nk - de.cbs) AS w
+        |       FROM de JOIN kc k1 ON de.src = k1.profile_id
+        |               JOIN kc k2 ON de.dst = k2.profile_id),
+        |ithr AS (SELECT src, SUM(w) / COUNT(*) AS theta FROM dw GROUP BY src)
+        |SELECT DISTINCT LEAST(dw.src, dw.dst) AS p1,
+        |       GREATEST(dw.src, dw.dst) AS p2,
+        |       dw.cbs, ROUND(dw.w, 9) AS w, CAST(1 + dw.nb AS INTEGER) AS n_new
+        |FROM dw JOIN ithr USING (src)
+        |WHERE dw.w >= ithr.theta - 1e-9""".stripMargin),
+
+    // incremental end-to-end twin: the er_incremental_wnp retained set
+    // joined to part names, normalized-Levenshtein >= 0.5 (er_match_edit
+    // rule) on the surviving pairs
+    "er_incremental_match" -> (prelude(clean = false) +
+      """ak AS (SELECT profile_id, key,
+        |         CASE WHEN profile_id % 10 = 0 THEN 1 ELSE 0 END AS is_new
+        |       FROM toks),
+        |ksz AS (SELECT key FROM ak GROUP BY key HAVING COUNT(*) <= 1000),
+        |kk AS (SELECT ak.profile_id, ak.key, ak.is_new FROM ak JOIN ksz USING (key)),
+        |de AS (SELECT a.profile_id AS src, b.profile_id AS dst, b.is_new AS nb,
+        |              CAST(COUNT(DISTINCT a.key) AS BIGINT) AS cbs
+        |       FROM kk a JOIN kk b
+        |         ON a.key = b.key AND a.profile_id <> b.profile_id AND a.is_new = 1
+        |       GROUP BY 1, 2, 3),
+        |ithr AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_e,
+        |               CAST(SUM(cbs) AS BIGINT) AS s
+        |        FROM de GROUP BY src),
+        |cand AS (SELECT DISTINCT LEAST(de.src, de.dst) AS p1,
+        |                GREATEST(de.src, de.dst) AS p2,
+        |                CAST(1 + de.nb AS INTEGER) AS n_new
+        |         FROM de JOIN ithr USING (src)
+        |         WHERE de.cbs * ithr.n_e >= ithr.s),
+        |nm AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
+        |scored AS (
+        |  SELECT c.p1, c.p2, c.n_new,
+        |         1.0 - CAST(levenshtein(n1.nm, n2.nm) AS DOUBLE) /
+        |               GREATEST(length(n1.nm), length(n2.nm)) AS sim0
+        |  FROM cand c JOIN nm n1 ON c.p1 = n1.p_partkey
+        |              JOIN nm n2 ON c.p2 = n2.p_partkey)
+        |SELECT p1, p2, n_new, ROUND(sim0, 9) AS sim FROM scored WHERE sim0 >= 0.5""".stripMargin),
 
     "er_tokens_attr" -> (prelude(clean = false) +
       """atoks AS (
@@ -504,13 +572,15 @@ object ErOracles {
         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 6""".stripMargin,
 
     // matching stage: normalized Levenshtein over the WNP(cbs, avg, or)
-    // candidate set — same retained-pair CTE as er_wnp_cbs_avg_or_dirty
+    // candidate set — the theta CTE and keep condition come from the same
+    // wnpThetaCte/wnpKeepCond fragments wnpSql compiles, so the candidate
+    // rule cannot desynchronize from er_wnp_cbs_avg_or_dirty
     "er_match_edit" ->
       (prelude(clean = false) + wpw("cbs") + directedSelf("cbs") +
-        """th AS (SELECT a, SUM(w) / COUNT(*) AS theta FROM directed GROUP BY a),
+        s"""${wnpThetaCte("avg")},
           |cand AS (SELECT wpw.p1, wpw.p2
           |         FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
-          |         WHERE (w1 >= t2.theta - 0.0 OR w1 >= t1.theta - 0.0)),
+          |         WHERE ${wnpKeepCond("cbs", "avg", "or", "0.0")}),
           |nm AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
           |scored AS (
           |  SELECT c.p1, c.p2,

@@ -209,8 +209,48 @@ object ErQueries {
     "er_incremental_wnp" -> ((s, d) => {
       val attrs = partAttrs(s, d, twoSources = false)
       Blocking.incrementalWnp(
-        Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 =!= 0)),
-        Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 === 0)))
+          Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 =!= 0)),
+          Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 === 0)))
+        .select("p1", "p2", "cbs", "n_new")
+    }),
+
+    // the incremental weight-scheme matrix beyond CBS: the same pruning
+    // with JS (Jaccard of the capped key sets) — per-profile key counts
+    // are batch-computable statistics, fractional thresholds use the
+    // batch WNP's 1e-9 ULP guard
+    "er_incremental_js" -> ((s, d) => {
+      val attrs = partAttrs(s, d, twoSources = false)
+      Blocking.incrementalWnp(
+          Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 =!= 0)),
+          Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 === 0)),
+          weight = WeightType.JS)
+        .select(col("p1"), col("p2"), col("cbs"),
+          graft.functions.FastRound.round(col("w"), 9).as("w"), col("n_new"))
+    }),
+
+    // the incremental pipeline composed END-TO-END with the comparison
+    // stage: incremental candidates -> batch-local WNP pruning ->
+    // normalized-Levenshtein matching on the surviving pairs (the
+    // er_match_edit rule) — what an arriving batch actually runs in
+    // production: blocking, pruning, and matching without touching the
+    // O(corpus) graph
+    "er_incremental_match" -> ((s, d) => {
+      val attrs = partAttrs(s, d, twoSources = false)
+      val cand = Blocking.incrementalWnp(
+          Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 =!= 0)),
+          Blocking.tokenKeys(attrs.filter(col("profile_id") % 10 === 0)))
+        .select("p1", "p2", "n_new")
+      val names = s.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey"), lower(col("p_name")).as("nm"))
+      cand
+        .join(names.select(col("p_partkey").as("p1"), col("nm").as("nm1")), "p1")
+        .join(names.select(col("p_partkey").as("p2"), col("nm").as("nm2")), "p2")
+        .withColumn("sim",
+          lit(1.0) - levenshtein(col("nm1"), col("nm2")).cast("double") /
+            greatest(length(col("nm1")), length(col("nm2"))).cast("double"))
+        .filter(col("sim") >= 0.5)
+        .select(col("p1"), col("p2"), col("n_new"),
+          graft.functions.FastRound.round(col("sim"), 9).as("sim"))
     }),
 
     "er_blocks_dirty" -> ((s, d) =>

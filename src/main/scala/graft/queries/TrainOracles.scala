@@ -99,27 +99,32 @@ object TrainOracles {
        |""".stripMargin
 
   /** Winnowing fingerprint CTE `fp(doc_id, pos, gram_hash)` — twin of
-   * TextAnalysis.winnow (k=5, w=4): (h+1)*2^31 - i encoded windowed MIN,
-   * exact integer decode, full windows only. */
-  private val winnowCte =
+   * TextAnalysis.winnow at its production defaults (constants derived from
+   * TextAnalysis.WinnowK/WinnowW so engine and oracle cannot drift):
+   * (h+1)*2^31 - i encoded windowed MIN, exact integer decode, full
+   * windows only. */
+  private val winnowCte = {
+    val k = graft.text.TextAnalysis.WinnowK
+    val w = graft.text.TextAnalysis.WinnowW
     s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
        |g AS (
        |  SELECT doc_id, i.i AS i,
-       |         ${strHash("substr(nt, CAST(i.i AS INTEGER), 5)")} AS h,
-       |         (length(nt) - 4) AS ng
-       |  FROM dn, unnest(generate_series(1, greatest(length(nt) - 4, 0))) AS i(i)),
+       |         ${strHash(s"substr(nt, CAST(i.i AS INTEGER), $k)")} AS h,
+       |         (length(nt) - ${k - 1}) AS ng
+       |  FROM dn, unnest(generate_series(1, greatest(length(nt) - ${k - 1}, 0))) AS i(i)),
        |win AS (
        |  SELECT doc_id, i, ng,
        |         MIN((h + 1) * 2147483648 - i) OVER (
        |           PARTITION BY doc_id ORDER BY i
-       |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
        |  FROM g),
        |fp AS (
        |  SELECT DISTINCT doc_id,
        |         (m // 2147483648 + 1) * 2147483648 - m AS pos,
        |         m // 2147483648 AS gram_hash
-       |  FROM win WHERE i <= ng - 3),
+       |  FROM win WHERE i <= ng - ${w - 1}),
        |""".stripMargin
+  }
 
   /** SQL literal list from the engine's own stopword set — single source
    * of truth (graft.text.TextAnalysis.EnglishStopwords). */
@@ -278,7 +283,7 @@ object TrainOracles {
       "x AS (SELECT 1) SELECT doc_id, pos, gram_hash FROM fp"),
 
     // MOSS matching step over the same fingerprints: distinct hash sets,
-    // frequency-capped inverted index, shared-count >= 60
+    // frequency-capped inverted index, shared-count >= 4
     "txt_winnow_pairs" -> (winnowCte +
       s"""fpd AS (SELECT DISTINCT doc_id, gram_hash FROM fp),
          |fok AS (
@@ -290,7 +295,7 @@ object TrainOracles {
          |       CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM fok a JOIN fok b
          |  ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING COUNT(*) >= 60""".stripMargin),
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 4""".stripMargin),
 
     // streaming LSH ingest twin: band values as position-ordered signature
     // strings (positions in a band are consecutive, so this equals the

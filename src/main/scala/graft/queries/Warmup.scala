@@ -66,7 +66,12 @@ object Warmup {
           step("blast_chain/weighted")(SupQueries.blastWeighted(s, d))
         },
         task("wnp_3src")(ErQueries.all("er_wnp_cbs_3src")(s, d)),
-        task("train")(TrainQueries.warm(s, d)))
+        task("train")(TrainQueries.warm(s, d)),
+        // GSPSN depends only on the raw blocking keys: run both variants
+        // once here — the window-sweep emission generates large codegen
+        // classes whose first compile dominated run1 (r5: 51s vs 2.4s)
+        task("first/gspsn")(SupQueries.all("prog_gspsn")(s, d).count()),
+        task("first/gspsn_clean")(SupQueries.all("prog_gspsn_clean")(s, d).count()))
       // dependent waves over the blocking/cleaning spine
       awaitAll(Seq(
         task("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false)),
@@ -90,6 +95,15 @@ object Warmup {
         task("wnp_cbs_clean")(ErQueries.wnpCbsAvgOrClean(s, d)),
         task("directed_cbs_clean")(ErQueries.directedCbsClean(s, d)),
         task("positives")(SupQueries.positives(s, d))))
+      // first-touch pass over the queries whose run1 was a multiple of
+      // their steady time in r5 (er_cep_js_dirty 130.9s vs 3.3s,
+      // er_wnp_cbs_avg_and_dirty 23.2s): these terminate in no Snapshot,
+      // so the cost is per-plan (codegen of the Prefix scan / threshold
+      // joins) — one execution here moves it out of every consumer's run1
+      awaitAll(Seq(
+        task("first/cep_js")(ErQueries.all("er_cep_js_dirty")(s, d).count()),
+        task("first/cep_cbs")(ErQueries.all("er_cep_cbs_dirty")(s, d).count()),
+        task("first/wnp_cbs_and")(ErQueries.all("er_wnp_cbs_avg_and_dirty")(s, d).count())))
       awaitAll(indep)
     } finally {
       // A failed dependent wave skips awaitAll(indep) — drain the

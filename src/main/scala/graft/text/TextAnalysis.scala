@@ -129,6 +129,16 @@ object TextAnalysis {
    * Dedup.strHash (codegen'd primitive loop, shared with the SQL oracle). */
   private def charFold(s: Column): Column = graft.functions.PolyHash31(s)
 
+  /** Production winnowing parameters (defaults of [[winnow]]): k=25, w=25
+   * gives the MOSS-scale match guarantee t = k + w - 1 = 49 characters and
+   * fingerprint density ~2/(w+1) ≈ 7.7% of gram positions — the published
+   * operating range (SIGMOD'03 uses densities of a few percent; k=5/w=4
+   * fingerprinted ~40% of every document and made the pair join the
+   * heaviest query in the suite). The DuckDB oracle CTE derives its
+   * constants from THESE vals, so engine and oracle cannot drift. */
+  val WinnowK = 25
+  val WinnowW = 25
+
   /**
    * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
    * — the MOSS algorithm): hash every character k-gram of the normalized
@@ -150,7 +160,7 @@ object TextAnalysis {
    *
    * Returns distinct (doc_id, pos, gram_hash).
    */
-  def winnow(df: DataFrame, k: Int = 5, w: Int = 4,
+  def winnow(df: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1)
     val C = 2147483648L // 2^31 > Mod: makes the (hash, position) encoding injective
@@ -188,13 +198,21 @@ object TextAnalysis {
    * like stopword shingles), so the join stays equi-join-shaped at any
    * corpus size. Positions are deliberately ignored here; a locator pass
    * joins them back for the surviving pairs only.
+   *
+   * The frequency cap changes recall (a dropped hash can no longer vote
+   * toward `minShared`), so the drop is never silent: the observed-metrics
+   * node `winnow_pairs_cap` reports `dropped_rows` (index postings removed
+   * by the cap) and `input_rows` on every execution —
+   * [[graft.util.CapMetrics]] documents how to read it.
    */
   def winnowPairs(fps0: DataFrame, minShared: Long,
                   maxHashFreq: Int = 1000): DataFrame = {
     val hs = graft.util.Snapshot( // both sides of the self-join read it
       fps0.select("doc_id", "gram_hash").distinct())
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gram_hash")
-    val freqOk = hs.withColumn("_f", count(lit(1)).over(w))
+    val freqOk = graft.util.CapMetrics.observeDrops(
+        hs.withColumn("_f", count(lit(1)).over(w)),
+        "winnow_pairs_cap", col("_f") > maxHashFreq)
       .filter(col("_f") <= maxHashFreq).drop("_f")
     freqOk.select(col("gram_hash"), col("doc_id").as("d1"))
       .join(freqOk.select(col("gram_hash"), col("doc_id").as("d2")), Seq("gram_hash"))

@@ -1,0 +1,51 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Observable drop counts for frequency-capped operators — the engine's
+ * "no silent caps" rule made queryable.
+ *
+ * Several operators bound skew by dropping over-frequent keys before a
+ * self-join (winnowPairs' `maxHashFreq`, jaccardPairs' `maxShingleFreq`,
+ * the incremental-ER `maxBlockSize`). Each cap changes RECALL, not just
+ * cost, so every capped operator routes its pre-filter frame through
+ * [[observeDrops]]: a `CollectMetrics` (Dataset.observe) node that counts
+ * the rows the cap is about to remove. The node is a pass-through — it
+ * never changes rows, schema, or hashes — and the aggregates piggyback on
+ * the pass the query already makes over that frame, so the cost is two
+ * counters per row, no extra job.
+ *
+ * Reading the metric:
+ *  - batch, same DataFrame instance: run an action that executes the
+ *    frame's own plan (`collect()`/`write`), then
+ *    `df.queryExecution.observedMetrics(name)` — a Row with
+ *    `dropped_rows` and `input_rows`;
+ *  - fleet-wide: register a `QueryExecutionListener` (or streaming
+ *    `StreamingQueryListener`, which surfaces the same names in progress
+ *    events) and log every `observedMetrics` entry — the production
+ *    posture, where the cap counts land in the job's metrics system
+ *    instead of a log nobody reads.
+ *
+ * The metric is computed where the cap is APPLIED, before any filter that
+ * consumes it, so `dropped_rows > 0` is exactly "this run lost recall to
+ * the cap" and the operator's contract stays honest at any scale.
+ */
+object CapMetrics {
+
+  /** Attach an observed-metrics node named `name` to `df` counting rows
+   * matching `dropCond` (as `dropped_rows`) alongside `input_rows`. The
+   * caller applies the actual `filter` afterwards — observation and
+   * enforcement stay adjacent but separable. */
+  def observeDrops(df: DataFrame, name: String, dropCond: Column): DataFrame =
+    df.observe(name,
+      sum(when(dropCond, 1L).otherwise(0L)).as("dropped_rows"),
+      count(lit(1)).as("input_rows"))
+
+  /** The observed drop metrics of the last action on `df`, if the plan
+   * carried an [[observeDrops]] node named `name` and an action ran. */
+  def lastDrops(df: DataFrame, name: String): Option[(Long, Long)] =
+    df.queryExecution.observedMetrics.get(name)
+      .map(r => (r.getAs[Long]("dropped_rows"), r.getAs[Long]("input_rows")))
+}

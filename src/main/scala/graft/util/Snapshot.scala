@@ -19,7 +19,13 @@ import org.apache.spark.sql.DataFrame
  * so that fallback is refused outside local mode.
  */
 object Snapshot {
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = materialize(df)._2
+
+  /** Like [[apply]], also returning the written path — for callers that
+   * cache the MATERIALIZATION across sessions (e.g. a standing index
+   * probed by per-query cloned streaming sessions, where re-reading the
+   * path from the current session is the clean way to share it). */
+  def materialize(df: DataFrame): (String, DataFrame) = {
     val spark = df.sparkSession
     val explicit = spark.conf.getOption("spark.graft.checkpoint.dir")
     val base = explicit.getOrElse {
@@ -41,6 +47,6 @@ object Snapshot {
     // cross the network and live longer.
     val w = df.write.mode("overwrite")
     (if (explicit.isEmpty) w.option("compression", "none") else w).parquet(dir)
-    spark.read.parquet(dir)
+    (dir, spark.read.parquet(dir))
   }
 }
