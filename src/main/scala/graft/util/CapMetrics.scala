@@ -44,8 +44,36 @@ object CapMetrics {
       count(lit(1)).as("input_rows"))
 
   /** The observed drop metrics of the last action on `df`, if the plan
-   * carried an [[observeDrops]] node named `name` and an action ran. */
+   * carried an [[observeDrops]] node named `name` and an action ran.
+   * Plan-local: when the observed frame was materialized by an internal
+   * Snapshot (its metrics fired on the snapshot WRITE, not on the returned
+   * reader), use a [[Recorder]] instead. */
   def lastDrops(df: DataFrame, name: String): Option[(Long, Long)] =
     df.queryExecution.observedMetrics.get(name)
       .map(r => (r.getAs[Long]("dropped_rows"), r.getAs[Long]("input_rows")))
+
+  /** Session-wide collector of every [[observeDrops]] metric, regardless
+   * of which action executed the observed frame (the production wiring:
+   * register once, ship the drop counts to the job's metrics system).
+   * `QueryExecutionListener` delivery is asynchronous — [[await]] polls. */
+  final class Recorder extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val m = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    override def onSuccess(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (n, r) =>
+        if (r.schema.fieldNames.contains("dropped_rows"))
+          m(n) = (r.getAs[Long]("dropped_rows"), r.getAs[Long]("input_rows"))
+      }
+    override def onFailure(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           exception: Exception): Unit = ()
+    def get(name: String): Option[(Long, Long)] = m.get(name)
+    /** Poll for `name` up to `timeoutMs` (listener bus is async). */
+    def await(name: String, timeoutMs: Long = 10000L): Option[(Long, Long)] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (m.get(name).isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      m.get(name)
+    }
+  }
 }

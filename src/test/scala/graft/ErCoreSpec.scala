@@ -77,11 +77,45 @@ class ErCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val newK = Seq((10L, "a"), (10L, "b"), (10L, "c"), (11L, "c"))
       .toDF("profile_id", "key")
     val r = Blocking.incrementalWnp(oldK, newK)
+      .select("p1", "p2", "cbs", "n_new")
       .as[(Long, Long, Long, Int)].collect().toSet
     // src 10's edges: cbs 2 (to 1), 1 (to 2), 1 (to 11); mean 4/3 -> only
     // (1,10) meets it. src 11's single edge has mean 1 -> (10,11) survives
     // through 11's threshold (the OR), though 10's own threshold pruned it.
     assert(r == Set((1L, 10L, 2L, 1), (10L, 11L, 1L, 2)))
+  }
+
+  test("incrementalWnp JS: Jaccard of capped key sets, fractional mean threshold") {
+    // old A=1 {x,y}, B=2 {x,z}; new C=10 {x,y}: edges from C only —
+    // w(C,A) = 2/(2+2-2) = 1.0, w(C,B) = 1/(2+2-1) = 1/3; theta(C) = 2/3
+    // -> only (1,10) survives, with exact JS weights surfaced
+    val oldK = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "z"))
+      .toDF("profile_id", "key")
+    val newK = Seq((10L, "x"), (10L, "y")).toDF("profile_id", "key")
+    val r = Blocking.incrementalWnp(oldK, newK, weight = WeightType.JS)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(r == Set((1L, 10L, 2L, 1.0, 1)))
+  }
+
+  test("incremental cap drop counts are observable (no silent recall loss)") {
+    // "big" spans 4 profiles > maxBlockSize 3 -> its 4 postings drop and
+    // the CollectMetrics node must report exactly that
+    val oldK = Seq((1L, "t"), (2L, "t"), (3L, "big"), (4L, "big"), (5L, "big"))
+      .toDF("profile_id", "key")
+    val newK = Seq((10L, "t"), (12L, "big")).toDF("profile_id", "key")
+    val pairs = Blocking.incrementalPairs(oldK, newK, maxBlockSize = 3)
+    pairs.collect()
+    // plan-local read: the observe node is in the collected plan
+    assert(graft.util.CapMetrics.lastDrops(pairs, "incremental_pairs_cap")
+      .contains((4L, 7L)))
+    // incrementalWnp materializes the capped frame through its internal
+    // snapshot, so its metric fires on that write -> session listener path
+    val rec = new graft.util.CapMetrics.Recorder
+    spark.listenerManager.register(rec)
+    try {
+      Blocking.incrementalWnp(oldK, newK, maxBlockSize = 3).collect()
+      assert(rec.await("incremental_wnp_cap").contains((4L, 7L)))
+    } finally spark.listenerManager.unregister(rec)
   }
 
   test("blockStats comparisons: dirty n*(n-1), clean sum of cross products") {
@@ -248,6 +282,38 @@ class ErCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("profile_id", "key")
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("sortedNeighborhood window=2: exactly the adjacent pairs in sort order") {
+    val k = Seq((5L, "c"), (1L, "a"), (3L, "b")).toDF("profile_id", "sort_key")
+    val r = Blocking.sortedNeighborhood(k, window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // sort order a < b < c -> 1, 3, 5; only rank distance 1 qualifies
+    assert(r == Set((1L, 3L, 1L), (3L, 5L, 1L)))
+  }
+
+  test("sortedNeighborhood input smaller than window: all pairs, no phantom ranks") {
+    val k = Seq((2L, "b"), (9L, "a")).toDF("profile_id", "sort_key")
+    val r = Blocking.sortedNeighborhood(k, window = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((9L, 2L, 1L)))
+    val single = Seq((1L, "x")).toDF("profile_id", "sort_key")
+    assert(Blocking.sortedNeighborhood(single, window = 7).isEmpty)
+  }
+
+  test("sortedNeighborhood all-tied sort keys: profile_id breaks ties totally") {
+    val k = Seq((4L, "t"), (2L, "t"), (3L, "t"), (1L, "t"))
+      .toDF("profile_id", "sort_key")
+    val r = Blocking.sortedNeighborhood(k, window = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // total order by (sort_key, profile_id) = 1,2,3,4; distances 1..2
+    assert(r == Set((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 3L, 2L), (2L, 4L, 2L)))
+  }
+
+  test("sortedNeighborhood empty input emits nothing") {
+    val k = Seq.empty[(Long, String)].toDF("profile_id", "sort_key")
+    assert(Blocking.sortedNeighborhood(k, window = 4).isEmpty)
   }
 
   override def afterAll(): Unit = () // keep shared session for other specs

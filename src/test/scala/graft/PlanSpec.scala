@@ -59,11 +59,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
-  test("goldenRecord's per-attribute top-1 plans as WindowGroupLimit") {
+  test("goldenRecord computes every attribute mode in ONE aggregate exchange") {
     val cl = viaParquet(Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_rep"))
-    val recs = viaParquet(Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("doc_id", "lang"))
-    val p = plan(graft.dedup.Dedup.goldenRecord(cl, recs, Seq("lang")))
-    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+    val recs = viaParquet(Seq((1L, "en", "web"), (2L, "en", "book"), (3L, "de", "web"))
+      .toDF("doc_id", "lang", "source"))
+    val p = plan(graft.dedup.Dedup.goldenRecord(cl, recs, Seq("lang", "source")))
+    // the mode aggregation shuffles once on cluster_rep, no matter how many
+    // attribute columns are consolidated (the per-attribute fold paid one
+    // aggregate + window + join PER attribute); the join's own exchanges
+    // partition on doc_id, so cluster_rep-exchanges count the agg alone
+    val clusterExchanges = "Exchange hashpartitioning\\(cluster_rep".r
+      .findAllIn(p).size
+    assert(clusterExchanges == 1,
+      s"want exactly 1 cluster_rep exchange (single mode aggregate), got $clusterExchanges in:\n$p")
+    assert(!p.contains("Window"), s"mode path must not need a window:\n$p")
   }
 
   test("SaltedJoin shuffles on (key, salt) so a hot key spreads across reducers") {

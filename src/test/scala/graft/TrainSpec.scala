@@ -172,14 +172,18 @@ class TrainSpec extends AnyFunSuite {
   }
 
   test("winnow: rightmost-min ties, window coverage, shared-substring guarantee") {
+    // small k/w pinned explicitly: these cases test the selection
+    // mechanics; the production defaults (k=25, w=25) are covered by the
+    // oracle queries and the defaults test below
     // all-equal gram hashes -> each full window selects its LAST position:
     // len 10, k=5 -> grams 1..6; starts 1..3 pick positions 4, 5, 6
-    val rep = TextAnalysis.winnow(docs((1L, "aaaaaaaaaa")))
+    val rep = TextAnalysis.winnow(docs((1L, "aaaaaaaaaa")), k = 5, w = 4)
       .select("pos").as[Long].collect().toSet
     assert(rep == Set(4L, 5L, 6L))
     // two docs sharing a substring of length >= k + w - 1 = 8 must share
     // at least one fingerprint hash (the winnowing guarantee)
-    val f = TextAnalysis.winnow(docs((1L, "xxINVARIANTzz"), (2L, "qqqINVARIANTp")))
+    val f = TextAnalysis.winnow(
+      docs((1L, "xxINVARIANTzz"), (2L, "qqqINVARIANTp")), k = 5, w = 4)
     val sets = f.select("doc_id", "gram_hash").as[(Long, Long)].collect()
       .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
     assert((sets(1L) intersect sets(2L)).nonEmpty)
@@ -193,7 +197,8 @@ class TrainSpec extends AnyFunSuite {
     // doc 1 and 2 share the long INVARIANTBLOCK substring -> many shared
     // fingerprints; doc 3 is unrelated
     val f = TextAnalysis.winnow(docs(
-      (1L, "xxINVARIANTBLOCKzz"), (2L, "qqINVARIANTBLOCKpp"), (3L, "totally other")))
+      (1L, "xxINVARIANTBLOCKzz"), (2L, "qqINVARIANTBLOCKpp"), (3L, "totally other")),
+      k = 5, w = 4)
     val pairs = TextAnalysis.winnowPairs(f, minShared = 1)
       .as[(Long, Long, Long)].collect()
       .map { case (a, b, n) => (a, b) -> n }.toMap
@@ -204,6 +209,37 @@ class TrainSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == (sets(1L) intersect sets(2L)).size.toLong)
     // a frequency cap of 1 drops every hash present in 2+ docs -> no pairs
     assert(TextAnalysis.winnowPairs(f, minShared = 1, maxHashFreq = 1).isEmpty)
+  }
+
+  test("winnow production defaults honor the t = k + w - 1 guarantee") {
+    // substrings of length exactly WinnowK + WinnowW - 1 = 49 shared by
+    // two documents must collide on at least one fingerprint
+    val block = "m" * (TextAnalysis.WinnowK + TextAnalysis.WinnowW - 1)
+    val f = TextAnalysis.winnow(docs(
+      (1L, s"leftpad $block done"), (2L, s"$block alternative suffix text")))
+    val sets = f.select("doc_id", "gram_hash").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert((sets(1L) intersect sets(2L)).nonEmpty)
+  }
+
+  test("winnowPairs/jaccardPairs cap drop counts are observable") {
+    // hash 100 in 3 docs > cap 2 -> 3 postings dropped; hash 200 kept
+    val fps = Seq((1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 100L),
+      (1L, 0L, 200L), (2L, 0L, 200L)).toDF("doc_id", "pos", "gram_hash")
+    val wp = TextAnalysis.winnowPairs(fps, minShared = 1, maxHashFreq = 2)
+    // collect wp ITSELF (not a derived .as Dataset): observed metrics
+    // attach to the executed QueryExecution instance
+    val wpRows = wp.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wpRows == Set((1L, 2L, 1L)))
+    assert(graft.util.CapMetrics.lastDrops(wp, "winnow_pairs_cap")
+      .contains((3L, 5L)))
+    // shingle "s" in 3 docs > cap 2 -> its 3 postings dropped
+    val sh = Seq((1L, "s"), (2L, "s"), (3L, "s"), (1L, "t"), (2L, "t"))
+      .toDF("doc_id", "shingle")
+    val jp = Dedup.jaccardPairs(sh, threshold = 0.1, maxShingleFreq = 2)
+    jp.collect()
+    assert(graft.util.CapMetrics.lastDrops(jp, "jaccard_pairs_cap")
+      .contains((3L, 5L)))
   }
 
   test("containmentBloom equals exact containment for any filter size (lossless)") {
