@@ -338,6 +338,19 @@ object ErOracles {
     "er_tokens_stream" -> (prelude(clean = false) +
       "x AS (SELECT 1) SELECT profile_id, key FROM toks"),
 
+    // streaming incremental-ER gate twin: new (id % 10 = 0) keys probe
+    // the CORPUS-side-capped standing key index; new-vs-corpus only
+    // (the gate contract - new-new belongs to batch compaction)
+    "er_incremental_stream" -> (prelude(clean = false) +
+      """nk AS (SELECT profile_id, key FROM toks WHERE profile_id % 10 = 0),
+        |ok0 AS (SELECT profile_id, key FROM toks WHERE profile_id % 10 <> 0),
+        |ksz AS (SELECT key FROM ok0 GROUP BY key HAVING COUNT(*) <= 1000),
+        |ok AS (SELECT o.profile_id, o.key FROM ok0 o JOIN ksz USING (key))
+        |SELECT DISTINCT LEAST(n.profile_id, o.profile_id) AS p1,
+        |       GREATEST(n.profile_id, o.profile_id) AS p2,
+        |       CAST(1 AS INTEGER) AS n_new
+        |FROM nk n JOIN ok o ON n.key = o.key""".stripMargin),
+
     // incremental twin: same toks universe tagged new (id % 10 = 0) /
     // old, per-key size cap, pairs with >= 1 new side
     "er_incremental" -> (prelude(clean = false) +

@@ -892,6 +892,24 @@ object TrainOracles {
     "ann_ivf_kmeans_topk" -> ErOracles.materializeCtes(
       ivfKmeansSql(k = 8, iters = 2, nProbe = 3, topK = 5)),
 
+    // SemDeDup twin: planted union -> same unrolled kmeans (source
+    // parameterized to the union) -> within-cluster cosine pairs ->
+    // greedy smallest-id-wins drop set, survivors flagged
+    "ann_semdedup" -> ErOracles.materializeCtes(semDedupSql(
+      k = 8, iters = 2, tau = "0.9")),
+
+    // corpus-global shingle novelty: first occurrence = MIN(doc_id)
+    "txt_novelty" -> (shinglePrelude +
+      """fo AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |g AS (
+        |  SELECT sh.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |         CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM sh JOIN fo USING (shingle) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_novel,
+        |       round(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 9) AS novelty
+        |FROM g""".stripMargin),
+
     // TF-IDF twin: ln-based smoothed idf, ranked on the ROUNDED score
     // (so a last-ULP ln difference can't flip the top-3), token
     // tie-break
@@ -948,7 +966,8 @@ object TrainOracles {
    * CTEs, final-assignment CTE). Textual twin of
    * [[graft.similarity.KMeans]] — element order, fixed-point scaling,
    * division associativity and tie-breaks all match. */
-  private def kmeansCtes(k: Int, iters: Int): (Seq[String], String) = {
+  private def kmeansCtes(k: Int, iters: Int,
+                         src: String = "embeddings"): (Seq[String], String) = {
     def assign(name: String, cent: String): String =
       s"""$name AS (SELECT vec_id, cluster, ed, sqdist FROM (
          |  SELECT vec_id, cluster, ed, sqdist,
@@ -969,7 +988,7 @@ object TrainOracles {
     val iterCtes = (1 to iters).flatMap(n =>
       Seq(assign(s"a$n", s"c${n - 1}"), update(s"c$n", s"a$n")))
     val ctes = Seq(
-      "ed AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed FROM embeddings)",
+      s"ed AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed FROM $src)",
       s"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster,
          |         ed AS centroid
          |       FROM (SELECT vec_id, ed FROM ed ORDER BY vec_id LIMIT $k) q)""".stripMargin
@@ -981,6 +1000,32 @@ object TrainOracles {
     val (ctes, afinal) = kmeansCtes(k, iters)
     s"""WITH ${(ctes :+ afinal).mkString(",\n")}
        |SELECT vec_id, cluster, round(sqdist, 9) AS sqdist FROM afinal""".stripMargin
+  }
+
+  /** SemDeDup twin: the ann_cos_neardup_hi planted union, the unrolled
+   * kmeans CTEs clustered over it, within-cluster pairs at round(cos, 9)
+   * >= tau, greedy smallest-id drop, every vector flagged. */
+  private def semDedupSql(k: Int, iters: Int, tau: String): String = {
+    val planted = Seq(
+      """pl AS (
+        |  SELECT vec_id + 10000000 AS vec_id,
+        |         list_transform(generate_series(1, 64),
+        |           i -> CAST(CAST(embedding[i] AS DOUBLE) + 0.01 * CAST(embedding[(i % 64) + 1] AS DOUBLE) AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin,
+      """allv AS (SELECT vec_id, embedding FROM embeddings
+        |         UNION ALL SELECT vec_id, embedding FROM pl)""".stripMargin)
+    val (ctes, afinal) = kmeansCtes(k, iters, src = "allv")
+    val semdedup = Seq(
+      "asg AS (SELECT vec_id, cluster FROM afinal)",
+      """av AS (SELECT a.vec_id, a.cluster, v.embedding
+        |       FROM asg a JOIN allv v USING (vec_id))""".stripMargin,
+      s"""dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE round(${cosine("a.embedding", "b.embedding")}, 9) >= $tau)""".stripMargin)
+    s"""WITH ${(planted ++ ctes ++ Seq(afinal) ++ semdedup).mkString(",\n")}
+       |SELECT av.vec_id, av.cluster, (d.vec_id IS NULL) AS kept
+       |FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id""".stripMargin
   }
 
   /** IVF probe/rank SQL against the trained c{iters} centroid table —

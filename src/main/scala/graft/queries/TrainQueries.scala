@@ -58,6 +58,20 @@ object TrainQueries {
       graft.util.Snapshot(Dedup.clusters(docs(s, d),
         Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4).select("d1", "d2"))))
 
+  /** Planted-twin embedding union + its trained coarse quantizer for the
+   * SemDeDup query (clustering must see the twins, so these centroids are
+   * distinct from kmeansCentroids' base-corpus set). */
+  private def semUnion(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d).select("vec_id", "embedding")
+    e.unionByName(Similarity.plantNearDups(e, every = 20,
+      idOffset = 10000000L, eps = 0.01))
+  }
+  private val semCentCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def semCentroids(s: SparkSession, d: String): DataFrame =
+    semCentCache.getOrElseUpdate(d,
+      graft.similarity.KMeans.centroids(semUnion(s, d), k = 8, iters = 2))
+
   /** Pre-builds the memoized shingle/simhash/centroid caches (Warmup). */
   def warm(s: SparkSession, d: String): Unit = {
     shingles3(s, d); simhashFp(s, d); kmeansCentroids(s, d)
@@ -67,7 +81,8 @@ object TrainQueries {
     // standing streaming-LSH corpus index (r5: every benched ingest run
     // rebuilt it) are shared per-dir caches too
     clusters3(s, d)
-    graft.streaming.EventStreams.lshCorpusIndex(s, d); ()
+    graft.streaming.EventStreams.lshCorpusIndex(s, d)
+    semCentroids(s, d); ()
   }
 
   private def embs(s: SparkSession, d: String): DataFrame =
@@ -444,6 +459,19 @@ object TrainQueries {
     // score so cross-engine ln ULPs can't flip the selection)
     "txt_tfidf" -> ((s, d) =>
       graft.text.Curation.tfidfTopK(docs(s, d), k = 3)),
+
+    // corpus-global n-gram novelty: fraction of each doc's distinct
+    // 3-shingles first seen (min doc_id) in that doc — the C4-style
+    // "is this document new text" gate, deterministic by id order
+    "txt_novelty" -> ((s, d) =>
+      graft.text.Curation.noveltyScore(docs(s, d))),
+
+    // SemDeDup (semantic dedup): cluster the planted-twin union with the
+    // trained coarse quantizer, drop any vector with a same-cluster
+    // smaller-id duplicate at cosine >= 0.9 — every planted twin falls to
+    // its original, the base corpus survives (near-orthogonal)
+    "ann_semdedup" -> ((s, d) =>
+      Similarity.semDedup(semUnion(s, d), semCentroids(s, d), tau = 0.9)),
 
     // unigram LM surprisal: per-doc mean -ln p(token) under the corpus's
     // own unigram distribution — the perplexity-proxy quality score

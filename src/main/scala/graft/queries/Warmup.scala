@@ -66,12 +66,21 @@ object Warmup {
           step("blast_chain/weighted")(SupQueries.blastWeighted(s, d))
         },
         task("wnp_3src")(ErQueries.all("er_wnp_cbs_3src")(s, d)),
-        task("train")(TrainQueries.warm(s, d)),
+        task("train") {
+          TrainQueries.warm(s, d)
+          // first run of the streaming-LSH gate AFTER its corpus index is
+          // built: stream-side band-key codegen + checkpoint setup were
+          // 9.6s run1 vs 2.0s steady in the r6 pre-bench
+          step("train/first_lsh_stream")(
+            TrainQueries.all("dedup_lsh_stream")(s, d).count())
+        },
         // GSPSN depends only on the raw blocking keys: run both variants
         // once here — the window-sweep emission generates large codegen
         // classes whose first compile dominated run1 (r5: 51s vs 2.4s)
         task("first/gspsn")(SupQueries.all("prog_gspsn")(s, d).count()),
-        task("first/gspsn_clean")(SupQueries.all("prog_gspsn_clean")(s, d).count()))
+        task("first/gspsn_clean")(SupQueries.all("prog_gspsn_clean")(s, d).count()),
+        // the incremental WNP snapshot, shared by pruning + matching
+        task("incr_wnp")(ErQueries.incrementalWnpCbs(s, d)))
       // dependent waves over the blocking/cleaning spine
       awaitAll(Seq(
         task("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false)),
@@ -103,7 +112,12 @@ object Warmup {
       awaitAll(Seq(
         task("first/cep_js")(ErQueries.all("er_cep_js_dirty")(s, d).count()),
         task("first/cep_cbs")(ErQueries.all("er_cep_cbs_dirty")(s, d).count()),
-        task("first/wnp_cbs_and")(ErQueries.all("er_wnp_cbs_avg_and_dirty")(s, d).count())))
+        task("first/wnp_cbs_and")(ErQueries.all("er_wnp_cbs_avg_and_dirty")(s, d).count()),
+        // r6 pre-bench run1 cliffs: sup_cnp 7.3s vs 1.1s steady (the
+        // supervised directed top-k codegen), blast_keys_nodefault 3.8s
+        // vs 0.05s (its nodefault cluster snapshot builds on first touch)
+        task("first/sup_cnp")(SupQueries.all("sup_cnp")(s, d).count()),
+        task("first/blast_keys")(SupQueries.all("blast_keys_nodefault")(s, d).count())))
       awaitAll(indep)
     } finally {
       // A failed dependent wave skips awaitAll(indep) — drain the

@@ -222,6 +222,43 @@ object Similarity {
   }
 
   /**
+   * SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+   * deduplication of an embedding corpus — cluster with a trained coarse
+   * quantizer, compare vectors ONLY within their cluster, and drop every
+   * vector that has a higher-priority semantic duplicate. The k-means
+   * partition is what makes the pairwise step tractable: cost is
+   * O(sum over clusters of |c|^2) = O(N^2/k) expected, and at corpus
+   * scale k grows with N (the paper runs 50k clusters) so |c| stays
+   * bounded — the same bounded-bucket discipline as every other
+   * self-join in this engine.
+   *
+   * Priority rule: deterministic keep-lowest-vec_id — a vector is dropped
+   * iff SOME same-cluster vector with a SMALLER id has cosine >= tau to
+   * it (the paper keeps the example with lowest similarity to the
+   * centroid; any fixed total order gives the same dedup rate, and id
+   * order is reproducible in SQL). Greedy, not transitive-closure: in a
+   * chain a~b~c without a~c, both b and c drop — the paper's behavior,
+   * and one anti-join instead of a connected-components loop.
+   *
+   * Returns every vector as (vec_id, cluster, kept) — survivors flagged
+   * rather than filtered, so the dedup rate is part of the result.
+   * Cosines are rounded to 9 before the threshold test (oracle parity).
+   */
+  def semDedup(vecs: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
+    val asg = KMeans.assignFinal(vecs, cents).select("vec_id", "cluster")
+    val v = graft.util.Snapshot( // three readers: both join sides + output
+      vecs.select("vec_id", "embedding").join(asg, "vec_id"))
+    val a = v.select(col("cluster"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = v.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    val dropped = a.join(b, Seq("cluster")).filter(col("v1") < col("v2"))
+      .filter(graft.functions.FastRound.round(cosine(col("e1"), col("e2")), 9) >= tau)
+      .select(col("v2").as("vec_id")).distinct()
+    v.select("vec_id", "cluster")
+      .join(dropped.withColumn("_d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("_d").isNull.as("kept"))
+  }
+
+  /**
    * Symmetric int8 quantization of an embedding column — the storage /
    * memory-bandwidth lever for ANN at 100 TB (4x smaller vectors, SIMD
    * int dot products downstream). Per vector: scale = 127 / max|x_i|,

@@ -204,6 +204,77 @@ object EventStreams {
     drainAvailableNow(keys, "er_tokens_stream", "append")
   }
 
+  /** Materialized path of the standing corpus blocking-key index for the
+   * streaming incremental-ER gate, built once per dir: the corpus's token
+   * keys with oversized blocks purged AT INDEX TIME (keys spanning more
+   * than `maxBlockSize` corpus profiles are excluded — the purge count is
+   * observable via the `incremental_stream_cap` metrics node on the index
+   * build). Path-cached like [[lshIdxPath]] so cloned streaming sessions
+   * re-read one materialization. */
+  private val incrIdxPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The pre-capped standing key index (key, corpus_id) for `dir`. */
+  def incrementalCorpusIndex(spark: SparkSession, dir: String,
+                             attrsOf: DataFrame => DataFrame,
+                             maxBlockSize: Long = 1000L): DataFrame = {
+    val path = incrIdxPath.getOrElseUpdate(dir, {
+      val keys = graft.er.Blocking.tokenKeys(
+        attrsOf(spark.read.parquet(s"$dir/part.parquet")
+          .filter(col("p_partkey") % 10 =!= 0)))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      val capped = graft.util.CapMetrics.observeDrops(
+          keys.select("key", "profile_id")
+            .withColumn("_n", count(lit(1)).over(w)),
+          "incremental_stream_cap", col("_n") > maxBlockSize)
+        .filter(col("_n") <= maxBlockSize)
+        .select(col("key"), col("profile_id").as("corpus_id"))
+      graft.util.Snapshot.materialize(capped)._1
+    })
+    spark.read.parquet(path)
+  }
+
+  /**
+   * Streaming INCREMENTAL ER — the [[graft.er.Blocking.incrementalPairs]]
+   * contract as a Structured Stream: new profiles (profile_id % 10 == 0,
+   * the batch convention) arrive as parquet files, their blocking keys
+   * are a stateless row-local projection, and a stream-STATIC equi-join
+   * probes the standing corpus key index for candidate pairs — the same
+   * gate shape as [[lshIngestStreaming]], applied to entity resolution.
+   *
+   * Contract differences from the batch operator, both deliberate and
+   * both production-realistic for a streaming gate:
+   *  - the skew cap is enforced on the CORPUS side at index-build time
+   *    (a maintained index bounds its own postings; the batch operator
+   *    caps on the combined old+new block, which a per-micro-batch join
+   *    cannot know without stateful re-aggregation);
+   *  - only new-vs-corpus pairs emit (n_new = 1); new-new pairs inside a
+   *    batch belong to the periodic batch compaction pass, exactly like
+   *    [[lshIngestStreaming]]'s new-new convention.
+   *
+   * AvailableNow + one batch => the emitted pairs equal the batch
+   * new-vs-capped-corpus join, which is the DuckDB oracle.
+   */
+  def incrementalBlockingStreaming(spark0: SparkSession, dir: String,
+                                   attrsOf: DataFrame => DataFrame,
+                                   maxBlockSize: Long = 1000L): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/part.parquet").schema
+    val corpusIdx = incrementalCorpusIndex(spark, dir, attrsOf, maxBlockSize)
+    val newParts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(streamDirFor(dir, "part_incr_", "part.parquet"))
+      .filter(col("p_partkey") % 10 === 0)
+    val pairs = graft.er.Blocking.tokenKeys(attrsOf(newParts))
+      .select(col("key"), col("profile_id").as("new_id"))
+      .join(corpusIdx, Seq("key"))
+      .select(least(col("new_id"), col("corpus_id")).as("p1"),
+        greatest(col("new_id"), col("corpus_id")).as("p2"),
+        lit(1).cast("int").as("n_new"))
+      .dropDuplicates("p1", "p2")
+    drainAvailableNow(pairs, "er_incremental_stream", "append")
+  }
+
   /**
    * Streaming near-dup ingest — MinHash-LSH as a Structured Stream: new
    * documents (doc_id % 10 == 0, the same batch convention as

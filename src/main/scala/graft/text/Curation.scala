@@ -265,6 +265,34 @@ object Curation {
   }
 
   /**
+   * N-gram novelty score (the C4/Gopher "repetition against the corpus"
+   * gate, corpus-global): fraction of a document's distinct word n-gram
+   * shingles whose FIRST corpus occurrence (minimum doc_id) is this
+   * document — 1.0 means entirely novel text, ~0 means the document
+   * restates n-grams already present in earlier documents. The arrival
+   * order is doc_id by definition, so the score is deterministic and
+   * replayable (the same convention as every hash-ordered sampler here).
+   *
+   * Shape: distinct shingles (one explode), a min aggregate per shingle
+   * (map-side combinable, one shuffle on the shingle), an equi-join back
+   * and a per-doc aggregate — nothing quadratic, no windows. Documents
+   * with fewer than n tokens have no shingles and emit no row (the
+   * [[graft.dedup.Dedup.shingles]] contract).
+   */
+  def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = graft.dedup.Dedup.shingles(docs, n)
+    val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        graft.functions.FastRound.round(
+          col("n_novel").cast("double") / col("n_shingles").cast("double"), 9)
+          .as("novelty"))
+  }
+
+  /**
    * Epoch-weighted source mixing: materialize the training mix as
    * (doc, copy) rows, where each stratum's weight is in hundredths of an
    * epoch (250 = 2.5 epochs). Whole epochs replicate every document;

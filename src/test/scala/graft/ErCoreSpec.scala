@@ -284,6 +284,26 @@ class ErCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("incrementalBlockingStreaming equals the batch new-vs-capped-corpus join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.EventStreams.incrementalBlockingStreaming(
+      spark, dir, p => graft.queries.ErQueries.partAttrsOf(p, twoSources = false))
+    val toks = graft.queries.ErQueries.keys(spark, dir, twoSources = false)
+    val nk = toks.filter(col("profile_id") % 10 === 0)
+      .select(col("key"), col("profile_id").as("n"))
+    val ok = toks.filter(col("profile_id") % 10 =!= 0)
+      .select(col("key"), col("profile_id").as("o"))
+      .withColumn("_c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")))
+      .filter(col("_c") <= 1000).drop("_c")
+    val batch = nk.join(ok, Seq("key"))
+      .select(least(col("n"), col("o")).as("p1"),
+        greatest(col("n"), col("o")).as("p2")).distinct()
+    val got = streamed.select("p1", "p2")
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("sortedNeighborhood window=2: exactly the adjacent pairs in sort order") {
     val k = Seq((5L, "c"), (1L, "a"), (3L, "b")).toDF("profile_id", "sort_key")
     val r = Blocking.sortedNeighborhood(k, window = 2)

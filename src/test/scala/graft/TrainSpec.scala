@@ -758,4 +758,33 @@ class TrainSpec extends AnyFunSuite {
     for (id <- Seq(3L, 4L)) // default: 0.5 epochs -> 0 or 1 copy
       assert(copies.getOrElse(id, Seq.empty[Long]) == (1L to extra(id, 50)).toSeq)
   }
+
+  test("semDedup drops same-cluster smaller-id duplicates, keeps the rest") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f, 0.0f)),  // near-dup of 1, same cluster
+      (3L, Array(0.9f, 0.4f, 0.0f, 0.0f)),    // cluster 0, cos ~0.914 to 1
+      (10L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.001f))) // near-dup of 10
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 0.0, 1.0, 0.0))).toDF("cluster", "centroid")
+    val r = Similarity.semDedup(e, cents, tau = 0.99)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r == Map(
+      1L -> ((0L, true)), 2L -> ((0L, false)), 3L -> ((0L, true)),
+      10L -> ((1L, true)), 11L -> ((1L, false))))
+  }
+
+  test("noveltyScore: first-occurrence fraction by doc_id order") {
+    import graft.text.Curation
+    val df = docs((1L, "a b c d"), (2L, "a b c x"), (3L, "a"))
+    val r = Curation.noveltyScore(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // doc 1: shingles {a b c, b c d}, both first here -> 1.0
+    // doc 2: {a b c} first in 1, {b c x} first here -> 0.5
+    // doc 3: < 3 tokens -> no shingles, no row
+    assert(r == Map(1L -> ((2L, 2L, 1.0)), 2L -> ((2L, 1L, 0.5))))
+  }
 }
