@@ -282,6 +282,23 @@ object TrainOracles {
     "txt_winnow" -> (winnowCte +
       "x AS (SELECT 1) SELECT doc_id, pos, gram_hash FROM fp"),
 
+    // locator twin: surviving pairs joined back to fingerprint positions
+    "txt_winnow_locate" -> (winnowCte +
+      s"""fpd AS (SELECT DISTINCT doc_id, gram_hash FROM fp),
+         |fok AS (
+         |  SELECT doc_id, gram_hash FROM (
+         |    SELECT doc_id, gram_hash,
+         |           COUNT(*) OVER (PARTITION BY gram_hash) AS f FROM fpd)
+         |  WHERE f <= 1000),
+         |pr AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM fok a JOIN fok b
+         |    ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+         |SELECT pr.d1, pr.d2, f1.gram_hash, f1.pos AS pos1, f2.pos AS pos2
+         |FROM pr JOIN fp f1 ON pr.d1 = f1.doc_id
+         |        JOIN fp f2 ON pr.d2 = f2.doc_id AND f1.gram_hash = f2.gram_hash""".stripMargin),
+
     // MOSS matching step over the same fingerprints: distinct hash sets,
     // frequency-capped inverted index, shared-count >= 4
     "txt_winnow_pairs" -> (winnowCte +

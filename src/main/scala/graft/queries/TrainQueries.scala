@@ -108,6 +108,13 @@ object TrainQueries {
     "txt_winnow_pairs" -> ((s, d) =>
       TextAnalysis.winnowPairs(winnowFp(s, d), minShared = 4)),
 
+    // MOSS locator pass: shared-fingerprint positions for the surviving
+    // pairs only — candidate detection stays position-free, positions
+    // join back for the tiny matched set
+    "txt_winnow_locate" -> ((s, d) =>
+      TextAnalysis.winnowLocate(winnowFp(s, d),
+        TextAnalysis.winnowPairs(winnowFp(s, d), minShared = 4))),
+
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
 
     "dedup_shingles" -> ((s, d) => shingles3(s, d)),

@@ -222,6 +222,29 @@ object TextAnalysis {
   }
 
   /**
+   * MOSS locator pass: for pairs that survived [[winnowPairs]], join the
+   * POSITIONS of their shared fingerprints back — (d1, d2, gram_hash,
+   * pos1, pos2), the per-pair character anchors a reviewer (or an exact
+   * extender) starts from. This is deliberately a second pass: the
+   * candidate join runs on the position-free distinct hash sets (small),
+   * and only the surviving pairs — a vanishing fraction of the corpus —
+   * ever touch positions. Both joins are hash equi-joins keyed on
+   * (pair, hash) / (doc, hash); a fingerprint repeating at several
+   * positions in one doc emits every (pos1, pos2) combination, bounded
+   * by the per-doc position list for ONE hash (not a cross join over
+   * docs).
+   */
+  def winnowLocate(fps0: DataFrame, pairs: DataFrame): DataFrame = {
+    val fps = fps0.select("doc_id", "gram_hash", "pos")
+    pairs.select("d1", "d2")
+      .join(fps.select(col("doc_id").as("d1"), col("gram_hash"),
+        col("pos").as("pos1")), Seq("d1"))
+      .join(fps.select(col("doc_id").as("d2"), col("gram_hash"),
+        col("pos").as("pos2")), Seq("d2", "gram_hash"))
+      .select("d1", "d2", "gram_hash", "pos1", "pos2")
+  }
+
+  /**
    * All analyses as named columns over a text column.
    *
    * `fused = true` (default) computes every token-derived statistic from

@@ -777,6 +777,19 @@ class TrainSpec extends AnyFunSuite {
       10L -> ((1L, true)), 11L -> ((1L, false))))
   }
 
+  test("winnowLocate emits every (pos1, pos2) anchor of a surviving pair's shared hashes") {
+    val fps = Seq((1L, 100L, 5L), (1L, 100L, 9L), (1L, 200L, 3L),
+      (2L, 100L, 7L), (3L, 200L, 4L)).toDF("doc_id", "gram_hash", "pos")
+    val pairs = Seq((1L, 2L)).toDF("d1", "d2")
+    val r = TextAnalysis.winnowLocate(fps, pairs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSet
+    // hash 100 appears at positions 5 and 9 in doc 1, position 7 in doc 2:
+    // both anchors emit; hash 200 is not shared by the pair (doc 3 is not
+    // in any surviving pair) -> nothing else
+    assert(r == Set((1L, 2L, 100L, 5L, 7L), (1L, 2L, 100L, 9L, 7L)))
+  }
+
   test("noveltyScore: first-occurrence fraction by doc_id order") {
     import graft.text.Curation
     val df = docs((1L, "a b c d"), (2L, "a b c x"), (3L, "a"))
