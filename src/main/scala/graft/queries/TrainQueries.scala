@@ -229,6 +229,12 @@ object TrainQueries {
 
     "evt_sessions" -> ((s, d) => EventStreams.sessionize(events(s, d))),
 
+    // the NATIVE session_window aggregate (one hash agg, no lag window):
+    // same sessions as evt_sessions except the strict-gap boundary rule
+    // (see EventStreams.sessionWindowAgg)
+    "evt_session_window" -> ((s, d) =>
+      EventStreams.sessionWindowAgg(events(s, d))),
+
     "evt_sessions_stream" -> ((s, d) => EventStreams.sessionizeStreaming(s, d)),
 
     "evt_dedup_stream" -> ((s, d) => EventStreams.distinctPairsStreaming(s, d)),

@@ -79,8 +79,13 @@ object Warmup {
         // classes whose first compile dominated run1 (r5: 51s vs 2.4s)
         task("first/gspsn")(SupQueries.all("prog_gspsn")(s, d).count()),
         task("first/gspsn_clean")(SupQueries.all("prog_gspsn_clean")(s, d).count()),
-        // the incremental WNP snapshot, shared by pruning + matching
-        task("incr_wnp")(ErQueries.incrementalWnpCbs(s, d)))
+        // the incremental WNP snapshot, shared by pruning + matching, and
+        // a first run of the JS variant (its per-profile key-count joins
+        // compile large codegen classes: 9.3s run1 vs 4.8s steady in r6)
+        task("incr_wnp") {
+          ErQueries.incrementalWnpCbs(s, d)
+          step("incr_wnp/first_js")(ErQueries.all("er_incremental_js")(s, d).count())
+        })
       // dependent waves over the blocking/cleaning spine
       awaitAll(Seq(
         task("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false)),

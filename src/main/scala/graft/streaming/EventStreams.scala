@@ -558,4 +558,29 @@ object EventStreams {
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"), (sum(graft.functions.FastRound.round(col("value") * 100, 0).cast("long")) / 100.0).as("value_sum"))
   }
+
+  /**
+   * Sessionization via Spark's NATIVE `session_window` aggregate — the
+   * third form of the same semantics ([[sessionize]] is the batch
+   * gaps-and-islands window, [[sessionizeStreaming]] the
+   * flatMapGroupsWithState form): one groupBy(user, session_window(ts,
+   * gap)) hash aggregate, merging sessions as ranges fuse. The operator
+   * works identically over a batch frame or a watermarked stream (where
+   * state evicts once the watermark passes a session's end) — this batch
+   * query IS the native operator's presence test. Merge rule: TOUCHING
+   * windows fuse (an event arriving exactly `gap` after the previous one
+   * extends the session; a split needs a strictly greater gap) — the
+   * same boundary rule as [[sessionize]]'s lag form, verified by spec.
+   *
+   * Output: (user_id, session_start, session_end = last event + gap,
+   * n_events, value_sum) — `session_end` is the window bound, not the
+   * last event time, the session_window contract.
+   */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(graft.functions.FastRound.round(col("value") * 100, 0).cast("long")) / 100.0).as("value_sum"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("value_sum"))
 }

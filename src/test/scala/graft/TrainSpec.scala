@@ -759,6 +759,26 @@ class TrainSpec extends AnyFunSuite {
       assert(copies.getOrElse(id, Seq.empty[Long]) == (1L to extra(id, 50)).toSeq)
   }
 
+  test("sessionWindowAgg: native session windows, touching windows fuse") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def plus(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      (7L, t0, 1.0), (7L, plus(30), 2.0), (7L, plus(61), 4.0))
+      .toDF("user_id", "ts", "value")
+    val r = EventStreams.sessionWindowAgg(ev)
+      .collect().map(x => (x.getTimestamp(1), x.getTimestamp(2), x.getLong(3), x.getDouble(4))).toSet
+    // an event EXACTLY gap after the previous one fuses (touching windows
+    // merge); +61 exceeds the 30-minute gap strictly -> new session;
+    // session_end = last event + gap
+    assert(r == Set(
+      (t0, plus(60), 2L, 3.0),
+      (plus(61), plus(91), 1L, 4.0)))
+    // boundary rule matches the lag-based sessionize (splits only on
+    // strictly greater gaps): same two sessions
+    assert(EventStreams.sessionize(
+      ev.withColumn("event_id", col("user_id"))).count() == 2)
+  }
+
   test("semDedup drops same-cluster smaller-id duplicates, keeps the rest") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
