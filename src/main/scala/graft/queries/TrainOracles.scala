@@ -188,6 +188,28 @@ object TrainOracles {
          |  fingerprint
          |FROM m""".stripMargin
 
+  /** Native session_window twin (shared by the batch query and its
+   * streaming drain): touching windows fuse (split only on a strictly
+   * greater gap, spec-pinned), session_end = last event + gap. */
+  private val sessionWindowSql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flags AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM g),
+      |seq AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flags)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+      |FROM seq GROUP BY user_id, sid""".stripMargin
+
   def all: Map[String, String] = Map(
     "txt_analysis" -> txtAnalysisSql,
 
@@ -629,24 +651,10 @@ object TrainOracles {
     // native session_window twin: touching windows fuse (split only on a
     // strictly greater gap, same as the lag rule — spec-pinned),
     // session_end = last event + gap
-    "evt_session_window" ->
-      """WITH g AS (
-        |  SELECT user_id, ts, event_id, value,
-        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |flags AS (
-        |  SELECT *, CASE WHEN prev_ts IS NULL
-        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |  FROM g),
-        |seq AS (
-        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM flags)
-        |SELECT user_id, MIN(ts) AS session_start,
-        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-        |       CAST(COUNT(*) AS BIGINT) AS n_events,
-        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
-        |FROM seq GROUP BY user_id, sid""".stripMargin,
+    "evt_session_window" -> sessionWindowSql,
+
+    // streaming drain of the same native aggregate == the batch result
+    "evt_session_window_stream" -> sessionWindowSql,
 
     "evt_sessions_stream" ->
       """WITH g AS (

@@ -229,11 +229,16 @@ object TrainQueries {
 
     "evt_sessions" -> ((s, d) => EventStreams.sessionize(events(s, d))),
 
-    // the NATIVE session_window aggregate (one hash agg, no lag window):
-    // same sessions as evt_sessions except the strict-gap boundary rule
-    // (see EventStreams.sessionWindowAgg)
+    // the NATIVE session_window aggregate (one hash agg, no lag window);
+    // touching windows fuse — see EventStreams.sessionWindowAgg
     "evt_session_window" -> ((s, d) =>
       EventStreams.sessionWindowAgg(events(s, d))),
+
+    // the same aggregate as a watermarked stream: session state merges
+    // and evicts declaratively; one AvailableNow batch == the batch
+    // aggregate, which is the oracle
+    "evt_session_window_stream" -> ((s, d) =>
+      EventStreams.sessionWindowStreaming(s, d)),
 
     "evt_sessions_stream" -> ((s, d) => EventStreams.sessionizeStreaming(s, d)),
 

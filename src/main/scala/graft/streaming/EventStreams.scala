@@ -583,4 +583,28 @@ object EventStreams {
         (sum(graft.functions.FastRound.round(col("value") * 100, 0).cast("long")) / 100.0).as("value_sum"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("value_sum"))
+
+  /**
+   * [[sessionWindowAgg]] as a watermarked STREAM — the operator
+   * session_window actually exists for: per-key session state merges as
+   * events arrive and EVICTS once the watermark passes a session's end
+   * (the flatMapGroupsWithState sessionizer hand-rolls exactly this
+   * lifecycle; this is the declarative form). Complete-mode drain over
+   * one AvailableNow batch finalizes every session, so the result equals
+   * the batch aggregate — the DuckDB twin.
+   */
+  def sessionWindowStreaming(spark0: SparkSession, dir: String,
+                             gapMinutes: Int = 30): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(streamDirFor(dir, "events_sesswin_"))
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = sessionWindowAgg(stream.withWatermark("ts", "2 hours"), gapMinutes)
+    drainAvailableNow(agg, "events_sesswin", "complete")
+  }
 }
