@@ -480,9 +480,10 @@ object TrainQueries {
 
     // corpus-global n-gram novelty: fraction of each doc's distinct
     // 3-shingles first seen (min doc_id) in that doc — the C4-style
-    // "is this document new text" gate, deterministic by id order
+    // "is this document new text" gate, deterministic by id order;
+    // reads the shared per-dir shingle snapshot
     "txt_novelty" -> ((s, d) =>
-      graft.text.Curation.noveltyScore(docs(s, d))),
+      graft.text.Curation.noveltyOfShingles(shingles3(s, d))),
 
     // SemDeDup (semantic dedup): cluster the planted-twin union with the
     // trained coarse quantizer, drop any vector with a same-cluster

@@ -279,8 +279,13 @@ object Curation {
    * with fewer than n tokens have no shingles and emit no row (the
    * [[graft.dedup.Dedup.shingles]] contract).
    */
-  def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = graft.dedup.Dedup.shingles(docs, n)
+  def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame =
+    noveltyOfShingles(graft.dedup.Dedup.shingles(docs, n))
+
+  /** [[noveltyScore]] over an already-materialized distinct
+   * (doc_id, shingle) frame — callers sharing a per-dir shingle snapshot
+   * (the dedup suite does) skip the explode entirely. */
+  def noveltyOfShingles(sh: DataFrame): DataFrame = {
     val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
     sh.join(first, Seq("shingle"))
       .groupBy("doc_id").agg(
