@@ -945,6 +945,29 @@ object TrainOracles {
     "ann_semdedup" -> ErOracles.materializeCtes(semDedupSql(
       k = 8, iters = 2, tau = "0.9")),
 
+    // BM25 twin: identical operand order/associativity per factor, sum
+    // rounded to 9 before the rank (ln ULP guard, the tfidf pattern)
+    "txt_bm25" ->
+      s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_filter(string_split(nt, ' '), t -> length(t) > 0)) AS token FROM dn),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |              CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+         |qtf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+         |        WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM qtf GROUP BY 1),
+         |sc AS (SELECT q.doc_id,
+         |         ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |           * (CAST(q.tf AS DOUBLE) * (1.2 + 1.0))
+         |           / (CAST(q.tf AS DOUBLE)
+         |              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS s
+         |       FROM qtf q JOIN dl ON q.doc_id = dl.doc_id
+         |                  JOIN dfq ON q.token = dfq.token CROSS JOIN st),
+         |agg AS (SELECT doc_id, round(SUM(s), 9) AS score FROM sc GROUP BY 1),
+         |r AS (SELECT doc_id, score,
+         |             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM agg)
+         |SELECT CAST(rnk AS BIGINT) AS rank, doc_id, score FROM r WHERE rnk <= 50""".stripMargin,
+
     // corpus-global shingle novelty: first occurrence = MIN(doc_id)
     "txt_novelty" -> (shinglePrelude +
       """fo AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),

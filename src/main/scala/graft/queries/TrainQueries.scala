@@ -497,6 +497,12 @@ object TrainQueries {
     "txt_lm_score" -> ((s, d) =>
       graft.text.Curation.lmSurprisal(docs(s, d))),
 
+    // BM25 ranked retrieval for a fixed query (top 50 by rounded score,
+    // doc_id ties): tfidf characterizes documents, this RANKS them
+    "txt_bm25" -> ((s, d) =>
+      graft.text.Curation.bm25(docs(s, d),
+        queryTerms = Seq("spark", "merge", "window"), topK = 50)),
+
     // epoch-weighted training mix: English 2.5 epochs, rest 0.5 —
     // materialized as replayable (doc, copy) rows
     "txt_mix" -> ((s, d) =>

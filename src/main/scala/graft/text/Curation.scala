@@ -282,6 +282,56 @@ object Curation {
   def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame =
     noveltyOfShingles(graft.dedup.Dedup.shingles(docs, n))
 
+  /**
+   * BM25 ranked retrieval (Robertson/Walker; the Lucene-practical form
+   * with the +1-inside-ln idf, always positive): score(d, Q) = sum over
+   * query terms t of idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b *
+   * dl/avgdl)). The operator a corpus-scale pipeline uses to pull
+   * topical slices ("give me the spark-related documents") — TF-IDF's
+   * [[tfidfTopK]] characterizes documents, this RANKS them for a query.
+   *
+   * Scale shape: the per-term tf aggregate filters to the QUERY'S terms
+   * before grouping, so the heavy explode feeds a tiny aggregate; corpus
+   * statistics (N, avgdl, df per query term) are one aggregate each,
+   * broadcast as 1-row/per-term frames. The global top-k is a
+   * distributed orderBy().limit() (TakeOrderedAndProject — per-partition
+   * top-k, never a single-partition sort); the rank window then runs
+   * over <= topK rows. Ranking keys are the ROUNDED score (ties by
+   * doc_id) so cross-engine ln ULPs can't flip the selection.
+   */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, topK: Int = 10, textCol: String = "text",
+           idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val toks = docs.select(col(idCol).as("doc_id"), explode(
+      filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val qtf = toks.filter(col("token").isin(queryTerms.map(lit): _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = qtf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val scored = qtf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc_id")
+      .agg(graft.functions.FastRound.round(sum(col("s")), 9).as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"), col("score"))
+  }
+
   /** [[noveltyScore]] over an already-materialized distinct
    * (doc_id, shingle) frame — callers sharing a per-dir shingle snapshot
    * (the dedup suite does) skip the explode entirely. */

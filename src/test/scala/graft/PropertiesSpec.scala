@@ -138,4 +138,25 @@ class PropertiesSpec extends AnyFunSuite {
     assert(arcsDiff > 0,
       "ARCS symmetric on every seed - the asymmetry canary lost its teeth")
   }
+
+  test("winnowing guarantee: any shared substring of length k+w-1 yields a shared fingerprint") {
+    // seeded random docs with a planted shared block of EXACTLY the
+    // guarantee length t = k + w - 1 at random offsets: for every seed,
+    // the two docs must share at least one selected fingerprint hash —
+    // the SIGMOD'03 correctness property at the production parameters
+    import graft.text.TextAnalysis
+    val t = TextAnalysis.WinnowK + TextAnalysis.WinnowW - 1
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      def rndStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val block = rndStr(t)
+      val d1 = rndStr(rnd.nextInt(40)) + block + rndStr(rnd.nextInt(40))
+      val d2 = rndStr(rnd.nextInt(40)) + block + rndStr(rnd.nextInt(40))
+      val sets = TextAnalysis.winnow(Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"))
+        .select("doc_id", "gram_hash").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+      assert((sets(1L) intersect sets(2L)).nonEmpty,
+        s"seed $seed: no shared fingerprint for a planted $t-char match")
+    }
+  }
 }

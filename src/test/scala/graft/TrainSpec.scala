@@ -797,6 +797,20 @@ class TrainSpec extends AnyFunSuite {
       10L -> ((1L, true)), 11L -> ((1L, false))))
   }
 
+  test("bm25 ranks by the exact Robertson formula, absent terms score nothing") {
+    import graft.text.Curation
+    val df = docs((1L, "spark spark table"), (2L, "merge table"),
+      (3L, "table table table table"))
+    val r = Curation.bm25(df, Seq("spark", "merge"), topK = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    // N=3, avgdl=3; df(spark)=df(merge)=1 -> idf = ln(2.5/1.5 + 1)
+    val idf = math.log(2.5 / 1.5 + 1.0)
+    val s1 = idf * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0))
+    val s2 = idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 2.0 / 3.0))
+    assert(r.map(x => (x._1, x._2)).toSeq == Seq((1L, 1L), (2L, 2L)))
+    assert(math.abs(r(0)._3 - s1) < 1e-8 && math.abs(r(1)._3 - s2) < 1e-8)
+  }
+
   test("winnowLocate emits every (pos1, pos2) anchor of a surviving pair's shared hashes") {
     val fps = Seq((1L, 100L, 5L), (1L, 100L, 9L), (1L, 200L, 3L),
       (2L, 100L, 7L), (3L, 200L, 4L)).toDF("doc_id", "gram_hash", "pos")
