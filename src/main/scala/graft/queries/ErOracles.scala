@@ -603,6 +603,66 @@ object ErOracles {
           |              JOIN nm n2 ON c.p2 = n2.p_partkey)
           |SELECT p1, p2, ROUND(sim0, 9) AS sim FROM scored WHERE sim0 >= 0.5""".stripMargin),
 
+    // entity clustering twin: the er_match_edit matched set, transitive
+    // closure via a recursive CTE (the dedup_clusters pattern), MIN
+    // reachable id as entity
+    "er_entities" -> (prelude(clean = false) + wpw("cbs") + directedSelf("cbs") +
+      s"""${wnpThetaCte("avg")},
+        |cand AS (SELECT wpw.p1, wpw.p2
+        |         FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
+        |         WHERE ${wnpKeepCond("cbs", "avg", "or", "0.0")}),
+        |nm AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
+        |me AS (
+        |  SELECT c.p1, c.p2
+        |  FROM cand c JOIN nm n1 ON c.p1 = n1.p_partkey
+        |              JOIN nm n2 ON c.p2 = n2.p_partkey
+        |  WHERE 1.0 - CAST(levenshtein(n1.nm, n2.nm) AS DOUBLE) /
+        |              GREATEST(length(n1.nm), length(n2.nm)) >= 0.5),
+        |eg AS (SELECT p1 AS u, p2 AS v FROM me UNION ALL SELECT p2, p1 FROM me),
+        |reach(a, b) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION
+        |  SELECT r.a, eg.v FROM reach r JOIN eg ON r.b = eg.u)
+        |SELECT a AS profile_id, MIN(b) AS entity_id FROM reach GROUP BY a"""
+        .stripMargin).replaceFirst("WITH ", "WITH RECURSIVE "),
+
+    // golden-record twin over the same closure: per-entity deterministic
+    // mode (count DESC, value ASC) for each attribute
+    "er_golden" -> (prelude(clean = false) + wpw("cbs") + directedSelf("cbs") +
+      s"""${wnpThetaCte("avg")},
+        |cand AS (SELECT wpw.p1, wpw.p2
+        |         FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
+        |         WHERE ${wnpKeepCond("cbs", "avg", "or", "0.0")}),
+        |nm AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
+        |me AS (
+        |  SELECT c.p1, c.p2
+        |  FROM cand c JOIN nm n1 ON c.p1 = n1.p_partkey
+        |              JOIN nm n2 ON c.p2 = n2.p_partkey
+        |  WHERE 1.0 - CAST(levenshtein(n1.nm, n2.nm) AS DOUBLE) /
+        |              GREATEST(length(n1.nm), length(n2.nm)) >= 0.5),
+        |eg AS (SELECT p1 AS u, p2 AS v FROM me UNION ALL SELECT p2, p1 FROM me),
+        |reach(a, b) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION
+        |  SELECT r.a, eg.v FROM reach r JOIN eg ON r.b = eg.u),
+        |cl AS (SELECT a AS profile_id, MIN(b) AS entity_id FROM reach GROUP BY a),
+        |jj AS (SELECT cl.entity_id, p.p_brand, p.p_type
+        |       FROM cl JOIN part p ON cl.profile_id = p.p_partkey),
+        |szs AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM jj GROUP BY 1),
+        |bm AS (SELECT entity_id, p_brand AS brand_golden FROM (
+        |         SELECT entity_id, p_brand,
+        |                ROW_NUMBER() OVER (PARTITION BY entity_id
+        |                  ORDER BY COUNT(*) DESC, p_brand ASC) AS rn
+        |         FROM jj GROUP BY entity_id, p_brand) WHERE rn = 1),
+        |tm AS (SELECT entity_id, p_type AS type_golden FROM (
+        |         SELECT entity_id, p_type,
+        |                ROW_NUMBER() OVER (PARTITION BY entity_id
+        |                  ORDER BY COUNT(*) DESC, p_type ASC) AS rn
+        |         FROM jj GROUP BY entity_id, p_type) WHERE rn = 1)
+        |SELECT szs.entity_id, szs.n_members, bm.brand_golden, tm.type_golden
+        |FROM szs JOIN bm USING (entity_id) JOIN tm USING (entity_id)"""
+        .stripMargin).replaceFirst("WITH ", "WITH RECURSIVE "),
+
     "er_ngram_blocks" ->
       """WITH ntoks AS (
         |  SELECT DISTINCT profile_id, tok FROM (

@@ -141,6 +141,44 @@ object ErQueries {
     directedCbsCleanCache.getOrElseUpdate(d, graft.util.Snapshot(
       MetaBlocking.directedEdges(weightedCached(s, d, clean = true, WeightType.CBS))))
 
+  private val matchedCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val entitiesCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The matched-pair set (er_match_edit rule: WNP(CBS, AVG, OR)
+   * candidates at normalized Levenshtein >= 0.5), snapshot once per dir —
+   * consumed by the matching query, entity clustering, and the golden
+   * records. */
+  def matchedPairs(s: SparkSession, d: String): DataFrame =
+    matchedCache.getOrElseUpdate(d, {
+      val names = s.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey"), lower(col("p_name")).as("nm"))
+      val cand = wnpCbsAvgOrDirty(s, d).select("p1", "p2")
+      graft.util.Snapshot(cand
+        .join(names.select(col("p_partkey").as("p1"), col("nm").as("nm1")), "p1")
+        .join(names.select(col("p_partkey").as("p2"), col("nm").as("nm2")), "p2")
+        .withColumn("sim",
+          lit(1.0) - levenshtein(col("nm1"), col("nm2")).cast("double") /
+            greatest(length(col("nm1")), length(col("nm2"))).cast("double"))
+        .filter(col("sim") >= 0.5)
+        .select(col("p1"), col("p2"),
+          graft.functions.FastRound.round(col("sim"), 9).as("sim")))
+    })
+
+  /** Entity assignment: connected components (hash-min label propagation)
+   * over the matched pairs — every profile tagged with the smallest
+   * reachable profile_id as entity_id. Snapshot per dir: the entity view
+   * and the golden records both read it, and the CC iterations are the
+   * cost. */
+  def entities(s: SparkSession, d: String): DataFrame =
+    entitiesCache.getOrElseUpdate(d, graft.util.Snapshot(
+      graft.util.ConnectedComponents.minLabel(
+        s.read.parquet(s"$d/part.parquet")
+          .select(col("p_partkey").as("profile_id")).distinct(),
+        matchedPairs(s, d), idCol = "profile_id", srcCol = "p1", dstCol = "p2",
+        labelCol = "entity_id")))
+
   private val incrWnpCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
@@ -455,19 +493,28 @@ object ErQueries {
     // comparison/matching stage after meta-blocking: normalized Levenshtein
     // similarity of the two part names over the WNP candidate pairs —
     // completes blocking -> pruning -> comparison as one declarative chain
-    "er_match_edit" -> ((s, d) => {
-      val names = s.read.parquet(s"$d/part.parquet")
-        .select(col("p_partkey"), lower(col("p_name")).as("nm"))
-      val cand = wnpCbsAvgOrDirty(s, d).select("p1", "p2")
-      val sim = cand
-        .join(names.select(col("p_partkey").as("p1"), col("nm").as("nm1")), "p1")
-        .join(names.select(col("p_partkey").as("p2"), col("nm").as("nm2")), "p2")
-        .withColumn("sim",
-          lit(1.0) - levenshtein(col("nm1"), col("nm2")).cast("double") /
-            greatest(length(col("nm1")), length(col("nm2"))).cast("double"))
-      sim.filter(col("sim") >= 0.5)
-        .select(col("p1"), col("p2"),
-          graft.functions.FastRound.round(col("sim"), 9).as("sim"))
+    "er_match_edit" -> ((s, d) => matchedPairs(s, d)),
+
+    // entity CLUSTERING: connected components over the matched pairs —
+    // the step after matching that turns pairwise decisions into entity
+    // ids (smallest reachable profile_id), completing blocking ->
+    // pruning -> matching -> clustering
+    "er_entities" -> ((s, d) => entities(s, d)),
+
+    // entity CONSOLIDATION: one golden record per entity (per-attribute
+    // deterministic mode over members, the dedup_golden operator applied
+    // to the ER side) — the full pipeline's final artifact
+    "er_golden" -> ((s, d) => {
+      val attrs = s.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey").as("profile_id"),
+          col("p_brand"), col("p_type"))
+      graft.dedup.Dedup.goldenRecord(
+          entities(s, d).select(col("profile_id"),
+            col("entity_id").as("cluster_rep")),
+          attrs, Seq("p_brand", "p_type"), idCol = "profile_id")
+        .select(col("cluster_rep").as("entity_id"), col("n_members"),
+          col("p_brand_golden").as("brand_golden"),
+          col("p_type_golden").as("type_golden"))
     })
   )
 }

@@ -122,7 +122,10 @@ object Warmup {
         // supervised directed top-k codegen), blast_keys_nodefault 3.8s
         // vs 0.05s (its nodefault cluster snapshot builds on first touch)
         task("first/sup_cnp")(SupQueries.all("sup_cnp")(s, d).count()),
-        task("first/blast_keys")(SupQueries.all("blast_keys_nodefault")(s, d).count())))
+        task("first/blast_keys")(SupQueries.all("blast_keys_nodefault")(s, d).count()),
+        // matched pairs -> entity CC chain (shared by er_match_edit,
+        // er_entities, er_golden)
+        task("entities")(ErQueries.entities(s, d))))
       awaitAll(indep)
     } finally {
       // A failed dependent wave skips awaitAll(indep) — drain the
