@@ -758,6 +758,63 @@ object TrainOracles {
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    // same SQL as evt_range_join: the engine-side SQL-text query goes
+    // through the RangeJoinRule rewrite, which must be lossless
+    "evt_range_join_sql" ->
+      """WITH bands AS (
+        |  SELECT CAST(i AS BIGINT) AS band_id,
+        |         (i * 2654435761) % 1000000007 % 512 AS lo,
+        |         (i * 2654435761) % 1000000007 % 512 + 8 + (i * 97) % 93 AS hi
+        |  FROM range(64) t(i))
+        |SELECT b.band_id, b.lo, b.hi, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // per-language exact p25 gate over the same rounded quality score as
+    // txt_analysis; quantile_cont == Spark's exact interpolated percentile
+    "txt_quality_filter" ->
+      s"""WITH q AS (
+         |  SELECT d.doc_id, d.lang, ta.quality
+         |  FROM ( $txtAnalysisSql ) ta JOIN documents d USING (doc_id)),
+         |th AS (
+         |  SELECT lang, round(quantile_cont(quality, 0.25), 9) AS q_threshold
+         |  FROM q GROUP BY lang)
+         |SELECT q.doc_id, q.lang, q.quality, th.q_threshold
+         |FROM q JOIN th USING (lang)
+         |WHERE q.quality >= th.q_threshold""".stripMargin,
+
+    // sliding 32-token windows every 24 tokens over the normalized
+    // token stream; final windows may be short, empty docs emit nothing
+    "txt_chunk_overlap" ->
+      s"""WITH dn AS (SELECT doc_id, ${norm("text")} AS nt FROM documents),
+         |dt AS (SELECT doc_id, list_filter(string_split(nt, ' '), t -> length(t) > 0) AS toks FROM dn),
+         |w AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |             CAST(i * 24 AS BIGINT) AS tok_start,
+         |             list_slice(toks, CAST(i * 24 + 1 AS INTEGER), CAST(i * 24 + 32 AS INTEGER)) AS win
+         |      FROM dt, unnest(generate_series(0, CAST(floor((len(toks) - 1) / 24.0) AS BIGINT))) AS g(i)
+         |      WHERE len(toks) > 0)
+         |SELECT doc_id, chunk_id, tok_start, CAST(len(win) AS BIGINT) AS n_toks,
+         |       array_to_string(win, ' ') AS chunk_text
+         |FROM w""".stripMargin,
+
+    // z-score twin: identical cent-space integer moments, identical
+    // double arithmetic order for mean/sd/z
+    "evt_zscore" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+        |  FROM c GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mean_c,
+        |         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd_c
+        |  FROM st)
+        |SELECT c.event_id, c.event_type, c.c / 100.0 AS value_r,
+        |       round((c.c - m.mean_c) / m.sd_c, 9) AS z
+        |FROM c JOIN m USING (event_type)
+        |WHERE m.sd_c > 0 AND abs((c.c - m.mean_c) / m.sd_c) > 2.0""".stripMargin,
+
     // KMV sketch twin: same PolyHash31 min-k lists per lang over the
     // distinct 3-gram shingles, same merged '(all)' sketch, same
     // (k-1)*Mod/kth estimator arithmetic

@@ -359,6 +359,58 @@ object TrainQueries {
           (sum(graft.functions.FastRound.round(col("value") * 100, 0).cast("long")) / 100.0).as("value_sum"))
     }),
 
+    // the SAME range join through plain SQL text: no RangeJoin call
+    // anywhere — the session extension's optimizer rule (RangeJoinRule)
+    // must detect the theta join and rewrite it to the binned equi-join
+    // itself (PlanSpec pins BroadcastHashJoin, not nested-loop). Also
+    // exercises the SQL-registered graft_fast_round
+    "evt_range_join_sql" -> ((s, d) => {
+      events(s, d).select("event_id", "value")
+        .createOrReplaceTempView("graft_rj_events")
+      s.range(64).selectExpr("id AS band_id",
+          "id * 2654435761 % 1000000007 % 512 AS lo",
+          "id * 2654435761 % 1000000007 % 512 + 8 + id * 97 % 93 AS hi")
+        .createOrReplaceTempView("graft_rj_bands")
+      s.sql("""SELECT b.band_id, b.lo, b.hi, COUNT(*) AS n,
+              |       SUM(CAST(graft_fast_round(e.value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
+              |FROM graft_rj_events e JOIN graft_rj_bands b
+              |  ON e.value >= b.lo AND e.value < b.hi
+              |GROUP BY 1, 2, 3""".stripMargin)
+    }),
+
+    // per-language p25 quality gate (exact interpolated percentile)
+    "txt_quality_filter" -> ((s, d) =>
+      graft.text.Curation.qualityGate(docs(s, d), p = 0.25)),
+
+    // RAG-style sliding windows: 32-token chunks every 24 tokens
+    "txt_chunk_overlap" -> ((s, d) =>
+      graft.text.Curation.chunkOverlap(docs(s, d), w = 32, stride = 24)),
+
+    // per-event-type z-score outliers (|z| > 2). All moments are exact
+    // integer aggregates in cent space (value rounded to 2 digits) so
+    // mean/sd/z are bit-identical to the oracle's identical arithmetic —
+    // no double-sum ordering anywhere. s1 is squared in DOUBLE space
+    // (s1*s1 in int64 would overflow at ~1e9 rows x 1e5 cents)
+    "evt_zscore" -> ((s, d) => {
+      val c = graft.functions.FastRound.round(col("value") * 100, 0).cast("long")
+      val stats = events(s, d).select(col("event_type"), c.as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("event_type"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mean_c"),
+          sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1)).as("sd_c"))
+      events(s, d).select(col("event_id"), col("event_type"), c.as("c"))
+        .join(broadcast(stats), Seq("event_type"))
+        .filter(col("sd_c") > 0 &&
+          abs((col("c") - col("mean_c")) / col("sd_c")) > 2.0)
+        .select(col("event_id"), col("event_type"),
+          (col("c") / 100.0).as("value_r"),
+          graft.functions.FastRound.round(
+            (col("c") - col("mean_c")) / col("sd_c"), 9).as("z"))
+    }),
+
     // KMV distinct-count sketch (k=256) of per-language 3-gram shingle
     // cardinality plus the merged-sketch '(all)' row. Dedup.shingles
     // keyed by lang gives the distinct (lang, shingle) set directly;

@@ -520,4 +520,69 @@ object Curation {
       regexp_count(col(textCol), lit(UrlPattern)).cast("long").as("n_urls"),
       regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
         UrlPattern, "<URL>").as("redacted"))
+
+  /**
+   * Percentile quality gate: keep every document whose
+   * [[graft.text.TextAnalysis.qualityScore]] reaches its language's exact
+   * p-th quantile — the "drop the worst quartile per language" filter a
+   * curation pipeline runs before mixing, per-language so a low-resource
+   * language isn't graded against English norms.
+   *
+   * Shape at scale: one scan computes the score, one per-language exact
+   * `percentile` aggregate (languages ~O(100) rows → broadcast back), one
+   * broadcast join + filter. Exact interpolated percentile matches
+   * DuckDB's `quantile_cont`; both sides compare against the 9-digit
+   * rounded threshold so the gate is bit-stable.
+   *
+   * Returns (doc_id, lang, quality, q_threshold) for surviving docs.
+   */
+  def qualityGate(docs: DataFrame, p: Double = 0.25,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  langCol: String = "lang"): DataFrame = {
+    require(p >= 0 && p <= 1, s"quantile p must be in [0,1], got $p")
+    val scored = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      graft.text.TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    val th = scored.groupBy("lang")
+      .agg(graft.functions.FastRound.round(
+        expr(s"percentile(quality, $p)"), 9).as("q_threshold"))
+    scored.join(broadcast(th), Seq("lang"))
+      .filter(col("quality") >= col("q_threshold"))
+      .select("doc_id", "lang", "quality", "q_threshold")
+  }
+
+  /**
+   * Sliding-window chunking with overlap — the RAG / context-window
+   * shaping step: each document becomes windows of `w` tokens starting
+   * every `stride` tokens (`stride < w` ⇒ consecutive windows share
+   * `w - stride` tokens), so no span longer than `stride` is ever split
+   * across a window boundary without also appearing whole in some window.
+   * Complementary to [[chunkDedup]]/[[removeBoilerplate]] (disjoint
+   * chunks) and [[packSequences]] (budget packing).
+   *
+   * Window starts are `0, stride, 2·stride, …` while the start is inside
+   * the document, so every token lands in at least one window and the
+   * final windows may be shorter than `w`. Pure per-row explode — no
+   * shuffle at all; a 100 TB corpus chunks at scan speed.
+   *
+   * Returns (doc_id, chunk_id, tok_start, n_toks, chunk_text) over the
+   * whitespace-normalized token stream.
+   */
+  def chunkOverlap(docs: DataFrame, w: Int, stride: Int,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(w > 0 && stride > 0 && stride <= w,
+      s"need 0 < stride <= w, got w=$w stride=$stride")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0).as("toks"))
+    toks
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"), posexplode(
+        sequence(lit(0), floor((size(col("toks")) - 1) / lit(stride)).cast("int"))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        (col("col") * stride).cast("long").as("tok_start"),
+        slice(col("toks"), col("col") * stride + 1, lit(w)).as("win"))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        size(col("win")).cast("long").as("n_toks"),
+        array_join(col("win"), " ").as("chunk_text"))
+  }
 }

@@ -834,4 +834,51 @@ class TrainSpec extends AnyFunSuite {
     // doc 3: < 3 tokens -> no shingles, no row
     assert(r == Map(1L -> ((2L, 2L, 1.0)), 2L -> ((2L, 1L, 0.5))))
   }
+
+  test("chunkOverlap: stride windows share w-stride tokens, short tail kept") {
+    import graft.text.Curation
+    val df = docs((1L, "a b c d e f g"), (2L, ""))
+    val r = Curation.chunkOverlap(df, w = 3, stride = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    // starts 0,2,4,6: last two windows run past the end and shorten
+    assert(r.toSeq == Seq(
+      (1L, 0L, 0L, 3L, "a b c"), (1L, 1L, 2L, 3L, "c d e"),
+      (1L, 2L, 4L, 3L, "e f g"), (1L, 3L, 6L, 1L, "g")))
+    // stride == w degenerates to disjoint chunking, every token once
+    val disjoint = Curation.chunkOverlap(docs((1L, "a b c d e")), w = 2, stride = 2)
+      .agg(sum("n_toks")).head.getLong(0)
+    assert(disjoint == 5L)
+    intercept[IllegalArgumentException] {
+      Curation.chunkOverlap(df, w = 2, stride = 3)
+    }
+  }
+
+  test("qualityGate keeps exactly the docs at/above their language's exact p25") {
+    import graft.text.Curation
+    val df = Seq(
+      (1L, "the cat is in the hat and it is good", "en"),
+      (2L, "!!!! ???? ;;;; ::::", "en"),
+      (3L, "a plain sentence of some words to read", "en"),
+      (4L, "der hund ist gut und die katze auch", "de"),
+      (5L, "x", "de"))
+      .toDF("doc_id", "text", "lang")
+    val kept = Curation.qualityGate(df, p = 0.25).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // recompute the gate independently: exact interpolated p25 per lang
+    val scored = df.select(col("lang"), col("doc_id"),
+      graft.text.TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def p25(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val idx = 0.25 * (s.size - 1)
+      val lo = s(idx.toInt); val hi = s(math.ceil(idx).toInt)
+      val v = lo + (idx - idx.toInt) * (hi - lo)
+      math.copySign(math.floor(math.abs(v * 1e9) + 0.5), v) / 1e9
+    }
+    val th = scored.groupBy(_._1).map { case (l, g) => l -> p25(g.map(_._3).toSeq) }
+    val expect = scored.filter { case (l, _, q) => q >= th(l) }
+      .map { case (l, id, q) => id -> (q, th(l)) }.toMap
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < 5) // the gate actually drops something
+  }
 }
