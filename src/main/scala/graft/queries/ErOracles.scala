@@ -663,6 +663,40 @@ object ErOracles {
         |FROM szs JOIN bm USING (entity_id) JOIN tm USING (entity_id)"""
         .stripMargin).replaceFirst("WITH ", "WITH RECURSIVE "),
 
+    // PageRank twin: same matched-edge set, 3 unrolled iterations as
+    // chained CTEs — identical fixed-point arithmetic (round(rf/deg)
+    // contributions, round(0.15e9 + 0.85*sum) damped update), so the
+    // bigint sums make both sides order-independent and bit-identical
+    "er_pagerank" -> (prelude(clean = false) + wpw("cbs") + directedSelf("cbs") +
+      s"""${wnpThetaCte("avg")},
+        |cand AS (SELECT wpw.p1, wpw.p2
+        |         FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
+        |         WHERE ${wnpKeepCond("cbs", "avg", "or", "0.0")}),
+        |nm AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
+        |me AS (
+        |  SELECT c.p1, c.p2
+        |  FROM cand c JOIN nm n1 ON c.p1 = n1.p_partkey
+        |              JOIN nm n2 ON c.p2 = n2.p_partkey
+        |  WHERE 1.0 - CAST(levenshtein(n1.nm, n2.nm) AS DOUBLE) /
+        |              GREATEST(length(n1.nm), length(n2.nm)) >= 0.5),
+        |eg AS (SELECT p1 AS src, p2 AS dst FROM me UNION ALL SELECT p2, p1 FROM me),
+        |dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM eg GROUP BY src),
+        |pr0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rf FROM dg),
+        |pr1 AS (SELECT e.dst AS node,
+        |               CAST(round(150000000.0 + 0.85 * SUM(CAST(round(r.rf / d.deg) AS BIGINT))) AS BIGINT) AS rf
+        |        FROM eg e JOIN pr0 r ON e.src = r.node JOIN dg d ON e.src = d.src
+        |        GROUP BY e.dst),
+        |pr2 AS (SELECT e.dst AS node,
+        |               CAST(round(150000000.0 + 0.85 * SUM(CAST(round(r.rf / d.deg) AS BIGINT))) AS BIGINT) AS rf
+        |        FROM eg e JOIN pr1 r ON e.src = r.node JOIN dg d ON e.src = d.src
+        |        GROUP BY e.dst),
+        |pr3 AS (SELECT e.dst AS node,
+        |               CAST(round(150000000.0 + 0.85 * SUM(CAST(round(r.rf / d.deg) AS BIGINT))) AS BIGINT) AS rf
+        |        FROM eg e JOIN pr2 r ON e.src = r.node JOIN dg d ON e.src = d.src
+        |        GROUP BY e.dst)
+        |SELECT pr3.node AS profile_id, dg.deg, pr3.rf / 1000000000.0 AS rank
+        |FROM pr3 JOIN dg ON pr3.node = dg.src""".stripMargin),
+
     "er_ngram_blocks" ->
       """WITH ntoks AS (
         |  SELECT DISTINCT profile_id, tok FROM (

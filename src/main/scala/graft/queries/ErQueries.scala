@@ -515,6 +515,13 @@ object ErQueries {
         .select(col("cluster_rep").as("entity_id"), col("n_members"),
           col("p_brand_golden").as("brand_golden"),
           col("p_type_golden").as("type_golden"))
-    })
+    }),
+
+    // graph analytics over the matched-pair graph: 3-iteration PageRank
+    // (fixed-point, damping 0.85) — ranks the hub profiles inside each
+    // entity's duplicate cluster; the canonical iterative-join workload
+    "er_pagerank" -> ((s, d) =>
+      graft.operators.PageRank.run(
+        matchedPairs(s, d).select("p1", "p2"), iters = 3))
   )
 }

@@ -337,5 +337,20 @@ class ErCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Blocking.sortedNeighborhood(k, window = 4).isEmpty)
   }
 
+  test("PageRank: hand-computed fixed-point ranks on a 3-node path") {
+    // path 1-2-3: deg(1)=deg(3)=1, deg(2)=2; two iterations by hand:
+    // i1: r1=r3=round(.15e9+.85*round(1e9/2))=5.75e8, r2=.15e9+.85*2e9=1.85e9
+    // i2: r1=r3=.15e9+.85*round(1.85e9/2)=936250000, r2=.15e9+.85*1.15e9=1127500000
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("p1", "p2")
+    val r = graft.operators.PageRank.run(pairs, iters = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r == Map(1L -> ((1L, 0.93625)), 2L -> ((2L, 1.1275)),
+      3L -> ((1L, 0.93625))))
+    // partitioning must not change a single bit (exact integer sums)
+    val r8 = graft.operators.PageRank.run(pairs.repartition(8), iters = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r8 == r)
+  }
+
   override def afterAll(): Unit = () // keep shared session for other specs
 }
