@@ -815,6 +815,22 @@ object TrainOracles {
         |FROM c JOIN m USING (event_type)
         |WHERE m.sd_c > 0 AND abs((c.c - m.mean_c) / m.sd_c) > 2.0""".stripMargin,
 
+    // streaming twin drained over the whole file == the batch z-score
+    "evt_zscore_stream" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+        |  FROM c GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mean_c,
+        |         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd_c
+        |  FROM st)
+        |SELECT c.event_id, c.event_type, c.c / 100.0 AS value_r,
+        |       round((c.c - m.mean_c) / m.sd_c, 9) AS z
+        |FROM c JOIN m USING (event_type)
+        |WHERE m.sd_c > 0 AND abs((c.c - m.mean_c) / m.sd_c) > 2.0""".stripMargin,
+
     // KMV sketch twin: same PolyHash31 min-k lists per lang over the
     // distinct 3-gram shingles, same merged '(all)' sketch, same
     // (k-1)*Mod/kth estimator arithmetic

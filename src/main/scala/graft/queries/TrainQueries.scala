@@ -386,30 +386,14 @@ object TrainQueries {
     "txt_chunk_overlap" -> ((s, d) =>
       graft.text.Curation.chunkOverlap(docs(s, d), w = 32, stride = 24)),
 
-    // per-event-type z-score outliers (|z| > 2). All moments are exact
-    // integer aggregates in cent space (value rounded to 2 digits) so
-    // mean/sd/z are bit-identical to the oracle's identical arithmetic —
-    // no double-sum ordering anywhere. s1 is squared in DOUBLE space
-    // (s1*s1 in int64 would overflow at ~1e9 rows x 1e5 cents)
-    "evt_zscore" -> ((s, d) => {
-      val c = graft.functions.FastRound.round(col("value") * 100, 0).cast("long")
-      val stats = events(s, d).select(col("event_type"), c.as("c"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
-          sum(col("c") * col("c")).as("s2"))
-        .select(col("event_type"), col("n"),
-          (col("s1").cast("double") / col("n")).as("mean_c"),
-          sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n"))
-            / (col("n") - 1)).as("sd_c"))
-      events(s, d).select(col("event_id"), col("event_type"), c.as("c"))
-        .join(broadcast(stats), Seq("event_type"))
-        .filter(col("sd_c") > 0 &&
-          abs((col("c") - col("mean_c")) / col("sd_c")) > 2.0)
-        .select(col("event_id"), col("event_type"),
-          (col("c") / 100.0).as("value_r"),
-          graft.functions.FastRound.round(
-            (col("c") - col("mean_c")) / col("sd_c"), 9).as("z"))
-    }),
+    // per-event-type z-score outliers (|z| > 2); exact integer cent-space
+    // moments — see EventStreams.zscoreStats
+    "evt_zscore" -> ((s, d) => EventStreams.zscoreBatch(events(s, d))),
+
+    // the deployment shape: thresholds trained on the standing corpus,
+    // live events scored as a Structured Stream (stateless stream-static
+    // broadcast join); draining the whole file == the batch twin
+    "evt_zscore_stream" -> ((s, d) => EventStreams.zscoreStreaming(s, d)),
 
     // KMV distinct-count sketch (k=256) of per-language 3-gram shingle
     // cardinality plus the merged-sketch '(all)' row. Dedup.shingles

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -606,5 +606,57 @@ object EventStreams {
       else raw
     val agg = sessionWindowAgg(stream.withWatermark("ts", "2 hours"), gapMinutes)
     drainAvailableNow(agg, "events_sesswin", "complete")
+  }
+
+  /** Rounded cent representation shared by the z-score batch/stream twins:
+   * every moment is an exact integer aggregate over this column, so
+   * mean/sd/z are order-independent and bit-identical to the oracle. */
+  private def cents: Column =
+    graft.functions.FastRound.round(col("value") * 100, 0).cast("long")
+
+  /** Per-event-type mean/sd in cent space from exact integer moments.
+   * s1 is squared in DOUBLE space — s1*s1 in int64 would overflow at
+   * ~1e9 rows × 1e5 cents. */
+  def zscoreStats(events: DataFrame): DataFrame =
+    events.select(col("event_type"), cents.as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean_c"),
+        sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+          / (col("n") - 1)).as("sd_c"))
+
+  /** Score events against broadcast per-type stats, keep |z| > 2 — a pure
+   * stateless projection + broadcast join, so it runs identically over a
+   * batch frame or a readStream micro-batch. */
+  def zscoreScore(events: DataFrame, stats: DataFrame): DataFrame =
+    events.select(col("event_id"), col("event_type"), cents.as("c"))
+      .join(broadcast(stats.select("event_type", "mean_c", "sd_c")), Seq("event_type"))
+      .filter(col("sd_c") > 0 &&
+        abs((col("c") - col("mean_c")) / col("sd_c")) > 2.0)
+      .select(col("event_id"), col("event_type"),
+        (col("c") / 100.0).as("value_r"),
+        graft.functions.FastRound.round(
+          (col("c") - col("mean_c")) / col("sd_c"), 9).as("z"))
+
+  /** Batch z-score outliers (the oracle-checked form). */
+  def zscoreBatch(events: DataFrame): DataFrame =
+    zscoreScore(events, zscoreStats(events))
+
+  /**
+   * The deployment shape of anomaly detection: thresholds TRAINED on the
+   * standing corpus (batch aggregate, broadcast), live events SCORED as
+   * a Structured Stream against them — a stateless stream-static
+   * broadcast join, so no state store at all and the stream scores at
+   * projection speed. Draining the whole file equals the batch twin.
+   */
+  def zscoreStreaming(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val stats = zscoreStats(spark.read.parquet(s"$dir/events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDirFor(dir, "events_zscore_"))
+    drainAvailableNow(zscoreScore(stream, stats), "events_zscore", "append")
   }
 }

@@ -835,6 +835,14 @@ class TrainSpec extends AnyFunSuite {
     assert(r == Map(1L -> ((2L, 2L, 1.0)), 2L -> ((2L, 1L, 0.5))))
   }
 
+  test("zscoreStreaming equals the batch z-score (trained-threshold scoring)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.zscoreStreaming(spark, dir)
+    val batch = EventStreams.zscoreBatch(EventStreams.loadEvents(spark, dir))
+    assert(streamed.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("chunkOverlap: stride windows share w-stride tokens, short tail kept") {
     import graft.text.Curation
     val df = docs((1L, "a b c d e f g"), (2L, ""))
