@@ -162,6 +162,26 @@ object Wrappers {
       .csv(path)
       .select(col(id1).cast(StringType).as("id1"), col(id2).cast(StringType).as("id2"))
 
+  /**
+   * Bucketed-table sink: write `df` as a managed parquet table
+   * hash-bucketed (and sorted) on `bucketCol`. Two tables bucketed on
+   * the same key with the same bucket count join WITHOUT shuffling
+   * either side — the physical plan has no Exchange below the
+   * SortMergeJoin (pinned by PlanSpec) — which is how a 100 TB fact
+   * table joins a co-bucketed dimension repeatedly without paying the
+   * shuffle every query. Sorting within buckets also drops the
+   * per-query Sort. Bucket count is a layout decision: pick
+   * ~(table size / healthy partition size), and keep it EQUAL across
+   * tables that join together.
+   */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.write.format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .mode("overwrite").saveAsTable(table)
+  }
+
   def loadGroundTruthJson(spark: SparkSession, path: String,
                           firstAttr: String = "id1", secondAttr: String = "id2"): DataFrame =
     spark.read.json(path)

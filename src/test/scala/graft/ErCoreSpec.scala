@@ -11,6 +11,8 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-warehouse-${System.nanoTime()}")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")

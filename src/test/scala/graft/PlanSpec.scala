@@ -195,4 +195,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast join in:\n$p")
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
+
+  test("co-bucketed tables join with ZERO exchanges (the repeated-join layout)") {
+    // the 100 TB contract of Wrappers.writeBucketed: both sides laid out
+    // hash-bucketed on the join key -> the SortMergeJoin reads buckets
+    // directly, no shuffle of either side on any subsequent join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("va"))
+      val b = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+      graft.sources.Wrappers.writeBucketed(a, "bt_a", "k", 8)
+      graft.sources.Wrappers.writeBucketed(b, "bt_b", "k", 8)
+      val j = spark.table("bt_a").join(spark.table("bt_b"), "k")
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), s"no SortMergeJoin in:\n$p")
+      assert(!p.contains("Exchange"), s"shuffle inside a co-bucketed join:\n$p")
+      assert(j.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bt_a")
+      spark.sql("DROP TABLE IF EXISTS bt_b")
+    }
+  }
 }
