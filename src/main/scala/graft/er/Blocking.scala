@@ -108,6 +108,27 @@ object Blocking {
   }
 
   /**
+   * Suffix blocking keys (Aizawa & Oyama, "A Fast Linkage Detection
+   * Scheme for Multi-Source Information Integration", WIRI'05): every
+   * suffix of length >= minLen of each token key. Two records whose
+   * tokens differ by a prefix typo or truncation still share their
+   * common tail, so they land in a block that plain token blocking
+   * misses. Same codegen-friendly explode shape as [[ngramKeys]]; key
+   * volume per token is length - minLen + 1 (bounded, linear in text).
+   */
+  def suffixKeys(
+      attrs: DataFrame,
+      minLen: Int = 4,
+      attributesToExclude: Seq[String] = Nil): DataFrame = {
+    require(minLen >= 1, "suffix minLen must be >= 1")
+    tokenKeys(attrs, attributesToExclude, Nil)
+      .filter(length(col("key")) >= minLen)
+      .select(col("profile_id"), col("source_id"),
+        explode(expr(s"transform(sequence(1, length(key) - ${minLen - 1}), i -> substring(key, i, length(key)))")).as("key"))
+      .dropDuplicates()
+  }
+
+  /**
    * Restrict a key collection to valid blocks: >= 2 profiles, and for
    * clean(-clean) ER at least two distinct sources
    * (python/sparker/blockers.py:106-110). Single window pass over `key`

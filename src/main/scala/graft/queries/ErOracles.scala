@@ -272,6 +272,25 @@ object ErOracles {
         s"w1 >= SQRT(POWER(t1.theta, 2.0) + POWER(t2.theta, 2.0)) / $chi2divider - $eps"
     }
 
+  /** Shared matched-edge prefix `me(p1, p2)`: the er_match_edit matched
+   * set (WNP(cbs, avg, or) candidates at normalized Levenshtein >= 0.5)
+   * built from the same theta/keep fragments as wnpSql — the ONE matched
+   * graph the entity/golden/pagerank/triangle twins all close over. */
+  private def matchedEdgesCtes: String =
+    prelude(clean = false) + wpw("cbs") + directedSelf("cbs") +
+      s"""${wnpThetaCte("avg")},
+        |cand AS (SELECT wpw.p1, wpw.p2
+        |         FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
+        |         WHERE ${wnpKeepCond("cbs", "avg", "or", "0.0")}),
+        |nm AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
+        |me AS (
+        |  SELECT c.p1, c.p2
+        |  FROM cand c JOIN nm n1 ON c.p1 = n1.p_partkey
+        |              JOIN nm n2 ON c.p2 = n2.p_partkey
+        |  WHERE 1.0 - CAST(levenshtein(n1.nm, n2.nm) AS DOUBLE) /
+        |              GREATEST(length(n1.nm), length(n2.nm)) >= 0.5),
+        |""".stripMargin
+
   private def wnpSql(clean: Boolean, scheme: String, tt: String, ct: String,
                      eps: String, roundW: Boolean, chi2divider: String = "2.0",
                      numSources: Int = 2): String = {
@@ -606,19 +625,8 @@ object ErOracles {
     // entity clustering twin: the er_match_edit matched set, transitive
     // closure via a recursive CTE (the dedup_clusters pattern), MIN
     // reachable id as entity
-    "er_entities" -> (prelude(clean = false) + wpw("cbs") + directedSelf("cbs") +
-      s"""${wnpThetaCte("avg")},
-        |cand AS (SELECT wpw.p1, wpw.p2
-        |         FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
-        |         WHERE ${wnpKeepCond("cbs", "avg", "or", "0.0")}),
-        |nm AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
-        |me AS (
-        |  SELECT c.p1, c.p2
-        |  FROM cand c JOIN nm n1 ON c.p1 = n1.p_partkey
-        |              JOIN nm n2 ON c.p2 = n2.p_partkey
-        |  WHERE 1.0 - CAST(levenshtein(n1.nm, n2.nm) AS DOUBLE) /
-        |              GREATEST(length(n1.nm), length(n2.nm)) >= 0.5),
-        |eg AS (SELECT p1 AS u, p2 AS v FROM me UNION ALL SELECT p2, p1 FROM me),
+    "er_entities" -> (matchedEdgesCtes +
+      """eg AS (SELECT p1 AS u, p2 AS v FROM me UNION ALL SELECT p2, p1 FROM me),
         |reach(a, b) AS (
         |  SELECT p_partkey, p_partkey FROM part
         |  UNION
@@ -628,19 +636,8 @@ object ErOracles {
 
     // golden-record twin over the same closure: per-entity deterministic
     // mode (count DESC, value ASC) for each attribute
-    "er_golden" -> (prelude(clean = false) + wpw("cbs") + directedSelf("cbs") +
-      s"""${wnpThetaCte("avg")},
-        |cand AS (SELECT wpw.p1, wpw.p2
-        |         FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
-        |         WHERE ${wnpKeepCond("cbs", "avg", "or", "0.0")}),
-        |nm AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
-        |me AS (
-        |  SELECT c.p1, c.p2
-        |  FROM cand c JOIN nm n1 ON c.p1 = n1.p_partkey
-        |              JOIN nm n2 ON c.p2 = n2.p_partkey
-        |  WHERE 1.0 - CAST(levenshtein(n1.nm, n2.nm) AS DOUBLE) /
-        |              GREATEST(length(n1.nm), length(n2.nm)) >= 0.5),
-        |eg AS (SELECT p1 AS u, p2 AS v FROM me UNION ALL SELECT p2, p1 FROM me),
+    "er_golden" -> (matchedEdgesCtes +
+      """eg AS (SELECT p1 AS u, p2 AS v FROM me UNION ALL SELECT p2, p1 FROM me),
         |reach(a, b) AS (
         |  SELECT p_partkey, p_partkey FROM part
         |  UNION
@@ -667,19 +664,8 @@ object ErOracles {
     // chained CTEs — identical fixed-point arithmetic (round(rf/deg)
     // contributions, round(0.15e9 + 0.85*sum) damped update), so the
     // bigint sums make both sides order-independent and bit-identical
-    "er_pagerank" -> (prelude(clean = false) + wpw("cbs") + directedSelf("cbs") +
-      s"""${wnpThetaCte("avg")},
-        |cand AS (SELECT wpw.p1, wpw.p2
-        |         FROM wpw JOIN th t1 ON wpw.p1 = t1.a JOIN th t2 ON wpw.p2 = t2.a
-        |         WHERE ${wnpKeepCond("cbs", "avg", "or", "0.0")}),
-        |nm AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
-        |me AS (
-        |  SELECT c.p1, c.p2
-        |  FROM cand c JOIN nm n1 ON c.p1 = n1.p_partkey
-        |              JOIN nm n2 ON c.p2 = n2.p_partkey
-        |  WHERE 1.0 - CAST(levenshtein(n1.nm, n2.nm) AS DOUBLE) /
-        |              GREATEST(length(n1.nm), length(n2.nm)) >= 0.5),
-        |eg AS (SELECT p1 AS src, p2 AS dst FROM me UNION ALL SELECT p2, p1 FROM me),
+    "er_pagerank" -> (matchedEdgesCtes +
+      """eg AS (SELECT p1 AS src, p2 AS dst FROM me UNION ALL SELECT p2, p1 FROM me),
         |dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM eg GROUP BY src),
         |pr0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rf FROM dg),
         |pr1 AS (SELECT e.dst AS node,
@@ -697,6 +683,19 @@ object ErOracles {
         |SELECT pr3.node AS profile_id, dg.deg, pr3.rf / 1000000000.0 AS rank
         |FROM pr3 JOIN dg ON pr3.node = dg.src""".stripMargin),
 
+    // triangle-count twin over the same matched graph: edges are stored
+    // once in (p1 < p2) orientation, so each triangle {a<b<c} is
+    // enumerated exactly once as wedge (a,b)+(b,c) closed by (a,c)
+    "er_triangles" -> (matchedEdgesCtes +
+      """tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |        FROM me e1 JOIN me e2 ON e1.p2 = e2.p1
+        |                   JOIN me e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |tn AS (SELECT a AS profile_id FROM tri
+        |       UNION ALL SELECT b FROM tri
+        |       UNION ALL SELECT c FROM tri)
+        |SELECT profile_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM tn GROUP BY 1""".stripMargin),
+
     "er_ngram_blocks" ->
       """WITH ntoks AS (
         |  SELECT DISTINCT profile_id, tok FROM (
@@ -708,6 +707,21 @@ object ErOracles {
         |       FROM padded, unnest(generate_series(1, length(p) - 3)) AS g(i))
         |SELECT key, CAST(COUNT(*) AS BIGINT) AS size,
         |       CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) AS comparisons
-        |FROM ng GROUP BY key HAVING COUNT(*) > 1""".stripMargin
+        |FROM ng GROUP BY key HAVING COUNT(*) > 1""".stripMargin,
+
+    // suffix-blocking twin: every suffix of length >= 4 of each name
+    // token (substr to end of string), same valid-block stats
+    "er_suffix_blocks" ->
+      """WITH ntoks AS (
+        |  SELECT DISTINCT profile_id, tok FROM (
+        |    SELECT p_partkey AS profile_id,
+        |           unnest(regexp_split_to_array(lower(p_name), '[^\p{L}\p{N}_]+')) AS tok
+        |    FROM part) u WHERE tok <> ''),
+        |sfx AS (SELECT DISTINCT profile_id,
+        |               substr(tok, CAST(i AS INTEGER), length(tok)) AS key
+        |        FROM ntoks, unnest(generate_series(1, length(tok) - 3)) AS g(i))
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS size,
+        |       CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) AS comparisons
+        |FROM sfx GROUP BY key HAVING COUNT(*) > 1""".stripMargin
   )
 }

@@ -480,6 +480,15 @@ object ErQueries {
       Blocking.blockStats(m, clean = false).select("key", "size", "comparisons")
     }),
 
+    // suffix blocking (prefix-typo/truncation tolerant): every token
+    // suffix of length >= 4 as a key, same valid-block + stats pipeline
+    "er_suffix_blocks" -> ((s, d) => {
+      val attrs = partAttrs(s, d, twoSources = false).filter(col("attribute") === "name")
+      val k = Blocking.suffixKeys(attrs, minLen = 4)
+      val m = Blocking.validBlocks(k, clean = false)
+      Blocking.blockStats(m, clean = false).select("key", "size", "comparisons")
+    }),
+
     // sorted-neighborhood blocking over the part-name sort key: pairs at
     // sort distance < 7; the rank is a distributed two-phase scan and the
     // window an equi-join on rank buckets (Blocking.sortedNeighborhood)
@@ -522,6 +531,14 @@ object ErQueries {
     // entity's duplicate cluster; the canonical iterative-join workload
     "er_pagerank" -> ((s, d) =>
       graft.operators.PageRank.run(
-        matchedPairs(s, d).select("p1", "p2"), iters = 3))
+        matchedPairs(s, d).select("p1", "p2"), iters = 3)),
+
+    // triangle counts over the same matched graph: the clustering-
+    // coefficient numerator — dense triangles inside an entity cluster
+    // corroborate the pairwise match decisions, bridges with no
+    // triangle support are the candidates a reviewer checks first
+    "er_triangles" -> ((s, d) =>
+      graft.operators.Triangles.perNode(
+        matchedPairs(s, d).select("p1", "p2")))
   )
 }

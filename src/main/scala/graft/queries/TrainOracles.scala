@@ -610,6 +610,25 @@ object TrainOracles {
         |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // Morton-code twin: the same five mask/spread steps in 64-bit
+    // integer arithmetic (two's-complement & | << match Java exactly)
+    "evt_zorder" -> {
+      def spread(e: String): String =
+        Seq(8 -> 16711935L, 4 -> 252645135L, 2 -> 858993459L,
+            1 -> 1431655765L)
+          .foldLeft(s"($e & 65535)") { case (r, (sh, mask)) =>
+            s"(($r | ($r << $sh)) & $mask)"
+          }
+      s"""WITH b AS (SELECT user_id % 65536 AS x,
+         |                  CAST(round(value * 100) AS BIGINT) % 65536 AS y
+         |           FROM events),
+         |z AS (SELECT x, y, (${spread("x")} | (${spread("y")} << 1)) AS z FROM b)
+         |SELECT z >> 18 AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |       MIN(x) AS x_min, MAX(x) AS x_max,
+         |       MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM z GROUP BY 1""".stripMargin
+    },
+
     "evt_cube_agg" ->
       """SELECT COALESCE(event_type, '(all)') AS event_type,
         |       COALESCE(CAST(ts AS DATE), DATE '1970-01-01') AS event_day,
@@ -1018,6 +1037,18 @@ object TrainOracles {
     "ann_semdedup" -> ErOracles.materializeCtes(semDedupSql(
       k = 8, iters = 2, tau = "0.9")),
 
+    // product-quantization code table: 4 independent unrolled kmeans
+    // trainings over the 16-dim slices, argmin code per (vector,
+    // subspace) with the (sqdist, cluster) tie-break
+    "ann_pq_codes" -> ErOracles.materializeCtes(
+      pqCodesSql(m = 4, subDim = 16, k = 8, iters = 2)),
+
+    // ADC twin: per-query m*k lookup table of subspace dots, candidate
+    // score = j-ascending ordered sum of code lookups rounded to 9,
+    // self-matches excluded before the (approx DESC, nn_id ASC) rank
+    "ann_pq_adc_topk" -> ErOracles.materializeCtes(
+      pqAdcSql(m = 4, subDim = 16, k = 8, iters = 2, topK = 5)),
+
     // BM25 twin: identical operand order/associativity per factor, sum
     // rounded to 9 before the rank (ln ULP guard, the tfidf pattern)
     "txt_bm25" ->
@@ -1104,45 +1135,109 @@ object TrainOracles {
         |FROM c""".stripMargin)
   )
 
-  /** Unrolled Lloyd k-means CTEs: c0 = k lowest-id vectors; then
-   * assign/update pairs a1,c1 .. a{iters},c{iters}. Returns (shared
-   * CTEs, final-assignment CTE). Textual twin of
+  /** Unrolled Lloyd k-means CTEs: {p}c0 = k lowest-id vectors; then
+   * assign/update pairs {p}a1,{p}c1 .. {p}a{iters},{p}c{iters}. Returns
+   * (shared CTEs, final-assignment CTE). Textual twin of
    * [[graft.similarity.KMeans]] — element order, fixed-point scaling,
-   * division associativity and tie-breaks all match. */
-  private def kmeansCtes(k: Int, iters: Int,
-                         src: String = "embeddings"): (Seq[String], String) = {
+   * division associativity and tie-breaks all match. `edSql` defines the
+   * `{p}ed(vec_id, ed: DOUBLE[dims])` training slice (defaults to the
+   * full 64-dim embedding table); `p` prefixes every CTE name so
+   * several independent trainings (the PQ subspaces) can share one WITH
+   * clause. */
+  private def kmeansCtesG(p: String, k: Int, iters: Int, dims: Int,
+                          edSql: String): (Seq[String], String) = {
     def assign(name: String, cent: String): String =
       s"""$name AS (SELECT vec_id, cluster, ed, sqdist FROM (
          |  SELECT vec_id, cluster, ed, sqdist,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist ASC, cluster ASC) AS rn
          |  FROM (SELECT e.vec_id, c.cluster, e.ed,
-         |          list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |          list_reduce(list_prepend(0.0, list_transform(generate_series(1, $dims),
          |            i -> (e.ed[i] - c.centroid[i]) * (e.ed[i] - c.centroid[i]))),
          |            (acc, v) -> acc + v) AS sqdist
-         |        FROM ed e CROSS JOIN $cent c) s0) s1 WHERE rn <= 1)""".stripMargin
+         |        FROM ${p}ed e CROSS JOIN $cent c) s0) s1 WHERE rn <= 1)""".stripMargin
     def update(name: String, asg: String): String =
       s"""$name AS (SELECT cluster, list(cval ORDER BY dim) AS centroid FROM (
          |  SELECT cluster, dim,
          |    CAST(SUM(vfix) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS cval
          |  FROM (SELECT a.cluster, d.i - 1 AS dim,
          |          CAST(round(a.ed[d.i] * 1000000.0) AS BIGINT) AS vfix
-         |        FROM $asg a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d) v
+         |        FROM $asg a CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) d) v
          |  GROUP BY cluster, dim) g GROUP BY cluster)""".stripMargin
     val iterCtes = (1 to iters).flatMap(n =>
-      Seq(assign(s"a$n", s"c${n - 1}"), update(s"c$n", s"a$n")))
+      Seq(assign(s"${p}a$n", s"${p}c${n - 1}"), update(s"${p}c$n", s"${p}a$n")))
     val ctes = Seq(
-      s"ed AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed FROM $src)",
-      s"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster,
+      s"${p}ed AS ($edSql)",
+      s"""${p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster,
          |         ed AS centroid
-         |       FROM (SELECT vec_id, ed FROM ed ORDER BY vec_id LIMIT $k) q)""".stripMargin
+         |       FROM (SELECT vec_id, ed FROM ${p}ed ORDER BY vec_id LIMIT $k) q)""".stripMargin
     ) ++ iterCtes
-    (ctes, assign("afinal", s"c$iters"))
+    (ctes, assign(s"${p}afinal", s"${p}c$iters"))
   }
+
+  private def kmeansCtes(k: Int, iters: Int,
+                         src: String = "embeddings"): (Seq[String], String) =
+    kmeansCtesG("", k, iters, dims = 64,
+      edSql = s"SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed FROM $src")
 
   private def kmeansSql(k: Int, iters: Int): String = {
     val (ctes, afinal) = kmeansCtes(k, iters)
     s"""WITH ${(ctes :+ afinal).mkString(",\n")}
        |SELECT vec_id, cluster, round(sqdist, 9) AS sqdist FROM afinal""".stripMargin
+  }
+
+  /** Product-quantization CTE family — twin of
+   * [[graft.similarity.ProductQuantization]]: m per-subspace unrolled
+   * kmeans trainings over the 16-dim slices, the union codebook, the
+   * argmin code assignment, and (for the ADC query) per-query lookup
+   * tables + j-ordered score sums. Returns all CTEs up to `codes`. */
+  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int): Seq[String] = {
+    val base =
+      "pqb AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed FROM embeddings)"
+    val trainings = (0 until m).flatMap { j =>
+      kmeansCtesG(s"s$j", k, iters, subDim,
+        edSql = s"SELECT vec_id, list_transform(generate_series(1, $subDim), i -> ed[${j * subDim} + i]) AS ed FROM pqb")._1
+    }
+    val cb = "cb AS (" + (0 until m)
+      .map(j => s"SELECT $j AS j, cluster, centroid FROM s${j}c$iters")
+      .mkString(" UNION ALL ") + ")"
+    val subr =
+      s"""subr AS (SELECT p.vec_id, j.j,
+         |  list_transform(generate_series(1, $subDim), i -> p.ed[j.j * $subDim + i]) AS sub
+         |  FROM pqb p CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS j) j)""".stripMargin
+    val codes = Seq(
+      s"""codes0 AS (SELECT vec_id, j, cluster,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY sqdist ASC, cluster ASC) AS rn
+         |  FROM (SELECT e.vec_id, e.j, c.cluster,
+         |          list_reduce(list_prepend(0.0, list_transform(generate_series(1, $subDim),
+         |            i -> (e.sub[i] - c.centroid[i]) * (e.sub[i] - c.centroid[i]))),
+         |            (acc, v) -> acc + v) AS sqdist
+         |        FROM subr e JOIN cb c ON e.j = c.j) s)""".stripMargin,
+      "codes AS (SELECT vec_id, j, cluster AS code FROM codes0 WHERE rn = 1)")
+    (base +: trainings) ++ (Seq(cb, subr) ++ codes)
+  }
+
+  private def pqCodesSql(m: Int, subDim: Int, k: Int, iters: Int): String =
+    s"""WITH ${pqCtes(m, subDim, k, iters).mkString(",\n")}
+       |SELECT vec_id, CAST(j AS INTEGER) AS j, code FROM codes""".stripMargin
+
+  private def pqAdcSql(m: Int, subDim: Int, k: Int, iters: Int,
+                       topK: Int): String = {
+    val adc = Seq(
+      s"""lut AS (SELECT q.vec_id AS query_id, c.j, c.cluster,
+         |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, $subDim),
+         |    i -> q.sub[i] * c.centroid[i])), (acc, v) -> acc + v) AS v
+         |  FROM subr q JOIN cb c ON q.j = c.j WHERE q.vec_id < 10)""".stripMargin,
+      """scored AS (SELECT l.query_id, c.vec_id AS nn_id,
+        |  round(list_reduce(list_prepend(0.0, list(l.v ORDER BY c.j)),
+        |    (acc, v) -> acc + v), 9) AS approx
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.cluster = c.code
+        |  WHERE l.query_id <> c.vec_id
+        |  GROUP BY l.query_id, c.vec_id)""".stripMargin,
+      """ranked AS (SELECT query_id, nn_id, approx,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, nn_id ASC) AS rn
+        |  FROM scored)""".stripMargin)
+    s"""WITH ${(pqCtes(m, subDim, k, iters) ++ adc).mkString(",\n")}
+       |SELECT query_id, nn_id, approx, rn FROM ranked WHERE rn <= $topK""".stripMargin
   }
 
   /** SemDeDup twin: the ann_cos_neardup_hi planted union, the unrolled

@@ -72,6 +72,23 @@ object TrainQueries {
     semCentCache.getOrElseUpdate(d,
       graft.similarity.KMeans.centroids(semUnion(s, d), k = 8, iters = 2))
 
+  /** PQ codebooks (4 subspaces x 16 dims, k=8, 2 Lloyd iterations) and
+   * the encoded code table, shared by the code-dump and ADC queries —
+   * the code table is the PQ "index" a 100 TB deployment materializes
+   * once and scans instead of the raw vectors. */
+  private val pqBooksCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def pqBooks(s: SparkSession, d: String): DataFrame =
+    pqBooksCache.getOrElseUpdate(d, graft.util.Snapshot(
+      graft.similarity.ProductQuantization.codebooks(
+        embs(s, d), m = 4, subDim = 16, k = 8, iters = 2)))
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def pqIndex(s: SparkSession, d: String): DataFrame =
+    pqIndexCache.getOrElseUpdate(d, graft.util.Snapshot(
+      graft.similarity.ProductQuantization.encode(
+        embs(s, d), pqBooks(s, d), m = 4, subDim = 16)))
+
   /** Pre-builds the memoized shingle/simhash/centroid caches (Warmup). */
   def warm(s: SparkSession, d: String): Unit = {
     shingles3(s, d); simhashFp(s, d); kmeansCentroids(s, d)
@@ -82,7 +99,8 @@ object TrainQueries {
     // rebuilt it) are shared per-dir caches too
     clusters3(s, d)
     graft.streaming.EventStreams.lshCorpusIndex(s, d)
-    semCentroids(s, d); ()
+    semCentroids(s, d)
+    pqIndex(s, d); ()
   }
 
   private def embs(s: SparkSession, d: String): DataFrame =
@@ -200,6 +218,24 @@ object TrainQueries {
 
     "evt_windowed_agg" -> ((s, d) =>
       EventStreams.windowedAggBatch(events(s, d))),
+
+    // z-order layout check: Morton code over (user_id, value-cents) 16-bit
+    // keys, per z-range bucket stats — each bucket's tight (x, y)
+    // bounding box IS the file-footer min/max a 100 TB scan prunes on
+    // (the zOrderBy writer clusters by exactly this key; ZOrderSpec pins
+    // the range-partitioned sort)
+    "evt_zorder" -> ((s, d) => {
+      val b = events(s, d).select(
+        (col("user_id") % 65536).as("x"),
+        (graft.functions.FastRound.round(col("value") * 100, 0)
+          .cast("long") % 65536).as("y"))
+      b.withColumn("z",
+          graft.operators.ZOrder.zValue(col("x"), col("y")))
+        .groupBy(shiftright(col("z"), 18).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+    }),
 
     // CUBE over (event_type, day): all four grouping-set combinations in
     // one pass (Expand + single hash aggregate under Catalyst). Grouping
@@ -508,6 +544,21 @@ object TrainQueries {
           .select(col("cluster").as("cid"), col("centroid")),
         k = 5, nProbe = 3)
     }),
+
+    // product-quantization code table (vec_id, j, code): 4 subspaces x
+    // 16 dims, per-subspace deterministic kmeans codebooks — the m-bytes
+    // -per-vector compressed representation a 100 TB ANN index scans
+    // instead of the raw embeddings
+    "ann_pq_codes" -> ((s, d) => pqIndex(s, d)),
+
+    // asymmetric-distance (ADC) top-5: queries build an m*k lookup table
+    // of subspace dots against the codebooks; each candidate's score is
+    // m map lookups summed in subspace order — the corpus scan never
+    // touches a raw vector
+    "ann_pq_adc_topk" -> ((s, d) =>
+      graft.similarity.ProductQuantization.adcTopK(
+        pqIndex(s, d), embs(s, d).filter(col("vec_id") < 10),
+        pqBooks(s, d), m = 4, subDim = 16, k = 8, topK = 5)),
 
     // TF-IDF top-3 terms per document (smoothed idf, rank on the rounded
     // score so cross-engine ln ULPs can't flip the selection)

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Triangles, ZOrder}
+import graft.similarity.ProductQuantization
+
+/** Unit fixtures for the round-6 graph/layout/compression operators:
+ * triangle counting, z-order clustering, product quantization. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(rows: (Long, Long)*): DataFrame = rows.toDF("p1", "p2")
+
+  test("triangles: single triangle counts every corner once") {
+    val r = Triangles.perNode(edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // 4 is in no triangle
+  }
+
+  test("triangles: shared edge yields two triangles, middle nodes count both") {
+    val r = Triangles.perNode(
+        edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangles: triangle-free and empty graphs yield no rows") {
+    assert(Triangles.perNode(edges((1L, 2L), (2L, 3L))).count() == 0)
+    assert(Triangles.perNode(edges()).count() == 0)
+  }
+
+  private def z(x: Long, y: Long): Long =
+    Seq((x, y)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"))).as[Long].collect().head
+
+  test("zValue interleaves bits (x even positions, y odd)") {
+    assert(z(1L, 0L) == 1L)
+    assert(z(0L, 1L) == 2L)
+    assert(z(3L, 3L) == 15L)
+    assert(z(65535L, 0L) == 0x55555555L)
+    assert(z(0L, 65535L) == 0xAAAAAAAAL)
+    // only the low 16 bits of each dimension participate
+    assert(z(65536L, 0L) == 0L)
+    assert(z(65537L, 0L) == 1L)
+  }
+
+  test("zValue locality: adjacent codes stay in a tight (x, y) box") {
+    // the z >> 2 bucket of any code covers at most a 2x2 rectangle
+    val pts = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val boxes = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y")).as("zv"))
+      .groupBy((col("zv") / 4).cast("long").as("b"))
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .as[(Long, Long, Long)].collect()
+    assert(boxes.nonEmpty && boxes.forall { case (_, dx, dy) => dx <= 1 && dy <= 1 })
+  }
+
+  test("zOrderBy plans one range exchange + in-partition sort on z") {
+    val df = graft.util.Snapshot(
+      (0L until 64L).map(i => (i % 8, i / 8)).toDF("x", "y"))
+    val out = ZOrder.zOrderBy(df, col("x"), col("y"))
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.toLowerCase.contains("rangepartitioning"), s"no range exchange in:\n$p")
+    assert(p.contains("Sort"), s"no sort in:\n$p")
+  }
+
+  test("suffixKeys emits every token suffix of length >= minLen, distinct") {
+    val attrs = Seq((1L, 0L, "name", "Abcde abcd e"), (2L, 0L, "name", "bcde"))
+      .toDF("profile_id", "source_id", "attribute", "value")
+    val r = graft.er.Blocking.suffixKeys(attrs, minLen = 4)
+      .select("profile_id", "key").as[(Long, String)].collect().toSet
+    // abcde -> abcde, bcde; abcd -> abcd; e -> (too short); bcde -> bcde
+    assert(r == Set((1L, "abcde"), (1L, "bcde"), (1L, "abcd"), (2L, "bcde")))
+  }
+
+  /** Two well-separated groups in both subspaces; ids alternate so the
+   * lowest-id kmeans init seeds one centroid in each group. */
+  private def pqFixture: DataFrame = Seq(
+    (0L, Array(10.0f, 10.0f, 10.0f, 10.0f)),
+    (1L, Array(-10.0f, -10.0f, -10.0f, -10.0f)),
+    (2L, Array(10.2f, 9.8f, 10.2f, 9.8f)),
+    (3L, Array(-10.2f, -9.8f, -10.2f, -9.8f)),
+    (4L, Array(9.9f, 10.1f, 9.9f, 10.1f)),
+    (5L, Array(-9.9f, -10.1f, -9.9f, -10.1f))
+  ).toDF("vec_id", "embedding")
+
+  test("pq: codebooks carry m*k centroids of subDim width") {
+    val books = ProductQuantization.codebooks(pqFixture, m = 2, subDim = 2,
+      k = 2, iters = 1)
+    val rows = books.select(col("j"), col("cluster"), size(col("centroid")))
+      .as[(Int, Long, Int)].collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_._3 == 2))
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      Set((0, 0L), (0, 1L), (1, 0L), (1, 1L)))
+  }
+
+  test("pq: group members share codes; codes address the codebook") {
+    val books = ProductQuantization.codebooks(pqFixture, m = 2, subDim = 2,
+      k = 2, iters = 1)
+    val codes = ProductQuantization.encode(pqFixture, books, m = 2, subDim = 2)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(codes.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(codes.values.forall(_.length == 2))
+    assert(codes(0L) == codes(2L) && codes(2L) == codes(4L))
+    assert(codes(1L) == codes(3L) && codes(3L) == codes(5L))
+    assert(codes(0L) != codes(1L))
+  }
+
+  test("pq adc: same-group candidates rank first, ties break on id") {
+    val books = ProductQuantization.codebooks(pqFixture, m = 2, subDim = 2,
+      k = 2, iters = 1)
+    val index = ProductQuantization.encode(pqFixture, books, m = 2, subDim = 2)
+    val r = ProductQuantization.adcTopK(index,
+        pqFixture.filter(col("vec_id") === 0L), books,
+        m = 2, subDim = 2, k = 2, topK = 3)
+      .orderBy("rn").as[(Long, Long, Double, Int)].collect()
+    // 2 and 4 share q's codes (identical ADC score) -> id ascending;
+    // the negative group scores below them, smallest id (1) third
+    assert(r.map(_._2).toSeq == Seq(2L, 4L, 1L))
+    assert(r(0)._3 == r(1)._3 && r(1)._3 > r(2)._3)
+    assert(r.map(_._4).toSeq == Seq(1, 2, 3))
+  }
+}
