@@ -165,9 +165,15 @@ object Blocking {
    * its key snapshot, never recomputed.
    */
   def incrementalPairs(existingKeys: DataFrame, newKeys: DataFrame,
-                       maxBlockSize: Long = 1000L): DataFrame = {
-    val sized = cappedKeys(existingKeys, newKeys, maxBlockSize,
-      "incremental_pairs_cap")
+                       maxBlockSize: Long = 1000L): DataFrame =
+    incrementalPairsFrom(cappedKeys(existingKeys, newKeys, maxBlockSize,
+      "incremental_pairs_cap"))
+
+  /** [[incrementalPairs]] from a pre-capped (key, profile_id, is_new)
+   * union — e.g. the per-dir snapshot every incremental query shares
+   * (re-deriving the capped-key window per query was most of the
+   * incremental family's steady cost). */
+  def incrementalPairsFrom(sized: DataFrame): DataFrame = {
     val a = sized.filter(col("is_new") === 1)
       .select(col("key"), col("profile_id").as("pa"))
     val b = sized.select(col("key"), col("profile_id").as("pb"), col("is_new").as("nb"))
@@ -184,8 +190,8 @@ object Blocking {
    * COMBINED block exceeds `maxBlockSize` purged. The cap changes recall,
    * so the purge count is observable (metrics node `metricName`,
    * [[graft.util.CapMetrics]]). */
-  private def cappedKeys(existingKeys: DataFrame, newKeys: DataFrame,
-                         maxBlockSize: Long, metricName: String): DataFrame = {
+  def cappedKeys(existingKeys: DataFrame, newKeys: DataFrame,
+                 maxBlockSize: Long, metricName: String): DataFrame = {
     val all = existingKeys.select(col("key"), col("profile_id"))
       .withColumn("is_new", lit(0))
       .unionByName(newKeys.select(col("key"), col("profile_id"))
@@ -231,11 +237,17 @@ object Blocking {
   def incrementalWnp(existingKeys: DataFrame, newKeys: DataFrame,
                      maxBlockSize: Long = 1000L,
                      weight: WeightType.Value = WeightType.CBS,
-                     eps: Double = 1e-9): DataFrame = {
+                     eps: Double = 1e-9): DataFrame =
+    incrementalWnpFrom(cappedKeys(existingKeys, newKeys, maxBlockSize,
+      "incremental_wnp_cap"), weight, eps)
+
+  /** [[incrementalWnp]] from a pre-capped (key, profile_id, is_new)
+   * union (see [[incrementalPairsFrom]]). */
+  def incrementalWnpFrom(sized: DataFrame,
+                         weight: WeightType.Value = WeightType.CBS,
+                         eps: Double = 1e-9): DataFrame = {
     require(weight == WeightType.CBS || weight == WeightType.JS,
       s"incrementalWnp supports CBS and JS, got $weight")
-    val sized = cappedKeys(existingKeys, newKeys, maxBlockSize,
-      "incremental_wnp_cap")
     val a = sized.filter(col("is_new") === 1)
       .select(col("key"), col("profile_id").as("src"))
     val b = sized.select(col("key"), col("profile_id").as("dst"), col("is_new").as("nb"))

@@ -1043,11 +1043,29 @@ object TrainOracles {
     "ann_pq_codes" -> ErOracles.materializeCtes(
       pqCodesSql(m = 4, subDim = 16, k = 8, iters = 2)),
 
+    // streaming PQ ingest twin: the same code table filtered to the
+    // arriving ids (codebooks trained on the full corpus — the standing
+    // model the stream encodes against)
+    "ann_pq_stream" -> ErOracles.materializeCtes(
+      pqCodesSql(m = 4, subDim = 16, k = 8, iters = 2,
+        where = " WHERE vec_id % 10 = 0")),
+
     // ADC twin: per-query m*k lookup table of subspace dots, candidate
     // score = j-ascending ordered sum of code lookups rounded to 9,
     // self-matches excluded before the (approx DESC, nn_id ASC) rank
     "ann_pq_adc_topk" -> ErOracles.materializeCtes(
       pqAdcSql(m = 4, subDim = 16, k = 8, iters = 2, topK = 5)),
+
+    // index-quality twin: ADC top-5 intersected with the exact cosine
+    // top-5 per query, missing queries surfacing as recall 0
+    "ann_pq_recall" -> ErOracles.materializeCtes(
+      pqRecallSql(m = 4, subDim = 16, k = 8, iters = 2, topK = 5)),
+
+    // IVF+PQ twin: trained coarse lists prune candidates, codes + lut
+    // score the survivors — adcTopK restricted to the probed lists
+    "ann_ivfpq_topk" -> ErOracles.materializeCtes(
+      ivfpqSql(m = 4, subDim = 16, k = 8, iters = 2,
+        coarseK = 8, coarseIters = 2, nProbe = 3, topK = 5)),
 
     // BM25 twin: identical operand order/associativity per factor, sum
     // rounded to 9 before the rank (ln ULP guard, the tfidf pattern)
@@ -1216,28 +1234,97 @@ object TrainOracles {
     (base +: trainings) ++ (Seq(cb, subr) ++ codes)
   }
 
-  private def pqCodesSql(m: Int, subDim: Int, k: Int, iters: Int): String =
+  private def pqCodesSql(m: Int, subDim: Int, k: Int, iters: Int,
+                         where: String = ""): String =
     s"""WITH ${pqCtes(m, subDim, k, iters).mkString(",\n")}
-       |SELECT vec_id, CAST(j AS INTEGER) AS j, code FROM codes""".stripMargin
+       |SELECT vec_id, CAST(j AS INTEGER) AS j, code FROM codes$where""".stripMargin
 
-  private def pqAdcSql(m: Int, subDim: Int, k: Int, iters: Int,
+  /** The per-query ADC lookup table over `subr`/`cb` (from [[pqCtes]]). */
+  private def pqLutCte(subDim: Int): String =
+    s"""lut AS (SELECT q.vec_id AS query_id, c.j, c.cluster,
+       |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, $subDim),
+       |    i -> q.sub[i] * c.centroid[i])), (acc, v) -> acc + v) AS v
+       |  FROM subr q JOIN cb c ON q.j = c.j WHERE q.vec_id < 10)""".stripMargin
+
+  /** ADC CTEs over `subr`/`cb`/`codes` (from [[pqCtes]]): per-query
+   * lookup table, j-ordered score sums, per-query rank. */
+  private def pqAdcCtes(subDim: Int): Seq[String] = Seq(
+    pqLutCte(subDim),
+    """scored AS (SELECT l.query_id, c.vec_id AS nn_id,
+      |  round(list_reduce(list_prepend(0.0, list(l.v ORDER BY c.j)),
+      |    (acc, v) -> acc + v), 9) AS approx
+      |  FROM codes c JOIN lut l ON l.j = c.j AND l.cluster = c.code
+      |  WHERE l.query_id <> c.vec_id
+      |  GROUP BY l.query_id, c.vec_id)""".stripMargin,
+    """ranked AS (SELECT query_id, nn_id, approx,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, nn_id ASC) AS rn
+      |  FROM scored)""".stripMargin)
+
+  /** IVF+PQ twin: the trained coarse quantizer's lists (kmeansCtes, ""
+   * prefix) prune candidates — probe assignment mirrors ivfKmeansSql's
+   * rounded-cosine ranks — and the survivors are ADC-scored from their
+   * codes via the shared lut CTE. */
+  private def ivfpqSql(m: Int, subDim: Int, k: Int, iters: Int,
+                       coarseK: Int, coarseIters: Int, nProbe: Int,
                        topK: Int): String = {
-    val adc = Seq(
-      s"""lut AS (SELECT q.vec_id AS query_id, c.j, c.cluster,
-         |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, $subDim),
-         |    i -> q.sub[i] * c.centroid[i])), (acc, v) -> acc + v) AS v
-         |  FROM subr q JOIN cb c ON q.j = c.j WHERE q.vec_id < 10)""".stripMargin,
-      """scored AS (SELECT l.query_id, c.vec_id AS nn_id,
+    val (coarse, _) = kmeansCtes(coarseK, coarseIters)
+    val ivf = Seq(
+      s"cent AS (SELECT cluster AS cid, centroid FROM c$coarseIters)",
+      s"""asg0 AS (
+         |  SELECT c.vec_id AS nn_id, cent.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |           ORDER BY round(${cosine("c.embedding", "cent.centroid")}, 9) DESC, cent.cid ASC) AS rn
+         |  FROM embeddings c CROSS JOIN cent)""".stripMargin,
+      "asg AS (SELECT nn_id, cid FROM asg0 WHERE rn = 1)",
+      s"""pr0 AS (
+         |  SELECT q.vec_id AS query_id, cent.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |           ORDER BY round(${cosine("q.embedding", "cent.centroid")}, 9) DESC, cent.cid ASC) AS rn
+         |  FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 10)""".stripMargin,
+      s"pr AS (SELECT query_id, cid FROM pr0 WHERE rn <= $nProbe)",
+      """icand AS (SELECT pr.query_id, asg.nn_id
+        |  FROM asg JOIN pr USING (cid) WHERE pr.query_id <> asg.nn_id)""".stripMargin,
+      """iscored AS (SELECT ic.query_id, ic.nn_id,
         |  round(list_reduce(list_prepend(0.0, list(l.v ORDER BY c.j)),
         |    (acc, v) -> acc + v), 9) AS approx
-        |  FROM codes c JOIN lut l ON l.j = c.j AND l.cluster = c.code
-        |  WHERE l.query_id <> c.vec_id
-        |  GROUP BY l.query_id, c.vec_id)""".stripMargin,
-      """ranked AS (SELECT query_id, nn_id, approx,
+        |  FROM icand ic
+        |  JOIN codes c ON c.vec_id = ic.nn_id
+        |  JOIN lut l ON l.query_id = ic.query_id AND l.j = c.j AND l.cluster = c.code
+        |  GROUP BY ic.query_id, ic.nn_id)""".stripMargin,
+      """iranked AS (SELECT query_id, nn_id, approx,
         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, nn_id ASC) AS rn
-        |  FROM scored)""".stripMargin)
-    s"""WITH ${(pqCtes(m, subDim, k, iters) ++ adc).mkString(",\n")}
+        |  FROM iscored)""".stripMargin)
+    s"""WITH ${(coarse ++ pqCtes(m, subDim, k, iters) ++ (pqLutCte(subDim) +: ivf)).mkString(",\n")}
+       |SELECT query_id, nn_id, approx, rn FROM iranked WHERE rn <= $topK""".stripMargin
+  }
+
+  private def pqAdcSql(m: Int, subDim: Int, k: Int, iters: Int,
+                       topK: Int): String =
+    s"""WITH ${(pqCtes(m, subDim, k, iters) ++ pqAdcCtes(subDim)).mkString(",\n")}
        |SELECT query_id, nn_id, approx, rn FROM ranked WHERE rn <= $topK""".stripMargin
+
+  /** Recall@topK of the ADC ranking against the exact brute-force
+   * cosine top-k (the ann_brute_topk twin's CTEs, names b-prefixed). */
+  private def pqRecallSql(m: Int, subDim: Int, k: Int, iters: Int,
+                          topK: Int): String = {
+    val brute = Seq(
+      s"pqtop AS (SELECT query_id, nn_id FROM ranked WHERE rn <= $topK)",
+      "bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10)",
+      "bc AS (SELECT vec_id AS nn_id, embedding AS ce FROM embeddings)",
+      s"""bscored AS (SELECT query_id, nn_id, round(${cosine("qe", "ce")}, 9) AS cos
+         |  FROM bc CROSS JOIN bq WHERE query_id <> nn_id)""".stripMargin,
+      """branked AS (SELECT query_id, nn_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rn
+        |  FROM bscored)""".stripMargin,
+      s"btop AS (SELECT query_id, nn_id FROM branked WHERE rn <= $topK)",
+      """hits AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM btop b JOIN pqtop p ON b.query_id = p.query_id AND b.nn_id = p.nn_id
+        |  GROUP BY 1)""".stripMargin)
+    s"""WITH ${(pqCtes(m, subDim, k, iters) ++ pqAdcCtes(subDim) ++ brute).mkString(",\n")}
+       |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / $topK.0 AS recall_at_$topK
+       |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+       |LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin
   }
 
   /** SemDeDup twin: the ann_cos_neardup_hi planted union, the unrolled

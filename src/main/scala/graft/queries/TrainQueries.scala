@@ -89,18 +89,34 @@ object TrainQueries {
       graft.similarity.ProductQuantization.encode(
         embs(s, d), pqBooks(s, d), m = 4, subDim = 16)))
 
-  /** Pre-builds the memoized shingle/simhash/centroid caches (Warmup). */
+  /** Pre-builds the memoized caches, exposed as INDEPENDENT chains so
+   * [[Warmup]] runs them on separate threads (one serial `warm` made the
+   * train task the whole warmup's critical path — 432s in the r6
+   * pre-bench while other pools sat finished):
+   *  - text chain: shingles -> dedup pair-graph -> connected components
+   *    (r5: the first consumer of dedup_clusters paid 47s for the CC
+   *    iterations), plus the simhash + winnow fingerprints;
+   *  - embedding chain: kmeans + semdedup centroids, PQ codebooks+index;
+   *  - LSH chain: the standing streaming corpus index (r5: every benched
+   *    ingest run rebuilt it).
+   */
+  def warmText(s: SparkSession, d: String): Unit = {
+    shingles3(s, d); clusters3(s, d); ()
+  }
+  def warmFingerprints(s: SparkSession, d: String): Unit = {
+    simhashFp(s, d); winnowFp(s, d); ()
+  }
+  def warmEmbeddings(s: SparkSession, d: String): Unit = {
+    kmeansCentroids(s, d); semCentroids(s, d); pqIndex(s, d); ()
+  }
+  def warmLshIndex(s: SparkSession, d: String): Unit = {
+    graft.streaming.EventStreams.lshCorpusIndex(s, d); ()
+  }
+
+  /** All chains serially (non-Warmup callers). */
   def warm(s: SparkSession, d: String): Unit = {
-    shingles3(s, d); simhashFp(s, d); kmeansCentroids(s, d)
-    winnowFp(s, d)
-    // the dedup pair-graph -> connected-components chain (r5: the first
-    // consumer of dedup_clusters paid 47s for the CC iterations) and the
-    // standing streaming-LSH corpus index (r5: every benched ingest run
-    // rebuilt it) are shared per-dir caches too
-    clusters3(s, d)
-    graft.streaming.EventStreams.lshCorpusIndex(s, d)
-    semCentroids(s, d)
-    pqIndex(s, d); ()
+    warmText(s, d); warmFingerprints(s, d); warmEmbeddings(s, d)
+    warmLshIndex(s, d)
   }
 
   private def embs(s: SparkSession, d: String): DataFrame =
@@ -559,6 +575,48 @@ object TrainQueries {
       graft.similarity.ProductQuantization.adcTopK(
         pqIndex(s, d), embs(s, d).filter(col("vec_id") < 10),
         pqBooks(s, d), m = 4, subDim = 16, k = 8, topK = 5)),
+
+    // PQ index quality: recall@5 of the ADC ranking vs the exact
+    // brute-force cosine top-5 — the go/no-go metric for the chosen
+    // (m, k) compression before pointing a 100 TB scan at the codes
+    "ann_pq_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select("query_id", "nn_id")
+      val approx = graft.similarity.ProductQuantization.adcTopK(
+          pqIndex(s, d), q, pqBooks(s, d), m = 4, subDim = 16, k = 8,
+          topK = 5)
+        .select("query_id", "nn_id")
+      val hits = exact.join(approx, Seq("query_id", "nn_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) / 5.0).as("recall_at_5"))
+    }),
+
+    // IVF+PQ (FAISS IndexIVFPQ): the trained coarse quantizer's lists
+    // prune the corpus to nProbe/nLists, then ADC scores the survivors
+    // from their codes alone — at 100 TB the scan touches ~3/8 of the
+    // m-bytes-per-vector code table and zero raw embeddings
+    "ann_ivfpq_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      graft.similarity.ProductQuantization.ivfpqTopK(
+        e, e.filter(col("vec_id") < 10),
+        kmeansCentroids(s, d).select(col("cluster").as("cid"), col("centroid")),
+        pqIndex(s, d), pqBooks(s, d),
+        m = 4, subDim = 16, k = 8, nProbe = 3, topK = 5)
+    }),
+
+    // streaming PQ ingest: the arriving 10% of vectors encoded against
+    // the standing codebooks as a stateless projection (no join, no
+    // state) — AvailableNow drain equals the batch encode of the subset
+    "ann_pq_stream" -> ((s, d) =>
+      EventStreams.pqEncodeStreaming(s, d,
+        graft.similarity.ProductQuantization.collectModel(pqBooks(s, d)),
+        m = 4, subDim = 16)),
 
     // TF-IDF top-3 terms per document (smoothed idf, rank on the rounded
     // score so cross-engine ln ULPs can't flip the selection)

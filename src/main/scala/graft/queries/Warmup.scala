@@ -66,8 +66,14 @@ object Warmup {
           step("blast_chain/weighted")(SupQueries.blastWeighted(s, d))
         },
         task("wnp_3src")(ErQueries.all("er_wnp_cbs_3src")(s, d)),
-        task("train") {
-          TrainQueries.warm(s, d)
+        // the train caches as four independent chains (one serial task
+        // made "train" the whole warmup's critical path: 432s in the r6
+        // pre-bench while the spine pools sat finished)
+        task("train/text")(TrainQueries.warmText(s, d)),
+        task("train/fingerprints")(TrainQueries.warmFingerprints(s, d)),
+        task("train/embeddings")(TrainQueries.warmEmbeddings(s, d)),
+        task("train/lsh") {
+          TrainQueries.warmLshIndex(s, d)
           // first run of the streaming-LSH gate AFTER its corpus index is
           // built: stream-side band-key codegen + checkpoint setup were
           // 9.6s run1 vs 2.0s steady in the r6 pre-bench
@@ -85,7 +91,18 @@ object Warmup {
         task("incr_wnp") {
           ErQueries.incrementalWnpCbs(s, d)
           step("incr_wnp/first_js")(ErQueries.all("er_incremental_js")(s, d).count())
-        })
+        },
+        // remaining r6 run1-cliff queries, all dependency-free: their
+        // first execution pays plan + codegen (txt_repetition 10.4s,
+        // mm_chunks 8.3s, er_tokens_stream 5.9s vs 1.3/0.1/1.4s steady)
+        task("first/txt_repetition")(TrainQueries.all("txt_repetition")(s, d).count()),
+        task("first/mm_chunks")(TrainQueries.all("mm_chunks")(s, d).count()),
+        task("first/er_tokens_stream")(ErQueries.all("er_tokens_stream")(s, d).count()),
+        task("first/txt_decon_bloom")(TrainQueries.all("txt_decon_bloom")(s, d).count()),
+        task("first/txt_boilerplate")(TrainQueries.all("txt_boilerplate")(s, d).count()),
+        task("first/txt_vocab")(TrainQueries.all("txt_vocab")(s, d).count()),
+        task("first/ann_brute")(TrainQueries.all("ann_brute_topk")(s, d).count()),
+        task("first/snb")(ErQueries.all("er_snb_pairs")(s, d).count()))
       // dependent waves over the blocking/cleaning spine
       awaitAll(Seq(
         task("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false)),
@@ -108,7 +125,12 @@ object Warmup {
         task("wnp_cbs")(ErQueries.wnpCbsAvgOrDirty(s, d)),
         task("wnp_cbs_clean")(ErQueries.wnpCbsAvgOrClean(s, d)),
         task("directed_cbs_clean")(ErQueries.directedCbsClean(s, d)),
-        task("positives")(SupQueries.positives(s, d))))
+        task("positives")(SupQueries.positives(s, d)),
+        // the JS max2 WNP's first execution compiles the widest
+        // threshold-join codegen of the scheme matrix (15.9s run1 vs
+        // 0.8s steady in the r6 pre-bench) — its wide-weights input is
+        // ready after the previous wave
+        task("first/wnp_js_max2")(ErQueries.all("er_wnp_js_max2_or_dirty")(s, d).count())))
       // first-touch pass over the queries whose run1 was a multiple of
       // their steady time in r5 (er_cep_js_dirty 130.9s vs 3.3s,
       // er_wnp_cbs_avg_and_dirty 23.2s): these terminate in no Snapshot,
@@ -124,8 +146,13 @@ object Warmup {
         task("first/sup_cnp")(SupQueries.all("sup_cnp")(s, d).count()),
         task("first/blast_keys")(SupQueries.all("blast_keys_nodefault")(s, d).count()),
         // matched pairs -> entity CC chain (shared by er_match_edit,
-        // er_entities, er_golden)
-        task("entities")(ErQueries.entities(s, d))))
+        // er_entities, er_golden), then the triangle enumeration's first
+        // run over it (10.1s run1 vs 1.0s steady in the r6 pre-bench)
+        task("entities") {
+          ErQueries.entities(s, d)
+          step("entities/first_triangles")(
+            ErQueries.all("er_triangles")(s, d).count())
+        }))
       awaitAll(indep)
     } finally {
       // A failed dependent wave skips awaitAll(indep) — drain the

@@ -38,14 +38,13 @@ import org.apache.spark.sql.functions._
  */
 object KMeans {
 
-  /** Squared L2 distance in strict element order: the (a-b) differences
-   * via zip_with, then a codegen'd sequential sum of squares (VecDot of
-   * the difference with itself) — the oracle folds
+  /** Squared L2 distance in strict element order — one codegen'd
+   * primitive loop ([[graft.functions.VecSqDist]]; the earlier
+   * zip_with-the-difference composition paid CodegenFallback
+   * interpretation per candidate pair). The oracle folds
    * (e[i]-c[i])*(e[i]-c[i]) left to right identically. */
-  def sqDist(a: Column, b: Column): Column = {
-    val diff = zip_with(a, b, (x, y) => x - y)
-    graft.functions.VecDot.dot(diff, diff)
-  }
+  def sqDist(a: Column, b: Column): Column =
+    graft.functions.VecSqDist.sqDist(a, b)
 
   private def asDouble(emb: Column): Column =
     transform(emb, v => v.cast("double"))

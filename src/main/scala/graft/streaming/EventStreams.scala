@@ -322,6 +322,33 @@ object EventStreams {
     spark.read.parquet(path)
   }
 
+  /**
+   * Streaming PQ encode — new embedding vectors (vec_id % 10 == 0, the
+   * batch convention) arrive as parquet files and are encoded against
+   * the STANDING trained codebooks on arrival: the production "compress
+   * the incoming vectors into the ANN index" ingest. The collected
+   * model rides in the task binaries
+   * ([[graft.similarity.ProductQuantization.encodeWith]]), so the
+   * stream side is a pure stateless projection — no stream-static join,
+   * no state store, nothing to watermark. AvailableNow + one batch =>
+   * the emitted codes equal the batch encode of the same subset, which
+   * is the DuckDB oracle (the full code-table twin filtered to the
+   * arriving ids).
+   */
+  def pqEncodeStreaming(spark0: SparkSession, dir: String,
+                        model: graft.similarity.ProductQuantization.Model,
+                        m: Int, subDim: Int): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val vecs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(streamDirFor(dir, "embs_pq_", "embeddings.parquet"))
+      .filter(col("vec_id") % 10 === 0)
+    val codes = graft.similarity.ProductQuantization
+      .encodeWith(vecs, model, m, subDim)
+    drainAvailableNow(codes, "ann_pq_stream", "append")
+  }
+
   def lshIngestStreaming(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema

@@ -112,6 +112,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(codes(0L) != codes(1L))
   }
 
+  test("pq encode is a pure projection: zero exchanges in the plan") {
+    val books = ProductQuantization.codebooks(pqFixture, m = 2, subDim = 2,
+      k = 2, iters = 1)
+    val out = ProductQuantization.encode(graft.util.Snapshot(pqFixture),
+      books, m = 2, subDim = 2)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"unexpected exchange in:\n$p")
+  }
+
+  test("ivfpq: nProbe=1 restricts candidates to the query's own list") {
+    val books = ProductQuantization.codebooks(pqFixture, m = 2, subDim = 2,
+      k = 2, iters = 1)
+    val index = ProductQuantization.encode(pqFixture, books, m = 2, subDim = 2)
+    val coarse = graft.similarity.KMeans.centroids(pqFixture, k = 2, iters = 1)
+      .select(col("cluster").as("cid"), col("centroid"))
+    val r = ProductQuantization.ivfpqTopK(pqFixture,
+        pqFixture.filter(col("vec_id") === 0L), coarse, index, books,
+        m = 2, subDim = 2, k = 2, nProbe = 1, topK = 5)
+      .orderBy("rn").as[(Long, Long, Double, Int)].collect()
+    // the negative group's list is never probed: only 2 and 4 surface
+    assert(r.map(_._2).toSeq == Seq(2L, 4L))
+    assert(r.map(_._4).toSeq == Seq(1, 2))
+  }
+
   test("pq adc: same-group candidates rank first, ties break on id") {
     val books = ProductQuantization.codebooks(pqFixture, m = 2, subDim = 2,
       k = 2, iters = 1)
