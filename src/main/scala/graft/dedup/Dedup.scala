@@ -98,6 +98,59 @@ object Dedup {
   }
 
   /**
+   * Prefix-filtered exact Jaccard join (the SSJoin/PPJoin prefix
+   * principle — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): two
+   * shingle sets with Jaccard >= t must share a token within each set's
+   * first L = |x| - ceil(t·|x|) + 1 tokens under ANY total order both
+   * sides use, so candidate pairs are generated from prefix tokens only
+   * and then verified exactly. LOSSLESS — the result equals the naive
+   * all-pairs join (which is exactly what the DuckDB oracle computes),
+   * unlike [[jaccardPairs]] whose frequency cap trades recall for skew
+   * safety; the prefix filter is how the same skew is tamed with NO
+   * recall loss: a stop-shingle shared by half the corpus almost never
+   * appears in anyone's rare-first prefix.
+   *
+   * Order: ascending (df, shingle), rarest first — the order that
+   * minimizes prefix posting lists. No global rank is materialized:
+   * each document sorts ITS OWN tokens with the shared (df, shingle)
+   * comparator (array_sort over structs), so the only corpus-global
+   * statistic is the df aggregate, one map-side-combinable shuffle.
+   * Verification is row-local: each candidate pair joins the two
+   * pre-sorted shingle arrays and intersects them in place
+   * (array_intersect) — no posting re-explosion. The ceil gets a 1e-9
+   * guard so float rounding can only LENGTHEN a prefix (still lossless),
+   * never shorten one (which could drop a true pair).
+   */
+  def ppjoinPairs(sh0: DataFrame, threshold: Double): DataFrame = {
+    val sh = graft.util.Snapshot(sh0)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val docs = graft.util.Snapshot(sh.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("shingle")))),
+        x => x.getField("shingle")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")))
+    val pre = docs.select(col("doc_id"),
+      explode(slice(col("toks"), lit(1), col("plen"))).as("shingle"))
+    val cand = pre.select(col("shingle"), col("doc_id").as("d1"))
+      .join(pre.select(col("shingle"), col("doc_id").as("d2")), Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("toks").as("t1"),
+        col("sz").as("sz1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("toks").as("t2"),
+        col("sz").as("sz2")), Seq("d2"))
+      .withColumn("common", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz1") + col("sz2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"),
+        graft.functions.FastRound.round(col("jaccard"), 9).as("jaccard"))
+  }
+
+  /**
    * Benchmark decontamination: for every training document, the count
    * and fraction of a benchmark document's shingles it contains — the
    * train/test-overlap pass published LLM pipelines run before

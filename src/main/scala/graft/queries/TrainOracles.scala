@@ -53,6 +53,21 @@ object TrainOracles {
        | FROM $vecTable e CROSS JOIN (SELECT unnest(generate_series(0, ${planes - 1})) AS p) p
        | GROUP BY e.vec_id, e.embedding""".stripMargin.replace("\n", " ")
 
+  /** Shared banded-SRP near-dup prefix `np(v1, v2, cos)` at threshold
+   * 0.4 — the ann_cos_neardup pairs the DBSCAN twin clusters over. */
+  private lazy val neardupCtes: String =
+    s"""WITH vs AS (${srpBucket("embeddings", 16).replace(" AS bucket ", " AS sig ")}),
+       |vb AS (SELECT vec_id, CAST(b.b AS INTEGER) AS band,
+       |              (sig >> CAST(b.b * 4 AS INTEGER)) & 15 AS bkey
+       |       FROM vs, (SELECT unnest(generate_series(0, 3)) AS b) b),
+       |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+       |         FROM vb a JOIN vb b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |np AS (SELECT c.v1, c.v2, round(${cosine("e1.embedding", "e2.embedding")}, 9) AS cos
+       |       FROM cand c JOIN embeddings e1 ON c.v1 = e1.vec_id
+       |       JOIN embeddings e2 ON c.v2 = e2.vec_id
+       |       WHERE round(${cosine("e1.embedding", "e2.embedding")}, 9) >= 0.4),
+       |""".stripMargin
+
   /** Twin of Dedup.simhash's lane votes: from a `th(doc_id, h)` CTE of
    * distinct-token hashes, four affine lane hashes
    * (hashA(j)*h + hashB(j)) % Mod and a +1/-1 vote per fingerprint bit
@@ -280,6 +295,19 @@ object TrainOracles {
          |       round(CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE), 9) AS jaccard
          |FROM cp JOIN szs s1 ON cp.d1 = s1.doc_id JOIN szs s2 ON cp.d2 = s2.doc_id
          |WHERE CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) >= 0.5""".stripMargin),
+
+    // ppjoin twin: the NAIVE all-pairs exact Jaccard join, no prefix
+    // logic and no frequency cap — the prefix filter is lossless, so
+    // matching this naive result IS the losslessness proof
+    "dedup_ppjoin" -> (shinglePrelude +
+      """szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS common
+        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |       round(CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE), 9) AS jaccard
+        |FROM pr JOIN szs s1 ON pr.d1 = s1.doc_id JOIN szs s2 ON pr.d2 = s2.doc_id
+        |WHERE CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) >= 0.5""".stripMargin),
 
     "dedup_minhash_sig" -> (shinglePrelude + sigCte +
       "x AS (SELECT 1) SELECT doc_id, i, sig FROM sigs"),
@@ -529,17 +557,35 @@ object TrainOracles {
          |  FROM cand)
          |SELECT query_id, nn_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
 
-    "ann_cos_neardup" ->
-      s"""WITH vs AS (${srpBucket("embeddings", 16).replace(" AS bucket ", " AS sig ")}),
-         |vb AS (SELECT vec_id, CAST(b.b AS INTEGER) AS band,
-         |              (sig >> CAST(b.b * 4 AS INTEGER)) & 15 AS bkey
-         |       FROM vs, (SELECT unnest(generate_series(0, 3)) AS b) b),
-         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-         |         FROM vb a JOIN vb b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
-         |SELECT c.v1, c.v2, round(${cosine("e1.embedding", "e2.embedding")}, 9) AS cos
-         |FROM cand c JOIN embeddings e1 ON c.v1 = e1.vec_id
-         |JOIN embeddings e2 ON c.v2 = e2.vec_id
-         |WHERE round(${cosine("e1.embedding", "e2.embedding")}, 9) >= 0.4""".stripMargin,
+    "ann_cos_neardup" -> (neardupCtes +
+      "x AS (SELECT 1) SELECT v1, v2, cos FROM np"),
+
+    // DBSCAN twin over the same banded-SRP eps-graph: degree >= 2 (=
+    // minPts 3 counting the point itself) -> core, recursive-CTE
+    // closure over core-core edges labeled by MIN reachable id,
+    // deterministic MIN-cluster border assignment, remainder noise
+    "ann_dbscan" -> ErOracles.materializeCtes((neardupCtes +
+      """und AS (SELECT v1 AS u, v2 AS v FROM np UNION ALL SELECT v2, v1 FROM np),
+        |core AS (SELECT u FROM (SELECT u, COUNT(*) AS deg FROM und GROUP BY u) dd
+        |         WHERE deg >= 2),
+        |ce AS (SELECT DISTINCT und.u, und.v
+        |       FROM und JOIN core c1 ON und.u = c1.u JOIN core c2 ON und.v = c2.u),
+        |reach(a, b) AS (
+        |  SELECT u, u FROM core
+        |  UNION
+        |  SELECT r.a, ce.v FROM reach r JOIN ce ON r.b = ce.u),
+        |cl AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        |bord AS (SELECT und.u AS vec_id, MIN(cl.cluster_id) AS cluster_id
+        |         FROM und JOIN cl ON und.v = cl.vec_id
+        |         WHERE und.u NOT IN (SELECT u FROM core)
+        |         GROUP BY und.u)
+        |SELECT vec_id, cluster_id, 'core' AS role FROM cl
+        |UNION ALL SELECT vec_id, cluster_id, 'border' AS role FROM bord
+        |UNION ALL SELECT e.vec_id, CAST(-1 AS BIGINT) AS cluster_id, 'noise' AS role
+        |FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM cl)
+        |  AND e.vec_id NOT IN (SELECT vec_id FROM bord)""".stripMargin)
+      .replaceFirst("WITH ", "WITH RECURSIVE ")),
 
     // planted perturbed twins (Similarity.plantNearDups) + the same banded
     // SRP candidate generation, verified at the production 0.9 threshold

@@ -156,6 +156,12 @@ object TrainQueries {
     "dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(shingles3(s, d), threshold = 0.5)),
 
+    // prefix-filtered exact Jaccard (SSJoin/PPJoin): candidates only
+    // from each doc's rarest-first prefix, verified row-locally —
+    // LOSSLESS, so the oracle is the plain naive all-pairs join
+    "dedup_ppjoin" -> ((s, d) =>
+      Dedup.ppjoinPairs(shingles3(s, d), threshold = 0.5)),
+
     "dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(shingles3(s, d), k = 16)),
 
@@ -231,6 +237,16 @@ object TrainQueries {
         idOffset = 10000000L, eps = 0.01)
       Similarity.cosineNearDupPairs(e.unionByName(planted), threshold = 0.9)
     }),
+
+    // DBSCAN over the banded-SRP eps-graph (threshold 0.4, minPts 3):
+    // degree -> core points -> CC over core-core edges -> deterministic
+    // border assignment; isolated near-dup edges fall out as noise
+    "ann_dbscan" -> ((s, d) =>
+      graft.similarity.Dbscan.cluster(
+        embs(s, d).select("vec_id"),
+        Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.4)
+          .select("v1", "v2"),
+        minPts = 3)),
 
     "evt_windowed_agg" -> ((s, d) =>
       EventStreams.windowedAggBatch(events(s, d))),

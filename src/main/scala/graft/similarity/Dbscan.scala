@@ -1,0 +1,65 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Density-based clustering (DBSCAN, Ester et al. KDD'96) over a
+ * precomputed eps-neighbor pair list — the "find the dense regions of
+ * embedding space" pass a curation pipeline runs to discover template
+ * families and spam clusters that pairwise near-dup thresholds treat as
+ * isolated edges.
+ *
+ * The eps-neighborhood graph comes in as (v1, v2) pairs — here the
+ * banded-SRP [[Similarity.cosineNearDupPairs]] output, so neighbor
+ * discovery is the same bucketed join the near-dup operator already
+ * bounds (never all-pairs). On top of it, DBSCAN is pure relational
+ * algebra:
+ *  - core points: |neighbors| >= minPts - 1 (minPts counts the point
+ *    itself) — one degree aggregate;
+ *  - clusters: connected components over core-core edges (hash-min
+ *    label propagation, [[graft.util.ConnectedComponents]]), labeled by
+ *    the smallest reachable core id;
+ *  - border points: non-core with a core neighbor, assigned the MIN
+ *    cluster label among their core neighbors (classic DBSCAN leaves
+ *    border assignment scan-order-dependent; MIN makes it
+ *    deterministic, which the oracle reproduces);
+ *  - everything else is noise (cluster_id -1).
+ *
+ * Every stage shuffles on a vertex or edge key — degree, CC iteration,
+ * border join are all O(edges) aggregates; nothing is driver-side.
+ */
+object Dbscan {
+
+  /** Cluster `allIds` (vec_id) given eps-neighbor `pairs` (v1, v2, one
+   * row per unordered pair). Returns (vec_id, cluster_id, role) with
+   * role in {core, border, noise}; noise gets cluster_id -1. */
+  def cluster(allIds: DataFrame, pairs: DataFrame, minPts: Int): DataFrame = {
+    val und = pairs.select(col("v1").as("u"), col("v2").as("v"))
+      .unionByName(pairs.select(col("v2").as("u"), col("v1").as("v")))
+    val core = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minPts - 1).select("u")
+    val coreEdges = und
+      .join(core.select(col("u")), Seq("u"))
+      .join(core.select(col("u").as("v")), Seq("v"))
+      .filter(col("u") < col("v"))
+      .select(col("u").as("p1"), col("v").as("p2"))
+      .distinct()
+    val cores = graft.util.ConnectedComponents.minLabel(
+      core.select(col("u").as("vec_id")), coreEdges,
+      idCol = "vec_id", srcCol = "p1", dstCol = "p2",
+      labelCol = "cluster_id")
+    val borders = und
+      .join(core.select(col("u")), Seq("u"), "left_anti")
+      .join(cores.select(col("vec_id").as("v"), col("cluster_id")), Seq("v"))
+      .groupBy(col("u").as("vec_id"))
+      .agg(min("cluster_id").as("cluster_id"))
+    val assigned = cores.withColumn("role", lit("core"))
+      .unionByName(borders.withColumn("role", lit("border")))
+    val noise = allIds.select("vec_id")
+      .join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(-1L).as("cluster_id"),
+        lit("noise").as("role"))
+    assigned.unionByName(noise)
+  }
+}

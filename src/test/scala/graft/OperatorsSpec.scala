@@ -77,6 +77,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == Set((1L, "abcde"), (1L, "bcde"), (1L, "abcd"), (2L, "bcde")))
   }
 
+  test("dbscan: core / border / noise roles and min-label clusters") {
+    val ids = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L)).toDF("vec_id")
+    // triangle {1,2,3} is dense; 4 hangs off core 3; 10-11 is an
+    // isolated edge (both degree 1 -> noise at minPts 3)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("v1", "v2")
+    val r = graft.similarity.Dbscan.cluster(ids, pairs, minPts = 3)
+      .as[(Long, Long, String)].collect().toSet
+    assert(r == Set(
+      (1L, 1L, "core"), (2L, 1L, "core"), (3L, 1L, "core"),
+      (4L, 1L, "border"),
+      (5L, -1L, "noise"), (10L, -1L, "noise"), (11L, -1L, "noise")))
+  }
+
+  test("ppjoin is lossless: equals the naive exact-jaccard join") {
+    // 's' is a stop-shingle shared by every doc — the skew case the
+    // capped jaccardPairs handles by dropping postings (losing recall);
+    // the prefix filter handles it with zero loss
+    val sh = Seq(
+      (1L, "a"), (1L, "b"), (1L, "s"),
+      (2L, "a"), (2L, "b"), (2L, "s"),
+      (3L, "c"), (3L, "s"),
+      (4L, "d"), (4L, "e"), (4L, "f"), (4L, "s"))
+      .toDF("doc_id", "shingle")
+    val pp = graft.dedup.Dedup.ppjoinPairs(sh, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val naive = graft.dedup.Dedup.jaccardPairs(sh, 0.5,
+        maxShingleFreq = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pp == naive)
+    assert(pp == Set((1L, 2L, 1.0)))
+  }
+
   /** Two well-separated groups in both subspaces; ids alternate so the
    * lowest-id kmeans init seeds one centroid in each group. */
   private def pqFixture: DataFrame = Seq(
