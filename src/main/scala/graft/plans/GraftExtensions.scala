@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{FastRound, PolyHash31, VecDot}
+import graft.functions.{FastRound, JaroWinkler, PolyHash31, VecDot}
 
 /**
  * Library integration point: `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -62,6 +62,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_fast_round scale must be an integer literal, got $other")
         }
         FastRound(children.head, scale)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      info(classOf[JaroWinkler], "graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1] (boost above 0.7, prefix cap 4)."),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_jaro_winkler takes exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
       }))
 
     ext.injectOptimizerRule(RangeJoinRule)

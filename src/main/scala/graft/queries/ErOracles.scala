@@ -622,6 +622,32 @@ object ErOracles {
           |              JOIN nm n2 ON c.p2 = n2.p_partkey)
           |SELECT p1, p2, ROUND(sim0, 9) AS sim FROM scored WHERE sim0 >= 0.5""".stripMargin),
 
+    // attribute-profiling twin: same 1e-9 fixed-point c*ln(c) terms,
+    // exact integer sums, entropy = ln(n) - sum/1e9/n rounded to 9
+    "er_attr_profile" -> (prelude(clean = false) +
+      """vc AS (SELECT attribute, value, CAST(COUNT(*) AS BIGINT) AS c,
+        |              length(value) AS len,
+        |              CAST(round(CAST(COUNT(*) AS DOUBLE) * ln(CAST(COUNT(*) AS DOUBLE)) * 1000000000.0) AS BIGINT) AS term_fix
+        |       FROM attrs WHERE value IS NOT NULL GROUP BY attribute, value)
+        |SELECT attribute, CAST(SUM(c) AS BIGINT) AS n,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       round(CAST(SUM(c * len) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9) AS avg_len,
+        |       round(ln(CAST(SUM(c) AS DOUBLE)) -
+        |             CAST(SUM(term_fix) AS DOUBLE) / 1000000000.0 / CAST(SUM(c) AS DOUBLE), 9) AS entropy
+        |FROM vc GROUP BY attribute""".stripMargin),
+
+    // Jaro-Winkler matching twin: DuckDB's jaro_winkler_similarity IS
+    // the textbook comparator graft.functions.JaroWinkler implements
+    // (verified: boost only above 0.7, prefix cap 4, empties -> 0);
+    // both sides threshold the 9-dp-rounded score
+    "er_match_jw" -> (matchedEdgesCtes +
+      """jwsc AS (
+        |  SELECT c.p1, c.p2,
+        |         round(jaro_winkler_similarity(n1.nm, n2.nm), 9) AS sim_jw
+        |  FROM cand c JOIN nm n1 ON c.p1 = n1.p_partkey
+        |              JOIN nm n2 ON c.p2 = n2.p_partkey)
+        |SELECT p1, p2, sim_jw FROM jwsc WHERE sim_jw >= 0.8""".stripMargin),
+
     // entity clustering twin: the er_match_edit matched set, transitive
     // closure via a recursive CTE (the dedup_clusters pattern), MIN
     // reachable id as entity

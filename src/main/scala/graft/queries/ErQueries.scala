@@ -473,6 +473,34 @@ object ErQueries {
         .select(col("key"), graft.functions.FastRound.round(col("entropy"), 9).as("entropy"))
     }),
 
+    // per-attribute data profiling — the "which attributes are worth
+    // blocking on" reconnaissance before an ER run: row/distinct counts,
+    // mean value length, and Shannon entropy of the value distribution
+    // (high-entropy attributes make discriminative blocking keys; the
+    // attribute-clustering operator uses the same signal per token).
+    // Entropy sums are 1e-9 fixed-point longs (the lmSurprisal
+    // convention) so partial-aggregation order can't move a ULP
+    "er_attr_profile" -> ((s, d) => {
+      val a = partAttrs(s, d, twoSources = false)
+        .filter(col("value").isNotNull)
+      val vc = a.groupBy("attribute", "value")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("len", length(col("value")))
+        .withColumn("term_fix", graft.functions.FastRound.round(
+          col("c").cast("double") * log(col("c").cast("double")) *
+            1000000000.0, 0).cast("long"))
+      vc.groupBy("attribute").agg(
+        sum("c").as("n"),
+        count(lit(1)).as("n_distinct"),
+        graft.functions.FastRound.round(
+          sum(col("c") * col("len")).cast("double") /
+            sum("c").cast("double"), 9).as("avg_len"),
+        graft.functions.FastRound.round(
+          log(sum("c").cast("double")) -
+            sum("term_fix").cast("double") / 1000000000.0 /
+              sum("c").cast("double"), 9).as("entropy"))
+    }),
+
     "er_gt_convert" -> ((s, d) => gtConverted(s, d)),
 
     "er_pcpq_wnp_dirty" -> ((s, d) =>
@@ -508,6 +536,22 @@ object ErQueries {
     // similarity of the two part names over the WNP candidate pairs —
     // completes blocking -> pruning -> comparison as one declarative chain
     "er_match_edit" -> ((s, d) => matchedPairs(s, d)),
+
+    // the same matching stage under the Jaro-Winkler comparator (the ER
+    // matcher of record for name fields; codegen'd custom expression,
+    // bit-compatible with DuckDB's jaro_winkler_similarity) — threshold
+    // on the 9-dp-rounded score so boundary ULPs can't flip a pair
+    "er_match_jw" -> ((s, d) => {
+      val names = s.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey"), lower(col("p_name")).as("nm"))
+      wnpCbsAvgOrDirty(s, d).select("p1", "p2")
+        .join(names.select(col("p_partkey").as("p1"), col("nm").as("nm1")), "p1")
+        .join(names.select(col("p_partkey").as("p2"), col("nm").as("nm2")), "p2")
+        .withColumn("sim_jw", graft.functions.FastRound.round(
+          graft.functions.JaroWinkler.jw(col("nm1"), col("nm2")), 9))
+        .filter(col("sim_jw") >= 0.8)
+        .select("p1", "p2", "sim_jw")
+    }),
 
     // entity CLUSTERING: connected components over the matched pairs —
     // the step after matching that turns pairwise decisions into entity

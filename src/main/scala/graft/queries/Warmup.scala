@@ -71,7 +71,14 @@ object Warmup {
         // pre-bench while the spine pools sat finished)
         task("train/text")(TrainQueries.warmText(s, d)),
         task("train/fingerprints")(TrainQueries.warmFingerprints(s, d)),
-        task("train/embeddings")(TrainQueries.warmEmbeddings(s, d)),
+        task("train/embeddings") {
+          TrainQueries.warmEmbeddings(s, d)
+          // after the PQ codebooks exist (avoids a duplicate concurrent
+          // build through the memo), first-touch the streaming encode:
+          // checkpoint setup + stream codegen was 10.1s run1 vs 0.9s
+          step("train/first_pq_stream")(
+            TrainQueries.all("ann_pq_stream")(s, d).count())
+        },
         task("train/lsh") {
           TrainQueries.warmLshIndex(s, d)
           // first run of the streaming-LSH gate AFTER its corpus index is
@@ -102,7 +109,11 @@ object Warmup {
         task("first/txt_boilerplate")(TrainQueries.all("txt_boilerplate")(s, d).count()),
         task("first/txt_vocab")(TrainQueries.all("txt_vocab")(s, d).count()),
         task("first/ann_brute")(TrainQueries.all("ann_brute_topk")(s, d).count()),
-        task("first/snb")(ErQueries.all("er_snb_pairs")(s, d).count()))
+        task("first/snb")(ErQueries.all("er_snb_pairs")(s, d).count()),
+        // r6 additions whose first run pays plan + codegen + (for the
+        // stream) checkpoint setup
+        task("first/ppjoin")(TrainQueries.all("dedup_ppjoin")(s, d).count()),
+        task("first/dbscan")(TrainQueries.all("ann_dbscan")(s, d).count()))
       // dependent waves over the blocking/cleaning spine
       awaitAll(Seq(
         task("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false)),

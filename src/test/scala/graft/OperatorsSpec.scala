@@ -77,6 +77,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == Set((1L, "abcde"), (1L, "bcde"), (1L, "abcd"), (2L, "bcde")))
   }
 
+  test("jaro-winkler matches the reference values bit-for-bit") {
+    // expected values taken from DuckDB's jaro_winkler_similarity (the
+    // oracle function) on the same inputs
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("duane", "dwayne", 0.8400000000000001),
+      ("crate", "trace", 0.7333333333333334),
+      ("prefix", "prefixxxx", 0.9333333333333333),
+      ("aXXXXXX", "aYYYYYY", 0.42857142857142855), // jaro < 0.7: no boost
+      ("abcdef", "badcfe", 0.8333333333333334),    // transpositions
+      ("ab", "ba", 0.0),                           // window 0
+      ("", "abc", 0.0), ("", "", 0.0), ("abc", "abc", 1.0))
+    cases.foreach { case (a, b, want) =>
+      assert(graft.functions.JaroWinklerImpl.compute(a, b) == want,
+        s"jw($a, $b)")
+    }
+    // the Column path evaluates the same expression
+    val viaCol = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(graft.functions.JaroWinkler.jw(col("a"), col("b")))
+      .as[Double].collect().head
+    assert(viaCol == 0.9611111111111111)
+  }
+
   test("dbscan: core / border / noise roles and min-label clusters") {
     val ids = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L)).toDF("vec_id")
     // triangle {1,2,3} is dense; 4 hangs off core 3; 10-11 is an
