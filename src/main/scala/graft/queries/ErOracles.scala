@@ -648,6 +648,25 @@ object ErOracles {
         |              JOIN nm n2 ON c.p2 = n2.p_partkey)
         |SELECT p1, p2, sim_jw FROM jwsc WHERE sim_jw >= 0.8""".stripMargin),
 
+    // reciprocal-best-match twin: re-score the shared matched edges,
+    // orient both ways, rank per node (sim desc, partner asc), keep
+    // mutually-top-1 pairs
+    "er_best_match" -> (matchedEdgesCtes +
+      """mes AS (
+        |  SELECT m.p1, m.p2,
+        |         ROUND(1.0 - CAST(levenshtein(n1.nm, n2.nm) AS DOUBLE) /
+        |               GREATEST(length(n1.nm), length(n2.nm)), 9) AS sim
+        |  FROM me m JOIN nm n1 ON m.p1 = n1.p_partkey
+        |            JOIN nm n2 ON m.p2 = n2.p_partkey),
+        |dirm AS (SELECT p1 AS a, p2 AS b, sim FROM mes
+        |         UNION ALL SELECT p2, p1, sim FROM mes),
+        |bestm AS (SELECT a, b,
+        |            ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b ASC) AS rn
+        |          FROM dirm)
+        |SELECT m.p1, m.p2, m.sim FROM mes m
+        |  JOIN bestm b1 ON b1.a = m.p1 AND b1.b = m.p2 AND b1.rn = 1
+        |  JOIN bestm b2 ON b2.a = m.p2 AND b2.b = m.p1 AND b2.rn = 1""".stripMargin),
+
     // entity clustering twin: the er_match_edit matched set, transitive
     // closure via a recursive CTE (the dedup_clusters pattern), MIN
     // reachable id as entity

@@ -553,6 +553,12 @@ object ErQueries {
         .select("p1", "p2", "sim_jw")
     }),
 
+    // one-to-one assignment after matching: reciprocal (symmetric) best
+    // match over the scored matched pairs — each profile keeps at most
+    // its unique mutually-best partner (two WindowGroupLimit passes)
+    "er_best_match" -> ((s, d) =>
+      Matching.reciprocalBestMatch(matchedPairs(s, d), wCol = "sim")),
+
     // entity CLUSTERING: connected components over the matched pairs —
     // the step after matching that turns pairwise decisions into entity
     // ids (smallest reachable profile_id), completing blocking ->

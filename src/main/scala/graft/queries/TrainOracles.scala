@@ -1196,7 +1196,100 @@ object TrainOracles {
         |             THEN 1 ELSE 0 END AS copies
         |      FROM w)
         |SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin),
+
+    // MERGE upsert twin: latest (ts, event_id) version per (user, type)
+    // over snapshot ∪ changes — the even/odd split unions back to the
+    // full event set, so one window expresses the merged state
+    "evt_merge_upsert" ->
+      """WITH u AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_id, ts, user_id, event_type, value FROM u WHERE rn = 1""".stripMargin,
+
+    // streaming merge drains to the same latest-per-key state
+    "evt_merge_stream" ->
+      """WITH u AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_id, ts, user_id, event_type, value FROM u WHERE rn = 1""".stripMargin,
+
+    // SCD2 twin: lead(ts) validity intervals per user over purchases
+    "evt_scd2" ->
+      """WITH p AS (SELECT event_id, ts, user_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |h AS (SELECT user_id, event_id, value, ts AS valid_from,
+        |             LEAD(ts) OVER (PARTITION BY user_id
+        |               ORDER BY ts ASC, event_id ASC) AS vt
+        |      FROM p)
+        |SELECT user_id, event_id, value, valid_from,
+        |       COALESCE(vt, TIMESTAMP '1970-01-01 00:00:00') AS valid_to,
+        |       (vt IS NULL) AS is_current
+        |FROM h""".stripMargin,
+
+    // per-day top-3 event types (count desc, type asc)
+    "evt_topk_window" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS day, event_type,
+        |                  CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+        |        ORDER BY cnt DESC, event_type ASC) AS rn FROM c)
+        |SELECT day, event_type, cnt, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    // hard-negative twin: brute-force cosine top-5 gated to labels that
+    // differ from the query's
+    "ann_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS q_label
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nn_id, embedding AS ce, label AS nn_label FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, nn_id, nn_label, round(${cosine("qe", "ce")}, 9) AS cos
+         |  FROM c CROSS JOIN q WHERE q_label <> nn_label),
+         |ranked AS (
+         |  SELECT query_id, nn_id, nn_label, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rn
+         |  FROM scored)
+         |SELECT query_id, nn_id, nn_label, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // count-min sketch twin: same affine lane hashes as the minhash/
+    // simhash families ((hashA(j)·h + hashB(j)) % Mod % width), counters
+    // from the per-token counts, estimate = min bucket counter over rows
+    "txt_cms_topk" -> {
+      // tc (the token-count scan) feeds both the sketch and the head —
+      // materialize so DuckDB doesn't inline it per reference site
+      def bucket(j: String, h: String) =
+        s"(((((1103515245 * ($j + 1) + 12345) % $Mod) * $h" +
+          s" + ((2654435761 * ($j + 1)) % $Mod)) % $Mod) % 1024)"
+      ErOracles.materializeCtes(
+      s"""WITH dn AS (SELECT ${norm("text")} AS nt FROM documents),
+         |tk AS (SELECT unnest(list_filter(string_split(nt, ' '), t -> length(t) > 0)) AS token FROM dn),
+         |tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, ${strHash("token")} AS h
+         |       FROM tk GROUP BY token),
+         |sk AS (SELECT j.j, ${bucket("j.j", "h")} AS bucket,
+         |              CAST(SUM(cnt) AS BIGINT) AS bucket_cnt
+         |       FROM tc, (SELECT unnest(generate_series(0, 3)) AS j) j GROUP BY 1, 2),
+         |hd0 AS (SELECT token, cnt, h FROM tc ORDER BY cnt DESC, token ASC LIMIT 50),
+         |hd AS (SELECT token, cnt, h,
+         |              ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank FROM hd0),
+         |pb AS (SELECT token, cnt, rank, j.j AS j, ${bucket("j.j", "h")} AS bucket
+         |       FROM hd, (SELECT unnest(generate_series(0, 3)) AS j) j)
+         |SELECT pb.token, pb.cnt, MIN(sk.bucket_cnt) AS est, pb.rank
+         |FROM pb JOIN sk ON pb.j = sk.j AND pb.bucket = sk.bucket
+         |GROUP BY pb.token, pb.cnt, pb.rank""".stripMargin)
+    },
+
+    // A-ES weighted-sample twin: priority = round(ln(u)/w, 9) from the
+    // Knuth id hash, top 100 by (priority desc, doc_id)
+    "txt_weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |       round(ln((((doc_id % 1000000007) * 2654435761) % 1000000007 + 1.0)
+        |                / 1000000007.0) / n_chars, 9) AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority DESC, doc_id ASC LIMIT 100""".stripMargin
   )
 
   /** Unrolled Lloyd k-means CTEs: {p}c0 = k lowest-id vectors; then

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
@@ -668,6 +669,67 @@ object TrainQueries {
     // materialized as replayable (doc, copy) rows
     "txt_mix" -> ((s, d) =>
       graft.text.Curation.epochMix(docs(s, d),
-        weights = Map("en" -> 250), defaultWeight = 50))
+        weights = Map("en" -> 250), defaultWeight = 50)),
+
+    // ---- CDC merge / change-history (graft.operators.Merge) ----
+
+    // MERGE-style latest-wins upsert: even event_ids as the standing
+    // snapshot, odd ones as the arriving change batch; one surviving
+    // version per (user, event_type) — new keys insert, stale versions
+    // lose to (ts, event_id) freshness
+    "evt_merge_upsert" -> ((s, d) => {
+      val e = events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      graft.operators.Merge.upsertLatest(
+        e.filter(col("event_id") % 2 === 0), e.filter(col("event_id") % 2 === 1),
+        keyCols = Seq("user_id", "event_type"),
+        ordCols = Seq(col("ts"), col("event_id")))
+    }),
+
+    // the same merged state as a stream: max_by(version, (ts, id)) per
+    // key in complete mode — the state store IS the merged table; one
+    // AvailableNow batch == the batch upsert, which is the oracle
+    "evt_merge_stream" -> ((s, d) =>
+      EventStreams.mergeLatestStreaming(s, d)),
+
+    // type-2 SCD history of each user's purchases: validity interval per
+    // version, open current row surfaced as sentinel epoch for the hash
+    // compare (the operator itself returns real NULLs)
+    "evt_scd2" -> ((s, d) =>
+      graft.operators.Merge.scd2(
+          events(s, d).filter(col("event_type") === "purchase")
+            .select("event_id", "ts", "user_id", "value"),
+          keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("valid_from"),
+          coalesce(col("valid_to"), timestamp_micros(lit(0L))).as("valid_to"),
+          col("is_current"))),
+
+    // per-day trending: top-3 event types by count (count desc, type asc
+    // tiebreak) — the windowed-rank report over the event stream
+    "evt_topk_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("day").orderBy(col("cnt").desc, col("event_type").asc)))
+        .filter(col("rn") <= 3)),
+
+    // contrastive hard negatives: per query vector, the 5 most-cosine-
+    // similar corpus vectors with a DIFFERENT label
+    "ann_hard_negatives" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // count-min sketch: 4x1024 counters over the corpus token stream,
+    // point estimates (min over rows) vs exact counts for the 50-token
+    // head — est >= cnt always, the overestimate is the collision mass
+    "txt_cms_topk" -> ((s, d) =>
+      graft.text.Curation.cmsEstimates(docs(s, d), depth = 4, width = 1024, topN = 50)),
+
+    // weighted sampling without replacement (A-ES priorities from the id
+    // hash, weight = n_chars): 100 docs, replayable
+    "txt_weighted_sample" -> ((s, d) =>
+      graft.text.Curation.weightedSample(docs(s, d), k = 100, weightCol = "n_chars"))
   )
 }

@@ -57,6 +57,30 @@ object Similarity {
       .select("query_id", "nn_id", "cos", "rn")
   }
 
+  /**
+   * Hard-negative mining for contrastive training: per query, the top-k
+   * most-similar corpus vectors with a DIFFERENT label — the negatives a
+   * random sampler would almost never surface but a bi-encoder most needs.
+   * Same shape as [[bruteForceTopK]] (broadcast queries over a corpus
+   * scan, per-query WindowGroupLimit) plus the label-inequality gate; at
+   * scale the corpus side swaps for the IVF/PQ candidate path unchanged,
+   * since the gate is a plain filter on the scored candidates.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"),
+      col("label").as("nn_label"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("label").as("q_label"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_label") =!= col("nn_label"))
+      .select(col("query_id"), col("nn_id"), col("nn_label"),
+        graft.functions.FastRound.round(cosine(col("qe"), col("ce")), 9).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rn") <= k)
+      .select("query_id", "nn_id", "nn_label", "cos", "rn")
+  }
+
   /** Deterministic pseudo-random hyperplane for plane p: a fixed LCG over
    * p * dim + i mapped to [-0.5, 0.5) — computed once on the driver and
    * shipped as an array literal (identical values to the SQL oracle's

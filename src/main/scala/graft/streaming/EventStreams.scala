@@ -686,4 +686,31 @@ object EventStreams {
       .parquet(streamDirFor(dir, "events_zscore_"))
     drainAvailableNow(zscoreScore(stream, stats), "events_zscore", "append")
   }
+
+  /**
+   * Streaming CDC materialization: latest-wins upsert state as ONE
+   * declarative aggregate — `max_by(version-struct, (ts, id))` per key in
+   * complete mode, so the state store holds exactly one row per key (the
+   * freshest version) no matter how many changes stream through, and every
+   * emit IS the merged table. The streaming twin of
+   * [[graft.operators.Merge.upsertLatest]]: one AvailableNow batch over
+   * the full change log equals the batch merge, which is the oracle.
+   */
+  def mergeLatestStreaming(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .parquet(streamDirFor(dir, "events_merge_"))
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val latest = stream
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(struct(col("event_id"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("v"))
+      .select(col("v.event_id").as("event_id"), col("v.ts").as("ts"),
+        col("user_id"), col("event_type"), col("v.value").as("value"))
+    drainAvailableNow(latest, "events_merge", "complete")
+  }
 }

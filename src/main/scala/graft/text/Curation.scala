@@ -585,4 +585,79 @@ object Curation {
         size(col("win")).cast("long").as("n_toks"),
         array_join(col("win"), " ").as("chunk_text"))
   }
+
+  /**
+   * Count-min sketch (Cormode & Muthukrishnan, J. Algorithms '05)
+   * frequency estimation over the corpus token stream, calibrated
+   * against exact counts for the `topN` head tokens.
+   *
+   * The sketch is `depth` rows × `width` counters; token occurrences land
+   * in bucket `(hashA(j)·strHash(t) + hashB(j)) % Mod % width` on row j —
+   * the same affine-permutation family as the MinHash/SimHash lanes
+   * ([[graft.dedup.Dedup.hashA]]). A point estimate is the MIN over rows
+   * of the bucket counters: always ≥ the true count, within εN with
+   * probability 1−δ (ε = e/width, δ = e^−depth). At 100 TB this is THE
+   * frequency structure: the sketch is `depth·width` longs — mergeable,
+   * broadcast-able — where an exact token count is a vocabulary-sized
+   * shuffle.
+   *
+   * One pass builds the row-local counters (map-side-combinable groupBy
+   * over depth copies of the per-token counts — NOT of the token stream:
+   * tokens aggregate first, then explode ×depth). The estimate side joins
+   * the topN exact head against the depth counters and takes the min.
+   * Returns (token, cnt, est, rank) — est ≥ cnt by construction, equality
+   * iff no colliding mass on some row.
+   */
+  def cmsEstimates(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+                   topN: Int = 50, textCol: String = "text"): DataFrame = {
+    import graft.dedup.Dedup.{hashA, hashB, strHash, Mod}
+    val tokCnt = docs.select(explode(
+        filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+          t => length(t) > 0)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", strHash(col("token")))
+    // sketch rows: depth copies of the (distinct-token, cnt) table — far
+    // smaller than depth copies of the token stream
+    val sketch = tokCnt
+      .select(col("cnt"), col("h"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("cnt"), col("j"),
+        pmod(pmod(hashA(col("j")) * col("h") + hashB(col("j")), lit(Mod)),
+          lit(width.toLong)).as("bucket"))
+      .groupBy("j", "bucket").agg(sum("cnt").as("bucket_cnt"))
+    val head = tokCnt.orderBy(col("cnt").desc, col("token").asc).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)))
+    val probes = head
+      .select(col("token"), col("cnt"), col("rank"), col("h"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("token"), col("cnt"), col("rank"), col("j"),
+        pmod(pmod(hashA(col("j")) * col("h") + hashB(col("j")), lit(Mod)),
+          lit(width.toLong)).as("bucket"))
+    probes.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("token", "cnt", "rank")
+      .agg(min("bucket_cnt").as("est"))
+      .select("token", "cnt", "est", "rank")
+  }
+
+  /**
+   * Weighted sampling without replacement (Efraimidis & Spirakis, IPL '06
+   * A-ES): each row draws priority u^(1/w) for uniform u — the top-k by
+   * priority are an exact weighted sample. Deterministic: u comes from
+   * the id hash ([[idHash]], u ∈ (0,1]), so the sample is replayable and
+   * oracle-checkable. Computed in log space (ln u / w, monotone in
+   * u^(1/w)) and rounded to 9 decimals with id as tiebreak, so the
+   * selection is a unique total order → distributed TakeOrdered, never a
+   * global sort of the corpus.
+   */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+                     idCol: String = "doc_id"): DataFrame = {
+    val u = (idHash(col(idCol)) + 1.0) / 1000000007.0
+    docs
+      .filter(col(weightCol) > 0)
+      .select(col(idCol).as("doc_id"),
+        col(weightCol).cast("double").as("w"),
+        graft.functions.FastRound.round(log(u) / col(weightCol), 9).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

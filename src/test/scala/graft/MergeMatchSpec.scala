@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.er.Matching
+import graft.operators.Merge
+import graft.text.Curation
+
+/** Unit fixtures for the CDC merge / SCD2 / one-to-one matching /
+ * sketch-and-sample operators added in round 6. */
+class MergeMatchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def chg(rows: (Long, Long, Long, Double)*): DataFrame =
+    rows.toDF("id", "k", "t", "v")
+      .select(col("id"), col("k"), col("t").cast("timestamp").as("t"), col("v"))
+
+  test("upsertLatest: updates win, new keys insert, untouched base survives") {
+    val base = chg((1L, 10L, 100L, 1.0), (2L, 20L, 100L, 2.0))
+    val upd = chg((3L, 10L, 200L, 9.0), (4L, 30L, 50L, 3.0))
+    val r = Merge.upsertLatest(base, upd, Seq("k"), Seq(col("t"), col("id")))
+      .select("k", "id", "v").as[(Long, Long, Double)].collect().toSet
+    assert(r == Set((10L, 3L, 9.0), (20L, 2L, 2.0), (30L, 4L, 3.0)))
+  }
+
+  test("upsertLatest: equal timestamps fall back to the id tiebreak") {
+    val base = chg((1L, 10L, 100L, 1.0))
+    val upd = chg((2L, 10L, 100L, 2.0))
+    val r = Merge.upsertLatest(base, upd, Seq("k"), Seq(col("t"), col("id")))
+      .select("id").as[Long].collect().toSeq
+    assert(r == Seq(2L))
+  }
+
+  test("scd2: intervals chain, only the last version is current") {
+    val r = Merge.scd2(chg((1L, 10L, 100L, 1.0), (2L, 10L, 200L, 2.0),
+        (3L, 20L, 150L, 3.0)), Seq("k"), "t", "id")
+      .select("id", "valid_from", "valid_to", "is_current")
+      .as[(Long, Timestamp, Option[Timestamp], Boolean)].collect().toSet
+    assert(r == Set(
+      (1L, ts(100), Some(ts(200)), false),
+      (2L, ts(200), None, true),
+      (3L, ts(150), None, true)))
+  }
+
+  test("scd2: equal change timestamps order by the tiebreak column") {
+    val r = Merge.scd2(chg((5L, 10L, 100L, 1.0), (4L, 10L, 100L, 2.0)),
+        Seq("k"), "t", "id")
+      .select("id", "is_current").as[(Long, Boolean)].collect().toMap
+    assert(r == Map(4L -> false, 5L -> true))
+  }
+
+  private def pairs(rows: (Long, Long, Double)*): DataFrame =
+    rows.toDF("p1", "p2", "w")
+
+  test("reciprocalBestMatch keeps only mutually-best pairs") {
+    // 1's best is 2 (0.9); 2's best is 1; 3's best is 2 (0.8) but 2
+    // prefers 1 -> (2,3) drops; 4-5 mutual at 0.7
+    val r = Matching.reciprocalBestMatch(
+        pairs((1L, 2L, 0.9), (2L, 3L, 0.8), (4L, 5L, 0.7)))
+      .select("p1", "p2").as[(Long, Long)].collect().toSet
+    assert(r == Set((1L, 2L), (4L, 5L)))
+  }
+
+  test("reciprocalBestMatch: equal weights break ties toward the smaller partner") {
+    // 2's candidates 1 and 3 tie at 0.5 -> 2 prefers 1; (2,3) must drop
+    // even though 3's best is 2
+    val r = Matching.reciprocalBestMatch(
+        pairs((1L, 2L, 0.5), (2L, 3L, 0.5)))
+      .select("p1", "p2").as[(Long, Long)].collect().toSet
+    assert(r == Set((1L, 2L)))
+  }
+
+  test("reciprocalBestMatch output is a matching: every node at most once") {
+    val r = Matching.reciprocalBestMatch(pairs(
+        (1L, 2L, 0.9), (1L, 3L, 0.8), (2L, 3L, 0.7), (3L, 4L, 0.6),
+        (5L, 6L, 0.5), (4L, 6L, 0.4)))
+      .select("p1", "p2").as[(Long, Long)].collect()
+    val nodes = r.flatMap { case (a, b) => Seq(a, b) }
+    assert(nodes.distinct.length == nodes.length)
+  }
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("cmsEstimates: point estimates always dominate true counts") {
+    val d = docsDf((1L, "a a b c"), (2L, "a b d"), (3L, "c c e"))
+    val r = Curation.cmsEstimates(d, depth = 2, width = 4, topN = 10)
+      .select("token", "cnt", "est").as[(String, Long, Long)].collect()
+    assert(r.length == 5)
+    assert(r.forall { case (_, cnt, est) => est >= cnt })
+    val cnts = r.map { case (t, cnt, _) => t -> cnt }.toMap
+    assert(cnts == Map("a" -> 3L, "b" -> 2L, "c" -> 3L, "d" -> 1L, "e" -> 1L))
+  }
+
+  test("cmsEstimates: wide sketch with few tokens is exact") {
+    val d = docsDf((1L, "x y"), (2L, "x"))
+    val r = Curation.cmsEstimates(d, depth = 4, width = 1024, topN = 10)
+      .select("token", "cnt", "est").as[(String, Long, Long)].collect()
+    // 2 tokens into 1024 buckets over 4 independent rows: some row
+    // separates them, so min-over-rows equals the true count
+    assert(r.toSet == Set(("x", 2L, 2L), ("y", 1L, 1L)))
+  }
+
+  test("weightedSample: k bounds the sample and heavier rows rank by priority") {
+    val d = (1L to 100L).map(i => (i, "t", i % 10 + 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = Curation.weightedSample(d, k = 10, weightCol = "n_chars")
+    assert(r.count() == 10)
+    // deterministic: same call twice yields the same sample
+    val a = r.select("doc_id").as[Long].collect().toSeq
+    val b = Curation.weightedSample(d, k = 10, weightCol = "n_chars")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("weightedSample drops non-positive weights") {
+    val d = Seq((1L, "t", 0L), (2L, "t", 5L), (3L, "t", -1L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = Curation.weightedSample(d, k = 10, weightCol = "n_chars")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(r == Seq(2L))
+  }
+}
