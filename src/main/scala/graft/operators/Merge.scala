@@ -52,4 +52,27 @@ object Merge {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /**
+   * Snapshot diff: compare two per-key states by their version column and
+   * report what changed — `added` (key only in b), `removed` (key only in
+   * a), `changed` (both, different version); identical keys drop out. One
+   * full outer join on the key = one co-partitioned shuffle; with both
+   * snapshots bucket-sorted on the key
+   * ([[graft.sources.Wrappers.writeBucketed]]) it runs exchange-free.
+   * The inverse of [[upsertLatest]]: diff(old, upsert(old, batch))
+   * recovers the batch's net effect.
+   */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                   versionCol: String): DataFrame = {
+    val av = a.select(keyCols.map(col) :+ col(versionCol).as("a_version"): _*)
+    val bv = b.select(keyCols.map(col) :+ col(versionCol).as("b_version"): _*)
+    av.join(bv, keyCols, "full_outer")
+      .withColumn("status",
+        when(col("a_version").isNull, lit("added"))
+          .when(col("b_version").isNull, lit("removed"))
+          .when(col("a_version") =!= col("b_version"), lit("changed"))
+          .otherwise(lit("same")))
+      .filter(col("status") =!= "same")
+  }
 }

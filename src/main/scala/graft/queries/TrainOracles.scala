@@ -1289,7 +1289,82 @@ object TrainOracles {
         |       round(ln((((doc_id % 1000000007) * 2654435761) % 1000000007 + 1.0)
         |                / 1000000007.0) / n_chars, 9) AS priority
         |FROM documents WHERE n_chars > 0
-        |ORDER BY priority DESC, doc_id ASC LIMIT 100""".stripMargin
+        |ORDER BY priority DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // rolling-feature twin: RANGE frame over event-time micros, cent-
+    // exact sums (the windowed_agg fixed-point idiom)
+    "evt_rolling_features" ->
+      """SELECT event_id, user_id, ts,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // winsorize twin: quantile_cont == percentile (interpolated), clip
+    // rounded to 9 on both sides
+    "evt_winsorize" ->
+      """WITH q AS (SELECT event_type,
+        |                  quantile_cont(value, 0.05) AS p_lo,
+        |                  quantile_cont(value, 0.95) AS p_hi
+        |           FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |       round(LEAST(GREATEST(value, p_lo), p_hi), 9) AS clipped
+        |FROM events e JOIN q USING (event_type)""".stripMargin,
+
+    // snapshot-diff twin: latest version per key at the mid-month cutoff
+    // vs the end state, full outer join, same/identical keys drop out
+    "evt_batch_diff" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |a AS (SELECT user_id, event_type, event_id FROM l WHERE rn = 1),
+        |f AS (
+        |  SELECT user_id, event_type, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |b AS (SELECT user_id, event_type, event_id FROM f WHERE rn = 1),
+        |d AS (
+        |  SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |         COALESCE(a.event_type, b.event_type) AS event_type,
+        |         CASE WHEN a.event_id IS NULL THEN 'added'
+        |              WHEN b.event_id IS NULL THEN 'removed'
+        |              WHEN a.event_id <> b.event_id THEN 'changed'
+        |              ELSE 'same' END AS status,
+        |         COALESCE(a.event_id, -1) AS a_event_id,
+        |         b.event_id AS b_event_id
+        |  FROM a FULL OUTER JOIN b
+        |    ON a.user_id = b.user_id AND a.event_type = b.event_type)
+        |SELECT user_id, event_type, status, a_event_id, b_event_id
+        |FROM d WHERE status <> 'same'""".stripMargin,
+
+    // PMI twin: exact integer numerator/denominator, one division inside
+    // the ln, 9-dp round; selection by (pmi desc, t1, t2)
+    "txt_cooccur" -> ErOracles.materializeCtes(
+      s"""WITH dn AS (SELECT list_filter(string_split(${norm("text")}, ' '),
+         |                               t -> length(t) > 0) AS toks FROM documents),
+         |bg AS (SELECT toks[CAST(i AS INTEGER)] AS t1, toks[CAST(i AS INTEGER) + 1] AS t2
+         |       FROM dn, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS g(i)),
+         |bc AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY t1, t2),
+         |uc AS (SELECT unnest(toks) AS token FROM dn),
+         |ucc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM uc GROUP BY token),
+         |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_big FROM bc),
+         |sc AS (
+         |  SELECT bc.t1, bc.t2, bc.c12,
+         |         round(ln(CAST(tot.n_big * bc.c12 AS DOUBLE) /
+         |                  CAST(u1.c * u2.c AS DOUBLE)), 9) AS pmi
+         |  FROM bc JOIN ucc u1 ON bc.t1 = u1.token
+         |          JOIN ucc u2 ON bc.t2 = u2.token
+         |          CROSS JOIN tot
+         |  WHERE bc.c12 >= 5),
+         |top AS (SELECT t1, t2, c12, pmi FROM sc
+         |        ORDER BY pmi DESC, t1 ASC, t2 ASC LIMIT 20)
+         |SELECT t1, t2, c12, pmi,
+         |       ROW_NUMBER() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC) AS rank
+         |FROM top""".stripMargin)
   )
 
   /** Unrolled Lloyd k-means CTEs: {p}c0 = k lowest-id vectors; then

@@ -730,6 +730,59 @@ object TrainQueries {
     // weighted sampling without replacement (A-ES priorities from the id
     // hash, weight = n_chars): 100 docs, replayable
     "txt_weighted_sample" -> ((s, d) =>
-      graft.text.Curation.weightedSample(docs(s, d), k = 100, weightCol = "n_chars"))
+      graft.text.Curation.weightedSample(docs(s, d), k = 100, weightCol = "n_chars")),
+
+    // trailing-7-day per-user activity features (count + cent-exact value
+    // sum) via a RANGE window over event-time micros — the classic
+    // point-in-time-correct feature-engineering shape (no leakage: each
+    // event sees only its own past)
+    "evt_rolling_features" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-(7L * 86400L * 1000000L - 1L), Window.currentRow)
+      events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_7d"),
+        (sum(graft.functions.FastRound.round(col("value") * 100, 0).cast("long"))
+          .over(w).cast("double") / 100.0).as("sum_7d"))
+    }),
+
+    // winsorization: clip each value into its event type's [p05, p95]
+    // band (interpolated percentiles, broadcast join) — outlier taming
+    // before feature scaling; 9-dp round so interpolation ULPs can't leak
+    "evt_winsorize" -> ((s, d) => {
+      val e = events(s, d)
+      val q = e.groupBy("event_type").agg(
+        expr("percentile(value, 0.05)").as("p_lo"),
+        expr("percentile(value, 0.95)").as("p_hi"))
+      e.join(broadcast(q), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          graft.functions.FastRound.round(
+            least(greatest(col("value"), col("p_lo")), col("p_hi")), 9).as("clipped"))
+    }),
+
+    // snapshot diff: mid-month per-key state vs the end state — which
+    // (user, type) keys appeared or took a newer version since the
+    // snapshot (append-only log => no removals; the removed branch is
+    // spec-covered). Sentinel -1 for the added side's missing version.
+    "evt_batch_diff" -> ((s, d) => {
+      val e = events(s, d).select("event_id", "ts", "user_id", "event_type")
+      def latest(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "event_type")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+      val a = latest(e.filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")))
+      val b = latest(e)
+      graft.operators.Merge.snapshotDiff(a, b, Seq("user_id", "event_type"), "event_id")
+        .select(col("user_id"), col("event_type"), col("status"),
+          coalesce(col("a_version"), lit(-1L)).as("a_event_id"),
+          col("b_version").as("b_event_id"))
+    }),
+
+    // PMI collocations: top-20 adjacent-token bigrams by pointwise mutual
+    // information (exact integer counts, one ln) — phrase detection for
+    // the tokenizer vocabulary
+    "txt_cooccur" -> ((s, d) =>
+      graft.text.Curation.pmiBigrams(docs(s, d), minCount = 5, topK = 20))
   )
 }

@@ -640,6 +640,45 @@ object Curation {
   }
 
   /**
+   * PMI phrase mining over adjacent-token bigrams: pointwise mutual
+   * information ln(N·c12 / (c1·c2)) for bigrams seen at least `minCount`
+   * times, top `topK` by (pmi desc, bigram asc). The collocation detector
+   * of word2vec-style phrase vocabularies (Mikolov et al., NeurIPS '13).
+   *
+   * All counts stay exact BIGINTs until the single division inside the
+   * ln, so the score is bit-reproducible; the unigram side is a
+   * vocabulary-sized broadcast (at 100 TB the vocabulary is millions of
+   * rows — still broadcast-able — while the bigram side shuffles once for
+   * its count). Selection is (rounded pmi, t1, t2) — a unique total
+   * order → distributed TakeOrdered.
+   */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, topK: Int = 20,
+                 textCol: String = "text"): DataFrame = {
+    val norm = filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+      t => length(t) > 0)
+    val bc = docs.select(norm.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS t1, toks[i] AS t2))")).as("b"))
+      .select(col("b.t1").as("t1"), col("b.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    val uc = docs.select(explode(norm).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = bc.agg(sum("c12").as("n_big"))
+    bc.filter(col("c12") >= minCount)
+      .join(broadcast(uc.select(col("token").as("t1"), col("c").as("c1"))), "t1")
+      .join(broadcast(uc.select(col("token").as("t2"), col("c").as("c2"))), "t2")
+      .crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"), col("c12"),
+        graft.functions.FastRound.round(
+          log((col("n_big") * col("c12")).cast("double") /
+            (col("c1") * col("c2")).cast("double")), 9).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1").asc, col("t2").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("t1").asc, col("t2").asc)))
+  }
+
+  /**
    * Weighted sampling without replacement (Efraimidis & Spirakis, IPL '06
    * A-ES): each row draws priority u^(1/w) for uniform u — the top-k by
    * priority are an exact weighted sample. Deterministic: u comes from

@@ -118,6 +118,35 @@ class MergeMatchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("snapshotDiff reports added, removed, and changed; identical keys drop") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("k", "v")
+    val b = Seq((10L, 9L), (20L, 2L), (40L, 4L)).toDF("k", "v")
+    val r = Merge.snapshotDiff(a, b, Seq("k"), "v")
+      .select("k", "status").as[(Long, String)].collect().toSet
+    assert(r == Set((10L, "changed"), (30L, "removed"), (40L, "added")))
+  }
+
+  test("snapshotDiff of identical snapshots is empty") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
+    assert(Merge.snapshotDiff(a, a, Seq("k"), "v").count() == 0)
+  }
+
+  test("pmiBigrams favors exclusive collocations over frequent-word pairs") {
+    // "tick tock" always co-occur exclusively; "the end" shares 'the'
+    // with many other bigrams -> lower PMI
+    val d = (1L to 10L).map(i => (i, "tick tock the end the start the middle"))
+      .toDF("doc_id", "text")
+    val r = Curation.pmiBigrams(d, minCount = 5, topK = 3)
+      .select("t1", "t2", "rank").as[(String, String, Int)].collect()
+    assert(r.head._1 == "tick" && r.head._2 == "tock" && r.head._3 == 1)
+  }
+
+  test("pmiBigrams: bigrams under minCount never rank; short docs contribute nothing") {
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val r = Curation.pmiBigrams(d, minCount = 3, topK = 10)
+    assert(r.count() == 0) // "a b" appears twice < 3; "c" has no bigram
+  }
+
   test("weightedSample drops non-positive weights") {
     val d = Seq((1L, "t", 0L), (2L, "t", 5L), (3L, "t", -1L))
       .toDF("doc_id", "text", "n_chars")
