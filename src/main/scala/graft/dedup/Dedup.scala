@@ -121,21 +121,37 @@ object Dedup {
    * guard so float rounding can only LENGTHEN a prefix (still lossless),
    * never shorten one (which could drop a true pair).
    */
-  def ppjoinPairs(sh0: DataFrame, threshold: Double): DataFrame = {
-    val sh = graft.util.Snapshot(sh0)
+  /** The PPJoin index for [[ppjoinPairs]]: per doc, its shingles sorted
+   * rarest-first by the shared (df, shingle) comparator, plus the set
+   * size and prefix length for `threshold`. This is a STANDING structure
+   * — build (and [[graft.util.Snapshot]]) it once per corpus, probe it
+   * per join; an arriving batch only needs the df statistics to sort
+   * itself the same way. */
+  def ppjoinIndex(sh: DataFrame, threshold: Double): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val docs = graft.util.Snapshot(sh.join(dfreq, Seq("shingle"))
+    sh.join(dfreq, Seq("shingle"))
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("df"), col("shingle")))),
         x => x.getField("shingle")).as("toks"))
       .withColumn("sz", size(col("toks")))
       .withColumn("plen",
-        (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")))
-    val pre = docs.select(col("doc_id"),
+        (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"))
+  }
+
+  def ppjoinPairs(index: DataFrame, threshold: Double): DataFrame = {
+    val docs = index
+    val pre = docs.select(col("doc_id"), col("sz"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("shingle"))
-    val cand = pre.select(col("shingle"), col("doc_id").as("d1"))
-      .join(pre.select(col("shingle"), col("doc_id").as("d2")), Seq("shingle"))
+    // candidates: shared prefix token + the PPJoin LENGTH filter
+    // (jaccard >= t forces t·max(|x|,|y|) <= min(|x|,|y|)) — both prune
+    // only pairs the exact verification would reject, so the join stays
+    // lossless
+    val cand = pre.select(col("shingle"), col("doc_id").as("d1"), col("sz").as("psz1"))
+      .join(pre.select(col("shingle"), col("doc_id").as("d2"), col("sz").as("psz2")),
+        Seq("shingle"))
       .filter(col("d1") < col("d2"))
+      .filter(least(col("psz1"), col("psz2")).cast("double") >=
+        greatest(col("psz1"), col("psz2")) * threshold - 1e-9)
       .select("d1", "d2").distinct()
     cand
       .join(docs.select(col("doc_id").as("d1"), col("toks").as("t1"),

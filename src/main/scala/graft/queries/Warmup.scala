@@ -113,7 +113,10 @@ object Warmup {
         // r6 additions whose first run pays plan + codegen + (for the
         // stream) checkpoint setup
         task("first/ppjoin")(TrainQueries.all("dedup_ppjoin")(s, d).count()),
-        task("first/dbscan")(TrainQueries.all("ann_dbscan")(s, d).count()))
+        task("first/dbscan")(TrainQueries.all("ann_dbscan")(s, d).count()),
+        // streaming merge: checkpoint setup + complete-mode state codegen
+        task("first/merge_stream")(
+          TrainQueries.all("evt_merge_stream")(s, d).count()))
       // dependent waves over the blocking/cleaning spine
       awaitAll(Seq(
         task("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false)),

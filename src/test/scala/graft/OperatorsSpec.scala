@@ -126,7 +126,8 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "c"), (3L, "s"),
       (4L, "d"), (4L, "e"), (4L, "f"), (4L, "s"))
       .toDF("doc_id", "shingle")
-    val pp = graft.dedup.Dedup.ppjoinPairs(sh, 0.5)
+    val pp = graft.dedup.Dedup.ppjoinPairs(
+        graft.dedup.Dedup.ppjoinIndex(sh, 0.5), 0.5)
       .as[(Long, Long, Double)].collect().toSet
     val naive = graft.dedup.Dedup.jaccardPairs(sh, 0.5,
         maxShingleFreq = Int.MaxValue)
