@@ -14,10 +14,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ErQueries.all ++ TrainQueries.all ++ SupQueries.all
+    ErQueries.all ++ TrainQueries.all ++ SupQueries.all ++ SqlQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    (ErOracles.all ++ TrainOracles.all ++ SupOracles.all)
+    (ErOracles.all ++ TrainOracles.all ++ SupOracles.all ++ SqlOracles.all)
 }

@@ -1,0 +1,38 @@
+package graft.queries
+
+/** DuckDB twins of [[SqlQueries]]: same cent fixed point (round per row,
+ * BIGINT sums, one final division), same filters and tie-breaks. */
+object SqlOracles {
+
+  def all: Map[String, String] = Map(
+
+    "sql_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+        |       CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "sql_revenue_nation" ->
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "sql_topk_orders" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3""".stripMargin
+  )
+}

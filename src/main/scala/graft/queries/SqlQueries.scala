@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Classic warehouse analytics over the TPC-H-style star schema
+ * (TESTDATA.md) — the §2.11 presence map exercised for real: scan-heavy
+ * aggregation, a multi-way star join with broadcast dimensions, and a
+ * per-group top-k window. All money arithmetic is cent-exact fixed point
+ * (round once per ROW, sum BIGINTs) so the aggregates are bit-stable
+ * under any partitioning — the same idiom as the event value sums.
+ *
+ * Scale shape: the fact tables (`lineitem`, `orders`) only ever appear
+ * under a single hash aggregate or a WindowGroupLimit; dimensions
+ * (`nation`, `region`, `customer`) join broadcast, so nothing shuffles a
+ * fact table except its own group-by key.
+ */
+object SqlQueries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    s.read.parquet(s"$d/$name.parquet")
+
+  /** round-half-away cents of a per-row money expression. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    graft.functions.FastRound.round(c * 100, 0).cast("long")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: one scan, one map-side-combinable hash aggregate;
+    // qty/price sums in exact cents, averages as a single final division
+    "sql_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"),
+          (sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double") / 100.0).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q5 shape: star join — lineitem ⋈ orders shuffles on the
+    // orderkey once; customer/nation/region ride along broadcast
+    "sql_revenue_nation" -> ((s, d) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg((sum(rev).cast("double") / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // per-customer top-3 orders by price — plans as WindowGroupLimit, so
+    // each shuffle partition retains 3 rows per customer during the sort
+    "sql_topk_orders" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+  )
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.er._
+import graft.queries.SqlQueries
 
 /**
  * Physical-plan regression tests: the scale properties this engine's
@@ -216,5 +217,28 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bt_a")
       spark.sql("DROP TABLE IF EXISTS bt_b")
     }
+  }
+
+  test("upsertLatest's rank-1 filter plans as WindowGroupLimit") {
+    val base = viaParquet(Seq((1L, 10L, 100L), (2L, 20L, 100L)).toDF("id", "k", "t"))
+    val upd = viaParquet(Seq((3L, 10L, 200L)).toDF("id", "k", "t"))
+    val p = plan(graft.operators.Merge.upsertLatest(base, upd, Seq("k"),
+      Seq(col("t"), col("id"))))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("star join broadcasts every dimension; only the fact join shuffles") {
+    val p = plan(SqlQueries.all("sql_revenue_nation")(spark, sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected customer/nation/region broadcast, got $bhj in:\n$p")
+    // lineitem ⋈ orders is the only non-broadcast join
+    val other = ("SortMergeJoin".r.findAllIn(p).length
+      + "ShuffledHashJoin".r.findAllIn(p).length)
+    assert(other <= 1, s"more than one shuffled join in:\n$p")
+  }
+
+  test("per-customer top-3 orders plans as WindowGroupLimit") {
+    val p = plan(SqlQueries.all("sql_topk_orders")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 }
