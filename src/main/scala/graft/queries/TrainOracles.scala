@@ -1341,6 +1341,41 @@ object TrainOracles {
         |SELECT user_id, event_type, status, a_event_id, b_event_id
         |FROM d WHERE status <> 'same'""".stripMargin,
 
+    // constraint-audit twin: one aggregate row unioned out per check,
+    // NULL expectations count as violations (COALESCE(..., FALSE))
+    "evt_dq_checks" -> {
+      val checks = Seq(
+        "event_id_not_null" -> "event_id IS NOT NULL",
+        "event_type_in_domain" ->
+          "event_type IN ('click', 'view', 'purchase', 'signup', 'error')",
+        "value_positive" -> "value > 0",
+        "value_below_cap" -> "value <= 400.0",
+        "ts_in_2024" -> "year(ts) = 2024")
+      val aggCols = checks.zipWithIndex.map { case ((_, expect), i) =>
+        s"CAST(SUM(CASE WHEN COALESCE($expect, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v$i"
+      }.mkString(", ")
+      val rows = checks.zipWithIndex.map { case ((name, _), i) =>
+        s"""SELECT '$name' AS "check", n_rows, v$i AS n_violations, v$i = 0 AS pass FROM a"""
+      }.mkString(" UNION ALL ")
+      s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, $aggCols FROM events)
+         |$rows ORDER BY "check"""".stripMargin
+    },
+
+    // MAD twin: quantile_cont median, then quantile_cont of the absolute
+    // deviation, same operand order inside the z division
+    "evt_mad_zscore" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY event_type),
+        |mad AS (SELECT e.event_type, med,
+        |               quantile_cont(abs(value - med), 0.5) AS mad
+        |        FROM events e JOIN med USING (event_type)
+        |        GROUP BY e.event_type, med),
+        |z AS (SELECT event_id, e.event_type, value,
+        |             round((value - med) / (1.4826 * mad), 9) AS robust_z
+        |      FROM events e JOIN mad ON e.event_type = mad.event_type)
+        |SELECT event_id, event_type, value, robust_z
+        |FROM z WHERE abs(robust_z) >= 2.5""".stripMargin,
+
     // PMI twin: exact integer numerator/denominator, one division inside
     // the ln, 9-dp round; selection by (pmi desc, t1, t2)
     "txt_cooccur" -> ErOracles.materializeCtes(

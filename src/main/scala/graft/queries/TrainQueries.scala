@@ -800,6 +800,34 @@ object TrainQueries {
     // information (exact integer counts, one ln) — phrase detection for
     // the tokenizer vocabulary
     "txt_cooccur" -> ((s, d) =>
-      graft.text.Curation.pmiBigrams(docs(s, d), minCount = 5, topK = 20))
+      graft.text.Curation.pmiBigrams(docs(s, d), minCount = 5, topK = 20)),
+
+    // Deequ-style constraint audit: five expectations in ONE scan/agg;
+    // the 400-cap check deliberately fails (max value ~490) so the
+    // violation-reporting path is exercised, not just the happy path
+    "evt_dq_checks" -> ((s, d) =>
+      graft.operators.Audit.checkConstraints(events(s, d), Seq(
+        "event_id_not_null" -> col("event_id").isNotNull,
+        "event_type_in_domain" ->
+          col("event_type").isin("click", "view", "purchase", "signup", "error"),
+        "value_positive" -> (col("value") > 0),
+        "value_below_cap" -> (col("value") <= 400.0),
+        "ts_in_2024" -> (year(col("ts")) === 2024)))),
+
+    // robust outliers: median/MAD z-score per event type (1.4826 MAD ≈ σ
+    // under normality) — immune to the outliers it hunts, unlike the
+    // moment-based evt_zscore; two broadcast-joined percentile passes
+    "evt_mad_zscore" -> ((s, d) => {
+      val e = events(s, d)
+      val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = e.join(broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      e.join(broadcast(mad), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          graft.functions.FastRound.round(
+            (col("value") - col("med")) / (lit(1.4826) * col("mad")), 9).as("robust_z"))
+        .filter(abs(col("robust_z")) >= 2.5)
+    })
   )
 }

@@ -147,6 +147,30 @@ class MergeMatchSpec extends AnyFunSuite {
     assert(r.count() == 0) // "a b" appears twice < 3; "c" has no bigram
   }
 
+  test("checkConstraints: one row per check, null expectations count as violations") {
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(-1.0)))
+      .toDF("id", "v")
+    val r = graft.operators.Audit.checkConstraints(df, Seq(
+        "v_positive" -> (col("v") > 0),      // null row + negative row violate
+        "id_not_null" -> col("id").isNotNull))
+      .select("check", "n_rows", "n_violations", "pass")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(
+      ("id_not_null", 3L, 0L, true),
+      ("v_positive", 3L, 2L, false)))
+  }
+
+  test("checkConstraints is a single-scan aggregate (no per-check jobs)") {
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    val out = graft.operators.Audit.checkConstraints(df, Seq(
+      "a" -> (col("v") > 0), "b" -> (col("id") < 10), "c" -> col("v").isNotNull))
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE repeats the pre-exec plan below
+    assert("HashAggregate".r.findAllIn(p).length <= 2, // partial + final
+      s"more than one aggregate pair in:\n$p")
+  }
+
   test("weightedSample drops non-positive weights") {
     val d = Seq((1L, "t", 0L), (2L, "t", 5L), (3L, "t", -1L))
       .toDF("doc_id", "text", "n_chars")
