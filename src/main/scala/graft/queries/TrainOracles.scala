@@ -1341,6 +1341,28 @@ object TrainOracles {
         |SELECT user_id, event_type, status, a_event_id, b_event_id
         |FROM d WHERE status <> 'same'""".stripMargin,
 
+    // (bpeCtes builder lives below the map, near kmeansSql)
+    // BPE twins: the unrolled merge rounds (bpeCtes) — each round counts
+    // weighted adjacent pairs, argmaxes with the (n desc, a, b) tiebreak,
+    // and applies the position-parallel merge rule (run-parity for a==b)
+    "txt_bpe_merges" -> ErOracles.materializeCtes(
+      s"""WITH ${bpeCtes(6)}
+         |${(1 to 6).map(k =>
+             s"SELECT $k AS rank, a AS lhs, b AS rhs, n FROM b$k")
+             .mkString(" UNION ALL ")}""".stripMargin),
+
+    "txt_bpe_tokens" -> ErOracles.materializeCtes(
+      s"""WITH ${bpeCtes(6)},
+         |ws AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub,
+         |              CAST(length(word) AS BIGINT) AS n_ch FROM c6),
+         |wd AS (SELECT doc_id, unnest(list_filter(string_split(${norm("text")}, ' '),
+         |                                         t -> length(t) > 0)) AS word
+         |       FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+         |       CAST(SUM(n_ch) AS BIGINT) AS n_chars
+         |FROM wd JOIN ws USING (word) GROUP BY doc_id""".stripMargin),
+
     // constraint-audit twin: one aggregate row unioned out per check,
     // NULL expectations count as violations (COALESCE(..., FALSE))
     "evt_dq_checks" -> {
@@ -1401,6 +1423,48 @@ object TrainOracles {
          |       ROW_NUMBER() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC) AS rank
          |FROM top""".stripMargin)
   )
+
+  /** Unrolled BPE merge rounds, the twin of [[graft.text.Bpe]]: c0 is the
+   * word vocabulary with per-character symbol lists; round k counts
+   * weighted adjacent pairs (p\$k), argmaxes with the (n desc, a, b)
+   * tiebreak (b\$k), and applies the position-parallel merge rule —
+   * a match merges iff left != right (no overlap possible) or its offset
+   * from the start of its run of left-symbols is even, exactly greedy
+   * left-to-right (BpeSpec proves the rule against reference greedy). */
+  private def bpeCtes(rounds: Int): String = {
+    val base =
+      s"""bpw AS (SELECT unnest(list_filter(string_split(${norm("text")}, ' '),
+         |                      t -> length(t) > 0)) AS word FROM documents),
+         |bwc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM bpw GROUP BY word),
+         |c0 AS (SELECT word, cnt,
+         |         list_transform(generate_series(1, length(word)),
+         |                        i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+         |       FROM bwc)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      val prev = s"c${k - 1}"
+      s"""p$k AS (SELECT syms[CAST(i AS INTEGER)] AS a, syms[CAST(i AS INTEGER) + 1] AS b,
+         |               CAST(SUM(cnt) AS BIGINT) AS n
+         |        FROM $prev, unnest(generate_series(1, greatest(len(syms) - 1, 0))) AS g(i)
+         |        GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |c$k AS (
+         |  SELECT word, cnt,
+         |    list_transform(
+         |      list_filter(generate_series(1, len(s)),
+         |                  i -> NOT (i > 1 AND COALESCE(ma[CAST(i AS INTEGER) - 1], FALSE))),
+         |      i -> CASE WHEN ma[CAST(i AS INTEGER)] THEN a || b
+         |                ELSE s[CAST(i AS INTEGER)] END) AS syms
+         |  FROM (
+         |    SELECT word, cnt, s, a, b,
+         |      list_transform(generate_series(1, len(s)), i ->
+         |        (i < len(s) AND s[CAST(i AS INTEGER)] = a AND s[CAST(i AS INTEGER) + 1] = b)
+         |        AND (a <> b OR
+         |             (i - (COALESCE(list_max(list_filter(generate_series(1, len(s)),
+         |                     j -> j < i AND s[CAST(j AS INTEGER)] <> a)), 0) + 1)) % 2 = 0)) AS ma
+         |    FROM (SELECT word, cnt, syms AS s FROM $prev) CROSS JOIN b$k))""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
 
   /** Unrolled Lloyd k-means CTEs: {p}c0 = k lowest-id vectors; then
    * assign/update pairs {p}a1,{p}c1 .. {p}a{iters},{p}c{iters}. Returns

@@ -44,6 +44,14 @@ object TrainQueries {
     ppjoinCache.getOrElseUpdate(d, graft.util.Snapshot(
       Dedup.ppjoinIndex(shingles3(s, d), threshold = 0.5)))
 
+  /** Learned BPE merge table (6 rounds), shared by the merge dump and the
+   * tokenizer stats query — learning is the cost, so memoize per dir. */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeCache.getOrElseUpdate(d, graft.util.Snapshot(
+      graft.text.Bpe.learn(docs(s, d), nMerges = 6)))
+
   /** The banded-SRP eps-graph at threshold 0.4, shared by the near-dup
    * pair query and DBSCAN (same matchedPairs-style memo: the graph is
    * the product, its consumers shouldn't each rebuild it). */
@@ -813,6 +821,22 @@ object TrainQueries {
         "value_positive" -> (col("value") > 0),
         "value_below_cap" -> (col("value") <= 400.0),
         "ts_in_2024" -> (year(col("ts")) === 2024)))),
+
+    // BPE vocabulary induction (6 merges, learned on the distinct-word
+    // vocabulary — the corpus aggregates to its vocabulary once, the
+    // merge rounds run on that small table)
+    "txt_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+
+    // sequence-length accounting under the learned tokenizer: merges
+    // applied to the vocabulary (broadcast), joined back to doc words
+    "txt_bpe_tokens" -> ((s, d) => {
+      val m = bpeMerges(s, d).orderBy("rank")
+        .select("lhs", "rhs").as[(String, String)](
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.STRING)).collect().toSeq
+      graft.text.Bpe.tokenStats(docs(s, d), m)
+    }),
 
     // robust outliers: median/MAD z-score per event type (1.4826 MAD ≈ σ
     // under normality) — immune to the outliers it hunts, unlike the
