@@ -1383,6 +1383,23 @@ object TrainOracles {
          |$rows ORDER BY "check"""".stripMargin
     },
 
+    // window-family twin: identical rank-based definitions
+    "evt_percent_rank" ->
+      """SELECT event_id, event_type, value,
+        |       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 9) AS pr,
+        |       round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 9) AS cd
+        |FROM events""".stripMargin,
+
+    // pivot twin: conditional aggregation over the explicit type list
+    "evt_pivot_daily" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
     // MAD twin: quantile_cont median, then quantile_cont of the absolute
     // deviation, same operand order inside the z division
     "evt_mad_zscore" ->

@@ -838,6 +838,26 @@ object TrainQueries {
       graft.text.Bpe.tokenStats(docs(s, d), m)
     }),
 
+    // analytic-window family: percent_rank + cume_dist per event type
+    // (rank-based definitions tie identically across engines; 9-dp round)
+    "evt_percent_rank" -> ((s, d) =>
+      events(s, d).select(col("event_id"), col("event_type"), col("value"),
+        graft.functions.FastRound.round(percent_rank().over(
+          Window.partitionBy("event_type").orderBy("value")), 9).as("pr"),
+        graft.functions.FastRound.round(cume_dist().over(
+          Window.partitionBy("event_type").orderBy("value")), 9).as("cd"))),
+
+    // PIVOT: daily event-type count matrix (explicit value list keeps the
+    // plan static — no driver pre-pass to discover columns)
+    "evt_pivot_daily" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("day") +:
+          Seq("click", "view", "purchase", "signup", "error")
+            .map(c => coalesce(col(c), lit(0L)).as(c)): _*)),
+
     // robust outliers: median/MAD z-score per event type (1.4826 MAD ≈ σ
     // under normality) — immune to the outliers it hunts, unlike the
     // moment-based evt_zscore; two broadcast-joined percentile passes

@@ -182,6 +182,25 @@ object Wrappers {
       .mode("overwrite").saveAsTable(table)
   }
 
+  /**
+   * Hive-style partitioned parquet sink: one directory per
+   * `partitionCol` value. The layout complement of [[writeBucketed]]:
+   * bucketing co-locates JOIN keys, partitioning prunes SCANS — a filter
+   * on the partition column never opens the other directories at all
+   * (the plan's PartitionFilters, pinned by PlanSpec), which at 100 TB
+   * is the difference between reading one day and reading the table.
+   * Partition by LOW-cardinality operational columns (day, source,
+   * event type); high-cardinality keys belong in buckets, not
+   * directories.
+   */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty)
+    df.write.format("parquet")
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite").save(path)
+  }
+
   def loadGroundTruthJson(spark: SparkSession, path: String,
                           firstAttr: String = "id1", secondAttr: String = "id2"): DataFrame =
     spark.read.json(path)

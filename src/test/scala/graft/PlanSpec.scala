@@ -219,6 +219,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout prunes scans: a partition filter opens only its directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    graft.util.Cleanup.onExitDelete(dir)
+    val df = spark.range(100).select(col("id"),
+      (col("id") % 4).cast("string").as("bucket_day"))
+    graft.sources.Wrappers.writePartitioned(df, dir, Seq("bucket_day"))
+    val filtered = spark.read.parquet(dir).filter(col("bucket_day") === "2")
+    assert(filtered.count() == 25)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(bucket_day"),
+      s"partition filter not pushed to the scan:\n$p")
+    // the data filter must NOT appear as a row-level PushedFilter: it is
+    // resolved entirely by directory pruning
+    val scanned = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("PushedFilters: [IsNotNull(bucket_day"),
+      s"bucket_day unexpectedly evaluated row-level:\n$scanned")
+  }
+
   test("upsertLatest's rank-1 filter plans as WindowGroupLimit") {
     val base = viaParquet(Seq((1L, 10L, 100L), (2L, 20L, 100L)).toDF("id", "k", "t"))
     val upd = viaParquet(Seq((3L, 10L, 200L)).toDF("id", "k", "t"))
