@@ -44,7 +44,25 @@ object EventStreams {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", n)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.getOption("spark.graft.stream.maxFilesPerTrigger")
+      .foreach(v => s.conf.set("spark.graft.stream.maxFilesPerTrigger", v))
     s
+  }
+
+  /** Streaming parquet reader honoring the source-rate knob
+   * (`spark.graft.stream.maxFilesPerTrigger`): bounding files-per-batch
+   * splits an AvailableNow drain into MULTIPLE micro-batches, which is
+   * how MultiBatchStreamSpec proves state genuinely evolves across
+   * batches (not the degenerate single-batch equality). Operators whose
+   * oracle semantics REQUIRE one batch (watermark-expiry dedup, the
+   * stream-stream joins, session windows) pin
+   * `.option("maxFilesPerTrigger", Int.MaxValue)` after this call, which
+   * takes precedence. */
+  private def reader(spark: SparkSession,
+                     schema: org.apache.spark.sql.types.StructType) = {
+    val r = spark.readStream.schema(schema)
+    spark.conf.getOption("spark.graft.stream.maxFilesPerTrigger")
+      .fold(r)(v => r.option("maxFilesPerTrigger", v))
   }
 
   /** Temp dir holding a symlink to the events file — the file-stream
@@ -53,8 +71,17 @@ object EventStreams {
   private def streamDirFor(dir: String, prefix: String,
                            file: String = "events.parquet"): String = {
     import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val d = Files.createTempDirectory(prefix)
-    Files.createSymbolicLink(d.resolve(file), Paths.get(s"$dir/$file"))
+    val src = Paths.get(s"$dir/$file")
+    if (Files.isDirectory(src)) {
+      // a pre-split table (the multi-batch spec): the file-stream source
+      // doesn't descend into a symlinked subdirectory, so link each data
+      // file flat — their own mtimes drive the source's batch order
+      Files.list(src).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => Files.createSymbolicLink(d.resolve(p.getFileName.toString), p))
+    } else Files.createSymbolicLink(d.resolve(file), src)
     graft.util.Cleanup.onExitDelete(d.toString)
     d.toString
   }
@@ -105,7 +132,7 @@ object EventStreams {
   def windowedAggStreaming(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(streamDirFor(dir, "events_stream_"))
+    val raw = reader(spark, schema).parquet(streamDirFor(dir, "events_stream_"))
     val stream =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -136,7 +163,7 @@ object EventStreams {
   def distinctPairsStreaming(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val dedup = spark.readStream.schema(schema).parquet(streamDirFor(dir, "events_dedup_"))
+    val dedup = reader(spark, schema).parquet(streamDirFor(dir, "events_dedup_"))
       .select("user_id", "event_type")
       .dropDuplicates("user_id", "event_type")
     drainAvailableNow(dedup, "events_dedup", "append")
@@ -161,7 +188,7 @@ object EventStreams {
   def dedupWithinWatermarkStreaming(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema)
+    val raw = reader(spark, schema)
       .option("maxFilesPerTrigger", Int.MaxValue)
       .parquet(streamDirFor(dir, "events_dedup_wm_"))
     val stream =
@@ -196,7 +223,7 @@ object EventStreams {
                              attrsOf: DataFrame => DataFrame): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/part.parquet").schema
-    val parts = spark.readStream.schema(schema)
+    val parts = reader(spark, schema)
       .option("maxFilesPerTrigger", Int.MaxValue)
       .parquet(streamDirFor(dir, "part_tokens_", "part.parquet"))
     val keys = graft.er.Blocking.tokenKeys(attrsOf(parts))
@@ -261,7 +288,7 @@ object EventStreams {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/part.parquet").schema
     val corpusIdx = incrementalCorpusIndex(spark, dir, attrsOf, maxBlockSize)
-    val newParts = spark.readStream.schema(schema)
+    val newParts = reader(spark, schema)
       .option("maxFilesPerTrigger", Int.MaxValue)
       .parquet(streamDirFor(dir, "part_incr_", "part.parquet"))
       .filter(col("p_partkey") % 10 === 0)
@@ -340,7 +367,7 @@ object EventStreams {
                         m: Int, subDim: Int): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    val vecs = spark.readStream.schema(schema)
+    val vecs = reader(spark, schema)
       .option("maxFilesPerTrigger", Int.MaxValue)
       .parquet(streamDirFor(dir, "embs_pq_", "embeddings.parquet"))
       .filter(col("vec_id") % 10 === 0)
@@ -353,7 +380,7 @@ object EventStreams {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val corpusIdx = lshCorpusIndex(spark, dir)
-    val newDocs = spark.readStream.schema(schema)
+    val newDocs = reader(spark, schema)
       .option("maxFilesPerTrigger", Int.MaxValue)
       .parquet(streamDirFor(dir, "docs_lsh_", "documents.parquet"))
       .filter(col("doc_id") % 10 === 0)
@@ -380,7 +407,7 @@ object EventStreams {
                           windowMinutes: Int = 60): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema)
+    val raw = reader(spark, schema)
       .option("maxFilesPerTrigger", Int.MaxValue)
       .parquet(streamDirFor(dir, "events_funnel_"))
     val stream =
@@ -480,7 +507,7 @@ object EventStreams {
     // driver-written table — rather than inheriting session defaults; a
     // production deploy would instead size the watermark to its real
     // out-of-orderness and let late sessions flush continuously.
-    val raw = spark.readStream.schema(schema)
+    val raw = reader(spark, schema)
       .option("maxFilesPerTrigger", Int.MaxValue)
       .parquet(streamDir)
     val stream =
@@ -624,7 +651,7 @@ object EventStreams {
                              gapMinutes: Int = 30): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema)
+    val raw = reader(spark, schema)
       .option("maxFilesPerTrigger", Int.MaxValue)
       .parquet(streamDirFor(dir, "events_sesswin_"))
     val stream =
@@ -682,7 +709,7 @@ object EventStreams {
     val spark = streamSession(spark0)
     val stats = zscoreStats(spark.read.parquet(s"$dir/events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val stream = reader(spark, schema)
       .parquet(streamDirFor(dir, "events_zscore_"))
     drainAvailableNow(zscoreScore(stream, stats), "events_zscore", "append")
   }
@@ -699,7 +726,7 @@ object EventStreams {
   def mergeLatestStreaming(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema)
+    val raw = reader(spark, schema)
       .parquet(streamDirFor(dir, "events_merge_"))
     val stream =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
