@@ -140,6 +140,93 @@ object Multimodal {
     Row(docId, w, h, chk, mean)
   }
 
+  /** Decoded-WAV row: header-derived rate/length, a position-weighted
+   * amplitude checksum and the mean-square energy over the PCM stream. */
+  val WavFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("amp_checksum", LongType, nullable = false),
+    StructField("mean_square", DoubleType, nullable = false)))
+
+  /** RIFF/WAVE writer: PCM16 mono little-endian, canonical 44-byte
+   * header (fmt + data chunks). */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /**
+   * REAL WAV decoder, pure JVM: walks the RIFF chunk list (not a fixed
+   * 44-byte offset — encoders insert LIST/fact chunks), validates
+   * PCM16 mono, then one pass over the sample stream for the
+   * position-weighted amplitude checksum and the mean-square energy
+   * (half-up to 1e-6, the [[decodePpm]] rounding). The audio twin of the
+   * PPM codec behind the same batched [[decodeFeatures]] contract.
+   */
+  def decodeWav(docId: Long, payload: Array[Byte]): Row = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(payload.length >= 12 && fourCC() == "RIFF", s"WAV: no RIFF (doc $docId)")
+    bb.getInt // riff size
+    require(fourCC() == "WAVE", s"WAV: no WAVE form (doc $docId)")
+    var rate = -1
+    var ok = false
+    var chk = 0L; var sumSq = 0L; var n = 0L
+    while (bb.remaining() >= 8) {
+      val id = fourCC(); val len = bb.getInt
+      if (id == "fmt ") {
+        require(len >= 16, s"WAV: short fmt chunk (doc $docId)")
+        val fmt = bb.getShort; val ch = bb.getShort
+        rate = bb.getInt; bb.getInt; bb.getShort
+        val bits = bb.getShort
+        require(fmt == 1 && ch == 1 && bits == 16,
+          s"WAV: need PCM16 mono, got fmt=$fmt ch=$ch bits=$bits (doc $docId)")
+        bb.position(bb.position() + (len - 16)) // extension bytes, if any
+      } else if (id == "data") {
+        require(rate > 0, s"WAV: data before fmt (doc $docId)")
+        require(bb.remaining() >= len, s"WAV: truncated data chunk (doc $docId)")
+        val m = len / 2
+        var i = 0
+        while (i < m) {
+          val v = bb.getShort.toLong
+          chk += (i + 1) * v; sumSq += v * v; i += 1
+        }
+        n = m; ok = true
+      } else {
+        bb.position(bb.position() + len + (len & 1)) // chunks pad to even
+      }
+    }
+    require(ok, s"WAV: no data chunk (doc $docId)")
+    val ms = if (n == 0) 0.0 else math.floor(sumSq.toDouble / n * 1e6 + 0.5) / 1e6
+    Row(docId, rate, n, chk, ms)
+  }
+
+  /** Deterministic real-WAV fixture: rate 8000 + (id%4)·4000, 50 + id%32
+   * samples, sample i = ((id·131 + i·17) % 65536) − 32768 — closed-form
+   * arithmetic the SQL oracle recomputes, wrapped through the REAL
+   * [[encodeWav]] writer so [[decodeWav]] parses genuine RIFF bytes. */
+  def wavFixture(docId: Long): Array[Byte] = {
+    val rate = 8000 + (docId % 4).toInt * 4000
+    val n = 50 + (docId % 32).toInt
+    val samples = Array.tabulate(n)(i =>
+      (((docId * 131 + i.toLong * 17) % 65536) - 32768).toShort)
+    encodeWav(rate, samples)
+  }
+
   /** Deterministic real-PPM fixture for a doc id: width 4 + id%5, height
    * 3 + id%4, flattened RGB byte i = (id*31 + i*7) % 256 — closed-form
    * arithmetic the SQL oracle recomputes, wrapped through the REAL

@@ -773,6 +773,21 @@ object TrainOracles {
         |       floor(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_intensity
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
 
+    // WAV twin: the fixture's PCM samples recomputed closed-form
+    "mm_decode_wav" ->
+      """WITH wdim AS (
+        |  SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+        |         CAST(50 + doc_id % 32 AS BIGINT) AS n_samples
+        |  FROM documents),
+        |smp AS (
+        |  SELECT doc_id, sample_rate, n_samples, i.i AS i,
+        |         ((doc_id * 131 + (i.i - 1) * 17) % 65536) - 32768 AS v
+        |  FROM wdim, unnest(generate_series(1, n_samples)) AS i(i))
+        |SELECT doc_id, sample_rate, n_samples,
+        |       CAST(SUM(i * v) AS BIGINT) AS amp_checksum,
+        |       floor(CAST(SUM(v * v) AS DOUBLE) / n_samples * 1000000 + 0.5) / 1000000 AS mean_square
+        |FROM smp GROUP BY doc_id, sample_rate, n_samples""".stripMargin,
+
     "mm_resize" ->
       s"""WITH m AS (
          |  SELECT doc_id,

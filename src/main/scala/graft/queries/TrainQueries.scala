@@ -418,6 +418,17 @@ object TrainQueries {
         decoder = Multimodal.decodePpm, schema = Multimodal.PpmFeatureSchema)
     }),
 
+    // audio twin of the PPM path: genuine RIFF/PCM16 bytes from the real
+    // encoder, walked back by the real chunk-list decoder; the oracle
+    // recomputes the sample stream closed-form from doc_id
+    "mm_decode_wav" -> ((s, d) => {
+      import s.implicits._
+      val mm = docs(s, d).select("doc_id").as[Long]
+        .map(id => (id, Multimodal.wavFixture(id))).toDF("doc_id", "payload")
+      Multimodal.decodeFeatures(mm, parallelism = 8,
+        decoder = Multimodal.decodeWav, schema = Multimodal.WavFeatureSchema)
+    }),
+
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.decodeFeatures(Multimodal.asMultimodal(docs(s, d)), parallelism = 8),

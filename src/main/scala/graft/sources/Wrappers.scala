@@ -201,6 +201,36 @@ object Wrappers {
       .mode("overwrite").save(path)
   }
 
+  /**
+   * Small-files compaction: rewrite a parquet directory into
+   * ceil(bytes / targetBytes) files. Streaming sinks and incremental
+   * appends accrete thousands of KB-sized files; at 100 TB the resulting
+   * task-per-file scheduling and NameNode/listing pressure dominate scan
+   * cost, so periodic compaction is part of the table's lifecycle. The
+   * rewrite uses `coalesce` (narrow — no shuffle; compaction only ever
+   * reduces file count) and swaps directories only after the replacement
+   * is fully written. Returns the new file count.
+   */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path).coalesce(parts)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "__precompact")
+    require(fs.rename(hPath, bak), s"compact: cannot stage $path")
+    if (!fs.rename(tmp, hPath)) { // restore on failure, never drop data
+      fs.rename(bak, hPath)
+      sys.error(s"compact: swap failed for $path")
+    }
+    fs.delete(bak, true)
+    parts
+  }
+
   def loadGroundTruthJson(spark: SparkSession, path: String,
                           firstAttr: String = "id1", secondAttr: String = "id2"): DataFrame =
     spark.read.json(path)

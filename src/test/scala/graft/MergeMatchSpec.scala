@@ -171,6 +171,20 @@ class MergeMatchSpec extends AnyFunSuite {
       s"more than one aggregate pair in:\n$p")
   }
 
+  test("compact rewrites many small files into few, preserving the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
+    graft.util.Cleanup.onExitDelete(dir)
+    (0 until 12).foreach(i => spark.range(i * 10L, i * 10L + 10)
+      .coalesce(1).write.mode("append").parquet(dir))
+    def files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 12)
+    val parts = graft.sources.Wrappers.compact(spark, dir, targetBytes = 1L << 30)
+    assert(parts == 1 && files == 1)
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+      == (0L until 120L))
+  }
+
   test("weightedSample drops non-positive weights") {
     val d = Seq((1L, "t", 0L), (2L, "t", 5L), (3L, "t", -1L))
       .toDF("doc_id", "text", "n_chars")
