@@ -773,6 +773,43 @@ object TrainOracles {
         |       floor(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_intensity
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
 
+    // JL-recall twin: 16 projected components via the same LCG-parity
+    // sign matrix and sequential fold; both rankings re-derived, recall
+    // joined per query
+    "ann_jl_recall" -> {
+      def d16(x: String, y: String) =
+        dsum(s"list_transform(generate_series(1, 16), t -> $x[CAST(t AS INTEGER)] * $y[CAST(t AS INTEGER)])")
+      def cos16(x: String, y: String) =
+        s"(${d16(x, y)} / (sqrt(${d16(x, x)}) * sqrt(${d16(y, y)})))"
+      val comp = dsum("list_transform(generate_series(1, 64), i -> " +
+        s"CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) * " +
+        s"(CASE WHEN ((1103515245 * (j * 64 + (i - 1)) + 12345) % $Mod) % 2 = 0 " +
+        "THEN 1.0 ELSE -1.0 END))")
+      ErOracles.materializeCtes(
+      s"""WITH jq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |bsc AS (SELECT query_id, c.vec_id AS nn_id, round(${cosine("qe", "c.embedding")}, 9) AS cos
+         |        FROM embeddings c CROSS JOIN jq WHERE query_id <> c.vec_id),
+         |bex AS (SELECT query_id, nn_id FROM (
+         |          SELECT query_id, nn_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rn
+         |          FROM bsc) WHERE rn <= 5),
+         |pj AS (SELECT e.vec_id, list_transform(generate_series(0, 15), j -> $comp) AS y
+         |       FROM embeddings e),
+         |psc AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         |               round(${cos16("q.y", "c.y")}, 9) AS pcos
+         |        FROM pj c CROSS JOIN (SELECT * FROM pj WHERE vec_id < 10) q
+         |        WHERE q.vec_id <> c.vec_id),
+         |papx AS (SELECT query_id, nn_id FROM (
+         |           SELECT query_id, nn_id,
+         |                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, nn_id ASC) AS rn
+         |           FROM psc) WHERE rn <= 5),
+         |jhits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |          FROM bex JOIN papx USING (query_id, nn_id) GROUP BY query_id)
+         |SELECT q.query_id, COALESCE(h.hits, 0) AS hits,
+         |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM (SELECT query_id FROM jq) q LEFT JOIN jhits h USING (query_id)""".stripMargin)
+    },
+
     // WAV twin: the fixture's PCM samples recomputed closed-form
     "mm_decode_wav" ->
       """WITH wdim AS (

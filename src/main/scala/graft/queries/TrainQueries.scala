@@ -265,6 +265,26 @@ object TrainQueries {
       Similarity.cosineNearDupPairs(e.unionByName(planted), threshold = 0.9)
     }),
 
+    // JL projection quality: recall@5 of 16-dim random-sign cosine
+    // ranking vs the exact 64-dim top-5 — the calibration gate before
+    // pointing the cheaper projected scan at the corpus
+    "ann_jl_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5).select("query_id", "nn_id")
+      val proj = Similarity.jlProject(e, outDim = 16)
+      val approx = Similarity.bruteForceTopK(proj,
+          proj.filter(col("vec_id") < 10), k = 5)
+        .select("query_id", "nn_id")
+      val hits = exact.join(approx, Seq("query_id", "nn_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) / 5.0).as("recall_at_5"))
+    }),
+
     // DBSCAN over the banded-SRP eps-graph (threshold 0.4, minPts 3):
     // degree -> core points -> CC over core-core edges -> deterministic
     // border assignment; isolated near-dup edges fall out as noise

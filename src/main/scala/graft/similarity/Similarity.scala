@@ -81,6 +81,26 @@ object Similarity {
       .select("query_id", "nn_id", "nn_label", "cos", "rn")
   }
 
+  /**
+   * Johnson-Lindenstrauss random-sign projection (Achlioptas, PODS '01):
+   * dim → outDim via a deterministic ±1 matrix (LCG parity over
+   * j·dim + i), one codegen'd [[dot]] per output component — cosine
+   * ranking is scale-free, so the 1/√outDim factor is omitted. The
+   * projected table keeps the `embedding` column name, so every
+   * downstream consumer ([[bruteForceTopK]], the SRP banding) runs on it
+   * unchanged: at 100 TB the projection is a scan-speed map that cuts
+   * every later distance evaluation by dim/outDim.
+   */
+  def jlProject(vecs: DataFrame, outDim: Int, dim: Int = 64): DataFrame = {
+    val ys = (0 until outDim).map { j =>
+      val signs = Array.tabulate(dim)(i =>
+        if (((1103515245L * (j.toLong * dim + i) + 12345L) % 2147483647L) % 2 == 0L)
+          1.0 else -1.0)
+      dot(col("embedding"), lit(signs))
+    }
+    vecs.select(col("vec_id"), array(ys: _*).as("embedding"))
+  }
+
   /** Deterministic pseudo-random hyperplane for plane p: a fixed LCG over
    * p * dim + i mapped to [-0.5, 0.5) — computed once on the driver and
    * shipped as an array literal (identical values to the SQL oracle's
