@@ -268,6 +268,29 @@ object TrainOracles {
         |       COALESCE(r.last_left_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
         |FROM r LEFT JOIN l ON r.user_id = l.user_id AND r.last_left_ts = l.last_left_ts""".stripMargin,
 
+    // funnel-rate twin: the asof window pass, aggregated per day with the
+    // 60-minute attribution gate
+    "evt_funnel_rates" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_left
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *, MAX(CASE WHEN is_left = 1 THEN ts END) OVER (
+        |     PARTITION BY user_id ORDER BY ts ASC, is_left DESC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_left_ts
+        |  FROM t),
+        |r AS (SELECT user_id, ts AS purchase_ts, last_left_ts FROM w WHERE is_left = 0)
+        |SELECT date_trunc('day', purchase_ts) AS day,
+        |       CAST(COUNT(*) AS BIGINT) AS purchases,
+        |       CAST(SUM(CASE WHEN last_left_ts IS NOT NULL
+        |                      AND last_left_ts >= purchase_ts - INTERVAL 60 MINUTE
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS attributed,
+        |       round(CAST(SUM(CASE WHEN last_left_ts IS NOT NULL
+        |                           AND last_left_ts >= purchase_ts - INTERVAL 60 MINUTE
+        |                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) AS conv_rate
+        |FROM r GROUP BY 1""".stripMargin,
+
     // dropDuplicatesWithinWatermark over one AvailableNow batch: expiry
     // uses the previous batch's watermark (-inf), so the emitted key set
     // equals batch DISTINCT (EventStreams.dedupWithinWatermarkStreaming doc)

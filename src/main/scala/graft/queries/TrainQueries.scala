@@ -374,6 +374,20 @@ object TrainQueries {
           coalesce(col("click_id"), lit(-1L)).as("click_id"),
           coalesce(col("click_ts"), timestamp_micros(lit(0L))).as("click_ts"))),
 
+    // funnel conversion report: per day, what fraction of purchases had
+    // a click within the prior 60 minutes — the as-of join's business
+    // payoff as one aggregate over its output
+    "evt_funnel_rates" -> ((s, d) => {
+      val a = EventStreams.asofJoin(events(s, d))
+      val attributed = sum(when(col("click_ts").isNotNull &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 60 MINUTE"),
+        1L).otherwise(0L))
+      a.groupBy(date_trunc("day", col("purchase_ts")).as("day"))
+        .agg(count(lit(1)).as("purchases"), attributed.as("attributed"))
+        .withColumn("conv_rate", graft.functions.FastRound.round(
+          col("attributed").cast("double") / col("purchases"), 9))
+    }),
+
     // training-data curation composition: exact-dedup survivors with
     // quality and language gates — the end-to-end "what goes into the
     // training set" query over the analysis + dedup building blocks

@@ -116,7 +116,11 @@ object Warmup {
         task("first/dbscan")(TrainQueries.all("ann_dbscan")(s, d).count()),
         // streaming merge: checkpoint setup + complete-mode state codegen
         task("first/merge_stream")(
-          TrainQueries.all("evt_merge_stream")(s, d).count()))
+          TrainQueries.all("evt_merge_stream")(s, d).count()),
+        // BPE learning: 6 sequential argmax rounds + per-round snapshots
+        // build the shared merge-table cache
+        task("first/bpe")(
+          TrainQueries.all("txt_bpe_merges")(s, d).count()))
       // dependent waves over the blocking/cleaning spine
       awaitAll(Seq(
         task("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false)),

@@ -595,6 +595,7 @@ object EventStreams {
       .agg(max(col("event_id")).as("left_id"))
     rights.join(lefts, Seq("user_id", "last_left_ts"), "left")
       .select(col("right_id").as("purchase_id"), col("user_id"),
+        col("right_ts").as("purchase_ts"),
         col("left_id").as("click_id"), col("last_left_ts").as("click_ts"))
   }
 
