@@ -648,6 +648,32 @@ object ErOracles {
         |              JOIN nm n2 ON c.p2 = n2.p_partkey)
         |SELECT p1, p2, sim_jw FROM jwsc WHERE sim_jw >= 0.8""".stripMargin),
 
+    // entity-quality twin: the er_entities closure, induced same-entity
+    // pairs vs the identical-name ground truth, Dice-form F1
+    "er_entity_metrics" -> ((matchedEdgesCtes +
+      """eg AS (SELECT p1 AS u, p2 AS v FROM me UNION ALL SELECT p2, p1 FROM me),
+        |reach(a, b) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION
+        |  SELECT r.a, eg.v FROM reach r JOIN eg ON r.b = eg.u),
+        |ents AS (SELECT a AS profile_id, MIN(b) AS entity_id FROM reach GROUP BY a),
+        |ip AS (SELECT e1.profile_id AS p1, e2.profile_id AS p2
+        |       FROM ents e1 JOIN ents e2
+        |         ON e1.entity_id = e2.entity_id AND e1.profile_id < e2.profile_id),
+        |gtp AS (SELECT a.p_partkey AS p1, b.p_partkey AS p2
+        |        FROM part a JOIN part b
+        |          ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey),
+        |cnts AS (SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ip) AS n_induced,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM gtp) AS n_gt,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ip JOIN gtp USING (p1, p2)) AS n_tp)
+        |SELECT n_induced, n_gt, n_tp,
+        |       round(CAST(n_tp AS DOUBLE) / n_induced, 9) AS "precision",
+        |       round(CAST(n_tp AS DOUBLE) / n_gt, 9) AS recall,
+        |       round(2.0 * n_tp / (n_induced + n_gt), 9) AS f1
+        |FROM cnts""".stripMargin)
+      .replaceFirst("WITH ", "WITH RECURSIVE ")),
+
     // reciprocal-best-match twin: re-score the shared matched edges,
     // orient both ways, rank per node (sim desc, partner asc), keep
     // mutually-top-1 pairs

@@ -553,6 +553,30 @@ object ErQueries {
         .select("p1", "p2", "sim_jw")
     }),
 
+    // end-to-end entity quality: pairwise precision/recall/F1 of the
+    // entity clustering against ground truth — induced same-entity pairs
+    // vs GT pairs, the metric that grades the WHOLE pipeline (blocking
+    // through clustering), not just the candidate stage
+    "er_entity_metrics" -> ((s, d) => {
+      val ent = entities(s, d)
+      val induced = ent.select(col("entity_id"), col("profile_id").as("p1"))
+        .join(ent.select(col("entity_id"), col("profile_id").as("p2")), "entity_id")
+        .filter(col("p1") < col("p2")).select("p1", "p2")
+      val gt = gtConverted(s, d).select("p1", "p2")
+      val nInd = induced.agg(count(lit(1)).as("n_induced"))
+      val nGt = gt.agg(count(lit(1)).as("n_gt"))
+      val nTp = induced.join(gt, Seq("p1", "p2"), "left_semi")
+        .agg(count(lit(1)).as("n_tp"))
+      nInd.crossJoin(broadcast(nGt)).crossJoin(broadcast(nTp))
+        .select(col("n_induced"), col("n_gt"), col("n_tp"),
+          graft.functions.FastRound.round(
+            col("n_tp").cast("double") / col("n_induced"), 9).as("precision"),
+          graft.functions.FastRound.round(
+            col("n_tp").cast("double") / col("n_gt"), 9).as("recall"),
+          graft.functions.FastRound.round(
+            lit(2.0) * col("n_tp") / (col("n_induced") + col("n_gt")), 9).as("f1"))
+    }),
+
     // one-to-one assignment after matching: reciprocal (symmetric) best
     // match over the scored matched pairs — each profile keeps at most
     // its unique mutually-best partner (two WindowGroupLimit passes)

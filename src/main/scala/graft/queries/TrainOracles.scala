@@ -1438,6 +1438,21 @@ object TrainOracles {
          |       CAST(SUM(n_ch) AS BIGINT) AS n_chars
          |FROM wd JOIN ws USING (word) GROUP BY doc_id""".stripMargin),
 
+    // scrub twin: same planted fixture, same RE2 class
+    "txt_clean" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN text || chr(7) || chr(27) || 'x' || chr(127)
+        |              ELSE text END AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(dirty, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g') AS cleaned,
+        |       CAST(length(dirty) -
+        |            length(regexp_replace(dirty, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))
+        |            AS BIGINT) AS n_removed
+        |FROM dd""".stripMargin,
+
     // constraint-audit twin: one aggregate row unioned out per check,
     // NULL expectations count as violations (COALESCE(..., FALSE))
     "evt_dq_checks" -> {

@@ -855,6 +855,20 @@ object TrainQueries {
     "txt_cooccur" -> ((s, d) =>
       graft.text.Curation.pmiBigrams(docs(s, d), minCount = 5, topK = 20)),
 
+    // control-character scrub: strip BEL/ESC/DEL-class bytes (mojibake /
+    // terminal-escape pollution in scraped corpora), report chars
+    // removed. Fixtures planted in-query (every 7th doc gains four dirty
+    // chars) so the strip path is exercised, RE2-safe class both sides
+    "txt_clean" -> ((s, d) => {
+      val dirty = when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(col("text"), lit("\u0007\u001b"), lit("x"), lit("\u007f")))
+        .otherwise(col("text"))
+      val cleaned = regexp_replace(dirty,
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+      docs(s, d).select(col("doc_id"), cleaned.as("cleaned"),
+        (length(dirty) - length(cleaned)).cast("long").as("n_removed"))
+    }),
+
     // Deequ-style constraint audit: five expectations in ONE scan/agg;
     // the 400-cap check deliberately fails (max value ~490) so the
     // violation-reporting path is exercised, not just the happy path
