@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+/** The WAV codec's parsing claims, exercised directly: canonical
+ * round-trip, chunk-list walking (LIST/fact chunks before data,
+ * odd-length padding), and malformed-payload rejection. */
+class MultimodalWavSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def feats(payload: Array[Byte], id: Long = 1L) =
+    Multimodal.decodeWav(id, payload)
+
+  test("encode/decode round-trip recovers rate, count, checksum, energy") {
+    val samples = Array[Short](100, -200, 300, -400, 500)
+    val r = feats(Multimodal.encodeWav(16000, samples))
+    assert(r.getInt(1) == 16000)
+    assert(r.getLong(2) == 5L)
+    // checksum = sum (i+1)*v over 1-based positions
+    assert(r.getLong(3) == (1 * 100 - 2 * 200 + 3 * 300 - 4 * 400 + 5 * 500).toLong)
+    val sumSq = samples.map(v => v.toLong * v).sum
+    assert(r.getDouble(4) == math.floor(sumSq.toDouble / 5 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("decoder walks unknown chunks (LIST before data, odd length padded)") {
+    val base = Multimodal.encodeWav(8000, Array[Short](7, -7, 13))
+    // splice a 5-byte (odd -> padded to 6) LIST chunk between fmt and data
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = base.take(36) ++ listChunk ++ base.drop(36)
+    // fix the RIFF size field (bytes 4..7, LE)
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val r = feats(spliced)
+    assert(r.getLong(2) == 3L && r.getInt(1) == 8000)
+    assert(r.getLong(3) == (1 * 7 - 2 * 7 + 3 * 13).toLong)
+  }
+
+  test("decoder rejects non-RIFF, stereo, and truncated payloads") {
+    intercept[IllegalArgumentException](feats("not a wav at all".getBytes))
+    val stereo = Multimodal.encodeWav(8000, Array[Short](1, 2))
+    stereo(22) = 2 // channels field
+    intercept[IllegalArgumentException](feats(stereo))
+    val trunc = Multimodal.encodeWav(8000, Array[Short](1, 2, 3)).dropRight(2)
+    intercept[IllegalArgumentException](feats(trunc))
+  }
+
+  test("jlProject is deterministic and pipeline-compatible") {
+    val e = Seq(
+      (1L, Array.tabulate(64)(i => (i + 1).toFloat)),
+      (2L, Array.tabulate(64)(i => (64 - i).toFloat))).toDF("vec_id", "embedding")
+    val p = graft.similarity.Similarity.jlProject(e, outDim = 16)
+    assert(p.columns.toSeq == Seq("vec_id", "embedding"))
+    val a = p.orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    val b = graft.similarity.Similarity.jlProject(e, outDim = 16)
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_._2.length == 16))
+    // distinct inputs stay distinct under the projection
+    assert(a(0)._2 != a(1)._2)
+  }
+}
