@@ -897,14 +897,35 @@ object TrainQueries {
       graft.text.Bpe.tokenStats(docs(s, d), m)
     }),
 
-    // analytic-window family: percent_rank + cume_dist per event type
-    // (rank-based definitions tie identically across engines; 9-dp round)
-    "evt_percent_rank" -> ((s, d) =>
-      events(s, d).select(col("event_id"), col("event_type"), col("value"),
-        graft.functions.FastRound.round(percent_rank().over(
-          Window.partitionBy("event_type").orderBy("value")), 9).as("pr"),
-        graft.functions.FastRound.round(cume_dist().over(
-          Window.partitionBy("event_type").orderBy("value")), 9).as("cd"))),
+    // analytic-window family: percent_rank + cume_dist per event type —
+    // NOT via Window.partitionBy(event_type) (5 distinct types = 5 giant
+    // single-task partitions at 100 TB). Scale shape: aggregate to
+    // per-(type, value) counts, distributed prefix-sum over the unique
+    // (type, value) order (graft.util.Prefix, range-partitioned two-phase
+    // scan), broadcast per-type offsets, join the tiny rank table back to
+    // the events. Tie-aware: rank = min rank, cume = inclusive count —
+    // exactly the SQL definitions the oracle's window computes
+    "evt_percent_rank" -> ((s, d) => {
+      val e = events(s, d)
+      val vc = e.groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+      val cum = graft.util.Prefix.runningSum(vc,
+        Seq(col("event_type").asc, col("value").asc),
+        col("cnt").cast("double"), "cum")
+      val totals = vc.groupBy("event_type").agg(sum("cnt").cast("double").as("n_type"))
+        .withColumn("off", coalesce(sum(col("n_type")).over(
+          Window.orderBy("event_type") // one row per TYPE: bounded window
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      val ranked = cum.join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type"), col("value"),
+          graft.functions.FastRound.round(
+            when(col("n_type") === 1.0, lit(0.0)).otherwise(
+              (col("cum") - col("off") - col("cnt")) / (col("n_type") - 1)), 9).as("pr"),
+          graft.functions.FastRound.round(
+            (col("cum") - col("off")) / col("n_type"), 9).as("cd"))
+      e.select(col("event_id"), col("event_type"), col("value"))
+        .join(ranked, Seq("event_type", "value"))
+        .select("event_id", "event_type", "value", "pr", "cd")
+    }),
 
     // PIVOT: daily event-type count matrix (explicit value list keeps the
     // plan static — no driver pre-pass to discover columns)
