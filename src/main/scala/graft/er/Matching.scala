@@ -23,6 +23,34 @@ object Matching {
    * output pair (its unique best), so the result is a matching in the
    * graph-theory sense.
    */
+  /**
+   * Near-maximal weighted matching by iterated reciprocal rounds: each
+   * round keeps the mutually-best pairs (a valid matching), removes the
+   * matched nodes, and rematches the remainder — the distributed
+   * approximation of greedy maximal matching (sequential greedy is
+   * edge-ordered and driver-bound; r rounds of local argmax reach the
+   * same 1/2-approximation guarantee). Rounds are a driver loop over
+   * snapshot-flattened frames; per-round work is two WindowGroupLimit
+   * passes + two anti-joins. Returns (p1, p2, wCol, round).
+   */
+  def maximalMatching(pairs: DataFrame, wCol: String = "w",
+                      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    var remaining = pairs
+    var acc: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val m = graft.util.Snapshot(reciprocalBestMatch(remaining, wCol)
+        .withColumn("round", lit(r)))
+      acc = Some(acc.fold(m)(_.unionByName(m)))
+      val nodes = m.select(col("p1").as("node"))
+        .unionByName(m.select(col("p2").as("node"))).distinct()
+      remaining = graft.util.Snapshot(remaining
+        .join(nodes.select(col("node").as("p1")), Seq("p1"), "left_anti")
+        .join(nodes.select(col("node").as("p2")), Seq("p2"), "left_anti"))
+    }
+    acc.get
+  }
+
   def reciprocalBestMatch(pairs: DataFrame, wCol: String = "w"): DataFrame = {
     val dir = pairs.select(col("p1").as("a"), col("p2").as("b"), col(wCol))
       .unionByName(pairs.select(col("p2").as("a"), col("p1").as("b"), col(wCol)))

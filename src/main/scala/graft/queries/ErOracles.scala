@@ -674,6 +674,35 @@ object ErOracles {
         |FROM cnts""".stripMargin)
       .replaceFirst("WITH ", "WITH RECURSIVE ")),
 
+    // iterated-matching twin: 3 unrolled reciprocal rounds with node
+    // removal between rounds, each kept pair tagged with its round
+    "er_max_match" -> (matchedEdgesCtes + {
+      val m0 =
+        """mm0 AS (
+          |  SELECT m.p1, m.p2,
+          |         ROUND(1.0 - CAST(levenshtein(n1.nm, n2.nm) AS DOUBLE) /
+          |               GREATEST(length(n1.nm), length(n2.nm)), 9) AS sim
+          |  FROM me m JOIN nm n1 ON m.p1 = n1.p_partkey
+          |            JOIN nm n2 ON m.p2 = n2.p_partkey)""".stripMargin
+      val rounds = (1 to 3).map { r =>
+        s"""mmd$r AS (SELECT p1 AS a, p2 AS b, sim FROM mm${r - 1}
+           |          UNION ALL SELECT p2, p1, sim FROM mm${r - 1}),
+           |mmb$r AS (SELECT a, b FROM (
+           |            SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+           |              ORDER BY sim DESC, b ASC) AS rn FROM mmd$r) WHERE rn = 1),
+           |mmk$r AS (SELECT m.p1, m.p2, m.sim FROM mm${r - 1} m
+           |          JOIN mmb$r x ON x.a = m.p1 AND x.b = m.p2
+           |          JOIN mmb$r y ON y.a = m.p2 AND y.b = m.p1),
+           |mmn$r AS (SELECT p1 AS node FROM mmk$r UNION SELECT p2 FROM mmk$r),
+           |mm$r AS (SELECT * FROM mm${r - 1}
+           |         WHERE p1 NOT IN (SELECT node FROM mmn$r)
+           |           AND p2 NOT IN (SELECT node FROM mmn$r))""".stripMargin
+      }
+      val out = (1 to 3).map(r =>
+        s"SELECT p1, p2, sim, $r AS round FROM mmk$r").mkString(" UNION ALL ")
+      (m0 +: rounds).mkString(",\n") + s"\n$out"
+    }),
+
     // reciprocal-best-match twin: re-score the shared matched edges,
     // orient both ways, rank per node (sim desc, partner asc), keep
     // mutually-top-1 pairs

@@ -553,6 +553,12 @@ object ErQueries {
         .select("p1", "p2", "sim_jw")
     }),
 
+    // near-maximal one-to-one matching: three reciprocal rounds, matched
+    // nodes removed between rounds — the distributed greedy-matching
+    // approximation (each output row tagged with its round)
+    "er_max_match" -> ((s, d) =>
+      Matching.maximalMatching(matchedPairs(s, d), wCol = "sim", rounds = 3)),
+
     // end-to-end entity quality: pairwise precision/recall/F1 of the
     // entity clustering against ground truth — induced same-entity pairs
     // vs GT pairs, the metric that grades the WHOLE pipeline (blocking

@@ -75,6 +75,20 @@ class MergeMatchSpec extends AnyFunSuite {
     assert(r == Set((1L, 2L)))
   }
 
+  test("maximalMatching: later rounds match what round 1 left unmatched") {
+    // path 1-2-3-4 with decreasing weights: round 1 takes (1,2) [mutual]
+    // and leaves 3-4 — (2,3) blocked by 2's preference for 1; round 2
+    // then takes (3,4). The union covers all four nodes, still a matching.
+    val p = pairs((1L, 2L, 0.9), (2L, 3L, 0.8), (3L, 4L, 0.7))
+    val r = Matching.maximalMatching(p, rounds = 2)
+      .select("p1", "p2", "round").as[(Long, Long, Int)].collect().toSet
+    // round 1: only (1,2) is mutual — 3 prefers 2, who prefers 1; with
+    // nodes 1,2 removed, round 2 matches (3,4)
+    assert(r == Set((1L, 2L, 1), (3L, 4L, 2)))
+    val nodes = r.toSeq.flatMap { case (a, b, _) => Seq(a, b) }
+    assert(nodes.distinct.length == nodes.length)
+  }
+
   test("reciprocalBestMatch output is a matching: every node at most once") {
     val r = Matching.reciprocalBestMatch(pairs(
         (1L, 2L, 0.9), (1L, 3L, 0.8), (2L, 3L, 0.7), (3L, 4L, 0.6),
