@@ -268,6 +268,24 @@ object TrainOracles {
         |       COALESCE(r.last_left_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
         |FROM r LEFT JOIN l ON r.user_id = l.user_id AND r.last_left_ts = l.last_left_ts""".stripMargin,
 
+    // interval-join twin: the naive SCD2 x SCD2 overlap theta join
+    "evt_interval_join" ->
+      """WITH ph AS (
+        |  SELECT user_id, event_id, ts AS valid_from,
+        |         COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+        |                  TIMESTAMP '2024-02-01 00:00:00') AS valid_to
+        |  FROM events WHERE event_type = 'purchase'),
+        |ch AS (
+        |  SELECT user_id, event_id, ts AS valid_from,
+        |         COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+        |                  TIMESTAMP '2024-02-01 00:00:00') AS valid_to
+        |  FROM events WHERE event_type = 'click')
+        |SELECT ph.user_id, ph.event_id AS p_event_id, ch.event_id AS c_event_id,
+        |       GREATEST(ph.valid_from, ch.valid_from) AS ov_start,
+        |       LEAST(ph.valid_to, ch.valid_to) AS ov_end
+        |FROM ph JOIN ch ON ph.user_id = ch.user_id
+        | AND ph.valid_from < ch.valid_to AND ch.valid_from < ph.valid_to""".stripMargin,
+
     // funnel-rate twin: the asof window pass, aggregated per day with the
     // 60-minute attribution gate
     "evt_funnel_rates" ->

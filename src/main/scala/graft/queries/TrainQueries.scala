@@ -374,6 +374,29 @@ object TrainQueries {
           coalesce(col("click_id"), lit(-1L)).as("click_id"),
           coalesce(col("click_ts"), timestamp_micros(lit(0L))).as("click_ts"))),
 
+    // interval-overlap join: which purchase-version validity intervals
+    // overlap which click-version intervals per user (SCD2 × SCD2) —
+    // the lossless binned rewrite of the interval theta join (open
+    // current versions capped at a fixed horizon)
+    "evt_interval_join" -> ((s, d) => {
+      val e = events(s, d)
+      def versions(tpe: String) = graft.operators.Merge.scd2(
+          e.filter(col("event_type") === tpe)
+            .select("event_id", "ts", "user_id"),
+          Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          coalesce(col("valid_to"),
+            lit("2024-02-01 00:00:00").cast("timestamp")).as("valid_to"))
+      graft.operators.IntervalJoin.overlapJoin(
+          versions("purchase"), versions("click"), Seq("user_id"),
+          "valid_from", "valid_to", binSeconds = 86400L)
+        .select(col("user_id"),
+          col("a_event_id").as("p_event_id"),
+          col("b_event_id").as("c_event_id"),
+          greatest(col("a_valid_from"), col("b_valid_from")).as("ov_start"),
+          least(col("a_valid_to"), col("b_valid_to")).as("ov_end"))
+    }),
+
     // funnel conversion report: per day, what fraction of purchases had
     // a click within the prior 60 minutes — the as-of join's business
     // payoff as one aggregate over its output

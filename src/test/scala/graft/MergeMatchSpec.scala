@@ -185,6 +185,25 @@ class MergeMatchSpec extends AnyFunSuite {
       s"more than one aggregate pair in:\n$p")
   }
 
+  test("overlapJoin: bin-crossing overlaps found, touching intervals excluded") {
+    def iv(rows: (Long, Long, Long, Long)*) = rows.toDF("k", "id", "s0", "e0")
+      .select(col("k"), col("id"),
+        timestamp_micros(col("s0") * 1000000L).as("s"),
+        timestamp_micros(col("e0") * 1000000L).as("e"))
+    // bin = 10s. a1 spans 3 bins; b1 overlaps at the tail; b2 only
+    // TOUCHES a1 (start == end: half-open -> no overlap); b3 in another key
+    val a = iv((1L, 1L, 5L, 25L), (1L, 2L, 40L, 41L))
+    val b = iv((1L, 10L, 24L, 30L), (1L, 11L, 25L, 26L), (2L, 12L, 5L, 25L))
+    val r = graft.operators.IntervalJoin.overlapJoin(a, b, Seq("k"), "s", "e",
+        binSeconds = 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(r == Set((1L, 10L)))
+    // empty interval (e <= s) matches nothing
+    val r2 = graft.operators.IntervalJoin.overlapJoin(
+      iv((1L, 1L, 5L, 5L)), b, Seq("k"), "s", "e", binSeconds = 10L)
+    assert(r2.count() == 0)
+  }
+
   test("compact rewrites many small files into few, preserving the data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
     graft.util.Cleanup.onExitDelete(dir)
