@@ -674,6 +674,25 @@ object ErOracles {
         |FROM cnts""".stripMargin)
       .replaceFirst("WITH ", "WITH RECURSIVE ")),
 
+    // k-core twin: 8 unrolled peel rounds (the engine converges in ~5 on
+    // this graph and THROWS if 8 wouldn't suffice; stable rounds no-op)
+    "er_kcore" -> (matchedEdgesCtes + {
+      val rounds = (1 to 8).map { r =>
+        s"""kcd$r AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+           |            SELECT p1 AS n FROM kce${r - 1}
+           |            UNION ALL SELECT p2 FROM kce${r - 1}) GROUP BY n),
+           |kck$r AS (SELECT n FROM kcd$r WHERE deg >= 2),
+           |kce$r AS (SELECT p1, p2 FROM kce${r - 1}
+           |          WHERE p1 IN (SELECT n FROM kck$r)
+           |            AND p2 IN (SELECT n FROM kck$r))""".stripMargin
+      }
+      ("kce0 AS (SELECT p1, p2 FROM me)" +: rounds).mkString(",\n") +
+        """
+          |SELECT n AS profile_id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+          |  SELECT p1 AS n FROM kce8 UNION ALL SELECT p2 FROM kce8) GROUP BY n"""
+          .stripMargin
+    }),
+
     // iterated-matching twin: 3 unrolled reciprocal rounds with node
     // removal between rounds, each kept pair tagged with its round
     "er_max_match" -> (matchedEdgesCtes + {

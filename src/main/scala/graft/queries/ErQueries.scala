@@ -553,6 +553,12 @@ object ErQueries {
         .select("p1", "p2", "sim_jw")
     }),
 
+    // graph denoising: the 2-core of the matched-pair graph — stray
+    // pairs and chains peel away, densely corroborated groups remain
+    "er_kcore" -> ((s, d) =>
+      graft.operators.KCore.kCore(matchedPairs(s, d).select("p1", "p2"), k = 2)
+        .select(col("n").as("profile_id"), col("core_deg"))),
+
     // near-maximal one-to-one matching: three reciprocal rounds, matched
     // nodes removed between rounds — the distributed greedy-matching
     // approximation (each output row tagged with its round)

@@ -185,6 +185,21 @@ class MergeMatchSpec extends AnyFunSuite {
       s"more than one aggregate pair in:\n$p")
   }
 
+  test("kCore peels chains and keeps the dense core; chains need multiple rounds") {
+    // triangle 1-2-3 with a chain 3-4-5-6: each peel removes one chain
+    // tail node, the triangle survives as the 2-core
+    val es = pairs((1L, 2L, 0), (2L, 3L, 0), (1L, 3L, 0),
+      (3L, 4L, 0), (4L, 5L, 0), (5L, 6L, 0)).select("p1", "p2")
+    val r = graft.operators.KCore.kCore(es, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree peels everything (empty, no throw)
+    assert(graft.operators.KCore.kCore(es, k = 5).count() == 0)
+    // insufficient rounds must throw, not under-peel
+    intercept[IllegalStateException](
+      graft.operators.KCore.kCore(es, k = 2, maxRounds = 1).count())
+  }
+
   test("overlapJoin: bin-crossing overlaps found, touching intervals excluded") {
     def iv(rows: (Long, Long, Long, Long)*) = rows.toDF("k", "id", "s0", "e0")
       .select(col("k"), col("id"),
