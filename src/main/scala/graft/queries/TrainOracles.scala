@@ -268,6 +268,11 @@ object TrainOracles {
         |       COALESCE(r.last_left_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
         |FROM r LEFT JOIN l ON r.user_id = l.user_id AND r.last_left_ts = l.last_left_ts""".stripMargin,
 
+    // burst twins: each error belongs to exactly two 1h/30-min-slide
+    // windows (epoch-aligned starts f and f-1800s)
+    "evt_burst" -> burstSql,
+    "evt_burst_stream" -> burstSql,
+
     // interval-join twin: the naive SCD2 x SCD2 overlap theta join
     "evt_interval_join" ->
       """WITH ph AS (
@@ -1548,6 +1553,17 @@ object TrainOracles {
          |       ROW_NUMBER() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC) AS rank
          |FROM top""".stripMargin)
   )
+
+  /** Sliding-window burst twin, shared by batch and stream rows. */
+  private val burstSql: String =
+    """WITH ber AS (SELECT user_id, epoch_us(ts) AS us FROM events
+      |             WHERE event_type = 'error'),
+      |bwm AS (SELECT user_id,
+      |               make_timestamp((us // 1800000000) * 1800000000 - o.o) AS window_start
+      |        FROM ber, (SELECT unnest([CAST(0 AS BIGINT),
+      |                                  CAST(1800000000 AS BIGINT)]) AS o) o)
+      |SELECT window_start, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM bwm GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
 
   /** Unrolled BPE merge rounds, the twin of [[graft.text.Bpe]]: c0 is the
    * word vocabulary with per-character symbol lists; round k counts

@@ -374,6 +374,13 @@ object TrainQueries {
           coalesce(col("click_id"), lit(-1L)).as("click_id"),
           coalesce(col("click_ts"), timestamp_micros(lit(0L))).as("click_ts"))),
 
+    // sliding-window burst detection: >= 2 errors per user inside any
+    // 1-hour window (30-min slide) — the alerting pattern, batch form
+    "evt_burst" -> ((s, d) => EventStreams.burstBatch(events(s, d))),
+
+    // the same detection as a watermarked stream (complete-mode drain)
+    "evt_burst_stream" -> ((s, d) => EventStreams.burstStreaming(s, d)),
+
     // interval-overlap join: which purchase-version validity intervals
     // overlap which click-version intervals per user (SCD2 × SCD2) —
     // the lossless binned rewrite of the interval theta join (open

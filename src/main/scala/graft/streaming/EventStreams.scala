@@ -716,6 +716,35 @@ object EventStreams {
   }
 
   /**
+   * Sliding-window burst detection: users emitting at least `minCount`
+   * events of `eventType` inside any 1-hour window (30-minute slide) —
+   * the alerting/CEP-lite pattern over the event stream. Batch form; the
+   * sliding `window()` enumerates each event's two member windows inside
+   * the aggregate (an Expand of factor size/slide, then ONE hash agg).
+   */
+  def burstBatch(events: DataFrame, eventType: String = "error",
+                 minCount: Long = 2): DataFrame =
+    events.filter(col("event_type") === eventType)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("w.start").as("window_start"), col("user_id"), col("n"))
+
+  /** The same detection as a watermarked stream (complete-mode drain;
+   * one AvailableNow batch == the batch form, which is the oracle). */
+  def burstStreaming(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = reader(spark, schema).parquet(streamDirFor(dir, "events_burst_"))
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = burstBatch(stream.withWatermark("ts", "2 hours"))
+    drainAvailableNow(agg, "events_burst", "complete")
+  }
+
+  /**
    * Streaming CDC materialization: latest-wins upsert state as ONE
    * declarative aggregate — `max_by(version-struct, (ts, id))` per key in
    * complete mode, so the state store holds exactly one row per key (the
