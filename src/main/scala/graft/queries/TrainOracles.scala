@@ -690,6 +690,22 @@ object TrainOracles {
          |SELECT doc_id, n_tokens,
          |       CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS bin_id FROM c""".stripMargin,
 
+    // shard-assembly twin: same bins, string_agg ordered by doc_id
+    "txt_shards" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(list_filter(string_split(${norm("text")}, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, text, n_tokens,
+         |             SUM(CAST(n_tokens AS DOUBLE)) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM n)
+         |SELECT CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS bin_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       string_agg(text, '<eos>' ORDER BY doc_id) AS shard_text
+         |FROM c GROUP BY 1""".stripMargin,
+
     "evt_props_extract" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

@@ -448,6 +448,21 @@ object TrainQueries {
     "txt_pack" -> ((s, d) =>
       graft.text.Curation.packSequences(docs(s, d), budget = 1024)),
 
+    // shard assembly — the pipeline's FINAL artifact: each packing bin's
+    // documents concatenated in id order with an <eos> separator, plus
+    // doc/token accounting per shard. One groupBy on the bin (already a
+    // contiguous range of docs) after the pack's prefix sum.
+    "txt_shards" -> ((s, d) => {
+      val packed = graft.text.Curation.packSequences(docs(s, d), budget = 1024)
+      packed.join(docs(s, d).select("doc_id", "text"), Seq("doc_id"))
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "<eos>").as("shard_text"))
+    }),
+
     // JSON property extraction from the event payload — the scalar-JSON
     // surface (get_json_object) over a streamed-table column, aggregated
     // into exact integer sums (deterministic across partitionings)

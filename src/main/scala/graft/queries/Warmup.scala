@@ -120,7 +120,9 @@ object Warmup {
         // BPE learning: 6 sequential argmax rounds + per-round snapshots
         // build the shared merge-table cache
         task("first/bpe")(
-          TrainQueries.all("txt_bpe_merges")(s, d).count()))
+          TrainQueries.all("txt_bpe_merges")(s, d).count()),
+        task("first/burst_stream")(
+          TrainQueries.all("evt_burst_stream")(s, d).count()))
       // dependent waves over the blocking/cleaning spine
       awaitAll(Seq(
         task("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false)),
