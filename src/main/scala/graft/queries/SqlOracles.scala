@@ -27,6 +27,13 @@ object SqlOracles {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
 
+    "sql_set_ops" ->
+      """WITH ck AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |py AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, 'click_only' AS cohort FROM (SELECT user_id FROM ck EXCEPT SELECT user_id FROM py)
+        |UNION ALL
+        |SELECT user_id, 'click_and_buy' AS cohort FROM (SELECT user_id FROM ck INTERSECT SELECT user_id FROM py)""".stripMargin,
+
     "sql_topk_orders" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -55,6 +55,18 @@ object SqlQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // set operations in anger: EXCEPT/INTERSECT cohorts over the event
+    // stream (clickers who never bought vs clickers who did)
+    "sql_set_ops" -> ((s, d) => {
+      val e = graft.streaming.EventStreams.loadEvents(s, d)
+      def users(tpe: String) = e.filter(col("event_type") === tpe)
+        .select("user_id").distinct()
+      users("click").except(users("purchase"))
+        .withColumn("cohort", lit("click_only"))
+        .unionByName(users("click").intersect(users("purchase"))
+          .withColumn("cohort", lit("click_and_buy")))
+    }),
+
     // per-customer top-3 orders by price — plans as WindowGroupLimit, so
     // each shuffle partition retains 3 rows per customer during the sort
     "sql_topk_orders" -> ((s, d) =>
