@@ -268,6 +268,19 @@ object TrainOracles {
         |       COALESCE(r.last_left_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
         |FROM r LEFT JOIN l ON r.user_id = l.user_id AND r.last_left_ts = l.last_left_ts""".stripMargin,
 
+    // WAU twin: same contribution expansion
+    "evt_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |wdays AS (SELECT DISTINCT day FROM ud),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, g.d AS day
+        |  FROM ud, unnest(generate_series(ud.day, ud.day + INTERVAL 6 DAY,
+        |                                  INTERVAL 1 DAY)) AS g(d))
+        |SELECT c.day, CAST(COUNT(*) AS BIGINT) AS wau
+        |FROM contrib c
+        |WHERE c.day IN (SELECT day FROM wdays)
+        |GROUP BY c.day""".stripMargin,
+
     // burst twins: each error belongs to exactly two 1h/30-min-slide
     // windows (epoch-aligned starts f and f-1800s)
     "evt_burst" -> burstSql,

@@ -374,6 +374,23 @@ object TrainQueries {
           coalesce(col("click_id"), lit(-1L)).as("click_id"),
           coalesce(col("click_ts"), timestamp_micros(lit(0L))).as("click_ts"))),
 
+    // EXACT sliding-window distinct: trailing-7-day active users per
+    // day. Range windows can't do DISTINCT; the distributed-exact shape
+    // is contribution expansion — each active (user, day) contributes to
+    // the 7 report days it covers, dedup, count. Expansion factor is the
+    // window length (7), not the data size; the heavy distinct runs on
+    // (user, day), both map-side-combinable aggregates
+    "evt_wau" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+      val days = ud.select("day").distinct()
+      ud.select(col("user_id"), explode(sequence(col("day"),
+          col("day") + expr("INTERVAL 6 DAYS"), expr("INTERVAL 1 DAY"))).as("day"))
+        .distinct()
+        .join(days, Seq("day"), "left_semi") // only report days with events
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+    }),
+
     // sliding-window burst detection: >= 2 errors per user inside any
     // 1-hour window (30-min slide) — the alerting pattern, batch form
     "evt_burst" -> ((s, d) => EventStreams.burstBatch(events(s, d))),

@@ -73,6 +73,47 @@ class MultiBatchStreamSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
+  test("foreachBatch CDC sink: per-batch upserts into a parquet table equal the batch merge") {
+    // the production sink pattern: each micro-batch merges latest-wins
+    // into a standing parquet table (staged swap, idempotent re-runs);
+    // after 4 batches the table must equal one big batch merge
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_febsink_").toString
+    graft.util.Cleanup.onExitDelete(root)
+    val state = s"$root/state"
+    val keyCols = Seq("user_id", "event_type")
+    val path = s"$splitDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val q = src.writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur =
+          if (new java.io.File(state).exists) spark.read.parquet(state)
+          else batch.limit(0)
+        val merged = graft.operators.Merge.upsertLatest(
+          cur, batch, keyCols, Seq(col("ts"), col("event_id")))
+        merged.write.mode("overwrite").parquet(s"$root/next")
+        // staged swap: never overwrite the table being read
+        val fs = new org.apache.hadoop.fs.Path(state)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(state), true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$root/next"),
+          new org.apache.hadoop.fs.Path(state))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val e = EventStreams.loadEvents(spark, splitDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val expect = graft.operators.Merge.upsertLatest(
+      e.limit(0), e, keyCols, Seq(col("ts"), col("event_id")))
+    assert(sortedRows(spark.read.parquet(state)) == sortedRows(expect))
+  }
+
   test("CDC merge state over 4 micro-batches equals the batch upsert") {
     val e = EventStreams.loadEvents(spark, splitDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
