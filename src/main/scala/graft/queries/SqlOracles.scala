@@ -27,6 +27,13 @@ object SqlOracles {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
 
+    "sql_exists_orders" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "sql_set_ops" ->
       """WITH ck AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
         |py AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')

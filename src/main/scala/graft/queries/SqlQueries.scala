@@ -55,6 +55,15 @@ object SqlQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q4 shape: correlated EXISTS as a left-semi join with a
+    // non-equi residual (lineitem shipped after the order date)
+    "sql_exists_orders" -> ((s, d) =>
+      t(s, d, "orders").join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))),
+
     // set operations in anger: EXCEPT/INTERSECT cohorts over the event
     // stream (clickers who never bought vs clickers who did)
     "sql_set_ops" -> ((s, d) => {

@@ -268,6 +268,17 @@ object TrainOracles {
         |       COALESCE(r.last_left_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
         |FROM r LEFT JOIN l ON r.user_id = l.user_id AND r.last_left_ts = l.last_left_ts""".stripMargin,
 
+    // histogram twin: identical pinned-order bin arithmetic
+    "evt_histogram" ->
+      """WITH st AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |            FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |       CAST(LEAST(floor((value - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(value) AS bin_min, MAX(value) AS bin_max
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |GROUP BY 1, 2""".stripMargin,
+
     // WAU twin: same contribution expansion
     "evt_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

@@ -374,6 +374,22 @@ object TrainQueries {
           coalesce(col("click_id"), lit(-1L)).as("click_id"),
           coalesce(col("click_ts"), timestamp_micros(lit(0L))).as("click_ts"))),
 
+    // equi-width histogram: 20 bins per event type from broadcast
+    // min/max — the profiling pass before choosing clip/binning params;
+    // bin arithmetic is pinned-order double math both engines share
+    "evt_histogram" -> ((s, d) => {
+      val e = events(s, d)
+      val stats = e.groupBy("event_type")
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("bin", least(
+          floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 20.0)),
+          lit(19L)).cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), min("value").as("bin_min"),
+          max("value").as("bin_max"))
+    }),
+
     // EXACT sliding-window distinct: trailing-7-day active users per
     // day. Range windows can't do DISTINCT; the distributed-exact shape
     // is contribution expansion — each active (user, day) contributes to
