@@ -674,6 +674,29 @@ object ErOracles {
         |FROM cnts""".stripMargin)
       .replaceFirst("WITH ", "WITH RECURSIVE ")),
 
+    // TF-IDF matcher twin: same fixed-point weights, exact integer
+    // dot/norm sums over the shared WNP candidate set
+    "er_match_tfidf" -> (matchedEdgesCtes +
+      """tfc AS (SELECT p_partkey AS pid, unnest(list_filter(string_split(lower(p_name), ' '),
+        |                                 t -> length(t) > 0)) AS token FROM part),
+        |tft AS (SELECT pid, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tfc GROUP BY pid, token),
+        |tfd AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tft GROUP BY token),
+        |tfn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+        |tfw AS (SELECT pid, token,
+        |               CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 1000000.0) AS BIGINT) AS f
+        |        FROM tft JOIN tfd USING (token) CROSS JOIN tfn),
+        |tfnr AS (SELECT pid, CAST(SUM(f * f) AS BIGINT) AS nrm2 FROM tfw GROUP BY pid),
+        |tfdp AS (SELECT c.p1, c.p2, CAST(SUM(w1.f * w2.f) AS BIGINT) AS dp
+        |         FROM cand c JOIN tfw w1 ON w1.pid = c.p1
+        |                     JOIN tfw w2 ON w2.pid = c.p2 AND w2.token = w1.token
+        |         GROUP BY c.p1, c.p2),
+        |tfs AS (SELECT d.p1, d.p2,
+        |               round(CAST(dp AS DOUBLE) /
+        |                     (sqrt(CAST(n1.nrm2 AS DOUBLE)) * sqrt(CAST(n2.nrm2 AS DOUBLE))), 9) AS sim_tfidf
+        |        FROM tfdp d JOIN tfnr n1 ON n1.pid = d.p1
+        |                    JOIN tfnr n2 ON n2.pid = d.p2)
+        |SELECT p1, p2, sim_tfidf FROM tfs WHERE sim_tfidf >= 0.5""".stripMargin),
+
     // k-core twin: 8 unrolled peel rounds (the engine converges in ~5 on
     // this graph and THROWS if 8 wouldn't suffice; stable rounds no-op)
     "er_kcore" -> (matchedEdgesCtes + {

@@ -553,6 +553,40 @@ object ErQueries {
         .select("p1", "p2", "sim_jw")
     }),
 
+    // the third classic matcher (WHIRL, Cohen SIGMOD'98): TF-IDF cosine
+    // over name tokens for the WNP candidates — rare tokens dominate the
+    // score, generic color/material words contribute ~nothing. Weights
+    // are 1e6 fixed-point (exact integer dot/norm sums, order-free); the
+    // single ln and final division are pinned-order doubles, rounded 9
+    "er_match_tfidf" -> ((s, d) => {
+      val names = s.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey").as("pid"), lower(col("p_name")).as("nm"))
+      val n = names.count()
+      val toks = names.select(col("pid"), explode(
+          filter(split(col("nm"), " "), t => length(t) > 0)).as("token"))
+        .groupBy("pid", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = toks.join(broadcast(dfreq), Seq("token"))
+        .select(col("pid"), col("token"),
+          graft.functions.FastRound.round(
+            col("tf") * log(lit(n.toDouble) / col("df")) * 1e6, 0)
+            .cast("long").as("f"))
+      val nrm = w.groupBy("pid").agg(sum(col("f") * col("f")).as("nrm2"))
+      val cand = wnpCbsAvgOrDirty(s, d).select("p1", "p2")
+      cand
+        .join(w.select(col("pid").as("p1"), col("token"), col("f").as("f1")), Seq("p1"))
+        .join(w.select(col("pid").as("p2"), col("token"), col("f").as("f2")),
+          Seq("p2", "token"))
+        .groupBy("p1", "p2").agg(sum(col("f1") * col("f2")).as("dp"))
+        .join(nrm.select(col("pid").as("p1"), col("nrm2").as("n1")), Seq("p1"))
+        .join(nrm.select(col("pid").as("p2"), col("nrm2").as("n2")), Seq("p2"))
+        .withColumn("sim_tfidf", graft.functions.FastRound.round(
+          col("dp").cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))), 9))
+        .filter(col("sim_tfidf") >= 0.5)
+        .select("p1", "p2", "sim_tfidf")
+    }),
+
     // graph denoising: the 2-core of the matched-pair graph — stray
     // pairs and chains peel away, densely corroborated groups remain
     "er_kcore" -> ((s, d) =>
