@@ -36,6 +36,39 @@ class MergeMatchSpec extends AnyFunSuite {
     assert(r == Seq(2L))
   }
 
+  test("upsertLatest is batch-composable and idempotent (CDC algebra)") {
+    val rnd = new scala.util.Random(7)
+    def batch(ids: Range) = chg(ids.map(i =>
+      (i.toLong, (i % 5).toLong, rnd.nextInt(50).toLong, rnd.nextDouble())): _*)
+    val base = batch(0 until 10)
+    val u1 = batch(10 until 20)
+    val u2 = batch(20 until 30)
+    def up(b: org.apache.spark.sql.DataFrame, u: org.apache.spark.sql.DataFrame) =
+      Merge.upsertLatest(b, u, Seq("k"), Seq(col("t"), col("id")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // applying batches one at a time == applying their union at once
+    val sequential = rows(up(up(base, u1), u2))
+    val atOnce = rows(up(base, u1.unionByName(u2)))
+    assert(sequential == atOnce)
+    // replaying the same changes over the merged state changes nothing
+    val merged = up(base, u1.unionByName(u2))
+    assert(rows(up(merged, u1.unionByName(u2))) == atOnce)
+  }
+
+  test("snapshotDiff changes replayed through upsertLatest reconstruct the target") {
+    val a = chg((1L, 10L, 100L, 1.0), (2L, 20L, 100L, 2.0), (3L, 30L, 100L, 3.0))
+    val b = chg((4L, 10L, 200L, 9.0), (2L, 20L, 100L, 2.0), (5L, 40L, 50L, 4.0),
+      (3L, 30L, 100L, 3.0))
+    val changed = Merge.snapshotDiff(a, b, Seq("k"), "id")
+      .filter(col("status").isin("added", "changed"))
+      .select(col("k"), col("b_version").as("id"))
+    val replay = b.join(changed, Seq("k", "id"), "left_semi")
+    val rebuilt = Merge.upsertLatest(a, replay, Seq("k"), Seq(col("t"), col("id")))
+    assert(rebuilt.collect().map(_.toString).sorted.toSeq
+      == b.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("scd2: intervals chain, only the last version is current") {
     val r = Merge.scd2(chg((1L, 10L, 100L, 1.0), (2L, 10L, 200L, 2.0),
         (3L, 20L, 150L, 3.0)), Seq("k"), "t", "id")
