@@ -550,4 +550,41 @@ object MetaBlocking {
     }
     j.filter(keep).select(col("p1"), col("p2"), col("w1").as("w"))
   }
+
+  /**
+   * Deterministic parallel canopy blocking over the CBS pair graph
+   * (McCallum/Nigam/Ungar KDD'00, re-expressed without the sequential
+   * center draw). The classic algorithm pops centers one at a time from a
+   * shared pool — inherently serial. This variant replaces the draw order
+   * with a fixed total order (profile id) and makes the center set an
+   * independent-set condition that every partition can evaluate locally:
+   *
+   *  - center: a profile with NO tight neighbor (shared-block count >=
+   *    `tight`) of smaller id — exactly the profiles the sequential
+   *    algorithm would have popped had it drawn in id order (the classic
+   *    T2-removal), decided with one symmetric scan of the pair graph;
+   *  - membership: (center, profile) for every loose edge (cbs >= `loose`,
+   *    loose <= tight), plus the center itself — the classic T1 gather.
+   *
+   * Input `pairs` is the purged+filtered CBS graph (p1 < p2, cbs), so the
+   * canopies compose with the same spine as every weighting scheme; the
+   * node universe is the graph's nodes (isolated profiles never canopy —
+   * they have no candidates at all). One distinct + one anti-join + one
+   * equi-join, all on the pair graph, nothing quadratic.
+   */
+  def canopy(pairs: DataFrame, tight: Long, loose: Long): DataFrame = {
+    require(loose <= tight, s"canopy: loose ($loose) must be <= tight ($tight)")
+    val sym = pairs.select(col("p1").as("p"), col("p2").as("q"), col("cbs"))
+      .union(pairs.select(col("p2").as("p"), col("p1").as("q"), col("cbs")))
+    val dominated = sym.filter(col("cbs") >= tight && col("q") < col("p"))
+      .select("p").distinct()
+    val centers = sym.select("p").distinct()
+      .join(dominated, Seq("p"), "left_anti")
+    val members = sym.filter(col("cbs") >= loose)
+      .join(centers, Seq("p"))
+      .select(col("p").as("canopy_id"), col("q").as("member_id"),
+        col("cbs").as("shared"))
+    members.unionByName(centers.select(col("p").as("canopy_id"),
+      col("p").as("member_id"), lit(0L).as("shared")))
+  }
 }

@@ -300,4 +300,30 @@ object Multimodal {
         expr(s"substring(payload, chunk_idx * $chunkBytes + 1, $chunkBytes)").as("chunk"))
       .withColumn("chunk_len", octet_length(col("chunk")).cast("long"))
   }
+
+  /**
+   * Frame-difference keyframe selection — the standard cheap video
+   * keyframing pass (keep frame 0, then every frame whose content signature
+   * jumps by >= `threshold` vs the previous frame; a real pipeline computes
+   * the signature from decoded luminance, here it is a content hash of the
+   * frame bytes — same plan, different kernel). Frames are the fixed
+   * [[chunkPayload]] segments of the payload; the per-document lag window
+   * is bounded by frame count, never corpus size, and everything before it
+   * is a pure scan-speed projection.
+   *
+   * Returns (doc_id, frame_idx, sig) for the selected keyframes.
+   */
+  def keyframes(mm: DataFrame, chunkBytes: Int = 256,
+                threshold: Long = 200L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ASCII corpus: decode(chunk) is lossless, and the string hash has an
+    // exact DuckDB twin (same reason mm_chunks hashes the decoded chunk)
+    val sigs = chunkPayload(mm, chunkBytes)
+      .select(col("doc_id"), col("chunk_idx").as("frame_idx"),
+        (graft.functions.PolyHash31(decode(col("chunk"), "UTF-8")) % 1000L).as("sig"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    sigs.withColumn("prev", lag("sig", 1).over(w))
+      .filter(col("prev").isNull || abs(col("sig") - col("prev")) >= threshold)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("sig"))
+  }
 }

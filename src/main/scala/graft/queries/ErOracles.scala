@@ -502,6 +502,18 @@ object ErOracles {
     "er_cbs_clean" -> (prelude(clean = true) +
       "x AS (SELECT 1) SELECT p1, p2, cbs FROM pairs"),
 
+    // parallel canopy twin: center = no tight (cbs>=3) neighbor of smaller
+    // id; members = loose (cbs>=2) edges from centers, plus the center
+    "er_canopy" -> (prelude(clean = false) +
+      """sym AS (SELECT p1 AS p, p2 AS q, cbs FROM pairs
+        |        UNION ALL SELECT p2, p1, cbs FROM pairs),
+        |dom AS (SELECT DISTINCT p FROM sym WHERE cbs >= 3 AND q < p),
+        |ctr AS (SELECT DISTINCT p FROM sym WHERE p NOT IN (SELECT p FROM dom))
+        |SELECT p AS canopy_id, q AS member_id, cbs AS shared
+        |FROM sym JOIN ctr USING (p) WHERE cbs >= 2
+        |UNION ALL
+        |SELECT p, p, CAST(0 AS BIGINT) FROM ctr""".stripMargin),
+
     "er_js_dirty" -> (prelude(clean = false) + wpw("js") +
       "x AS (SELECT 1) SELECT p1, p2, w1 AS w FROM wpw"),
 

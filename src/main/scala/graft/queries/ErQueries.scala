@@ -351,6 +351,11 @@ object ErQueries {
     "er_cbs_clean" -> ((s, d) => cachedPairs(s, d, clean = true)
       .select("p1", "p2", "cbs")),
 
+    // deterministic parallel canopy blocking over the same CBS spine:
+    // tight=3 suppresses centers, loose=2 gathers members
+    "er_canopy" -> ((s, d) =>
+      MetaBlocking.canopy(cachedPairs(s, d, clean = false), tight = 3L, loose = 2L)),
+
     "er_js_dirty" -> ((s, d) => wRaw(weightedCached(s, d, clean = false, WeightType.JS))),
 
     "er_ecbs_dirty" -> ((s, d) => w9(weightedCached(s, d, clean = false, WeightType.ECBS))),

@@ -47,6 +47,42 @@ object SqlOracles {
         |         ROW_NUMBER() OVER (PARTITION BY o_custkey
         |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders)
-        |SELECT o_custkey, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3""".stripMargin
+        |SELECT o_custkey, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "sql_rollup_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_year,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)""".stripMargin,
+
+    "sql_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "sql_volume_pairs" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS volume,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin
   )
 }

@@ -84,6 +84,63 @@ object SqlQueries {
           Window.partitionBy("o_custkey")
             .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
         .filter(col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")),
+
+    // ROLLUP hierarchy (year -> priority) in ONE pass: Spark expands the
+    // grouping sets inside a single Expand + hash aggregate, so the fact
+    // table is still scanned exactly once; per-level grouping flags
+    // disambiguate real NULLs from subtotal rows
+    "sql_rollup_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(year(col("o_orderdate")).as("o_year"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .rollup("o_year", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"),
+          grouping(col("o_year")).cast("long").as("g_year"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"))),
+
+    // TPC-H Q3 shape: segment-filtered customer broadcast-joined into
+    // orders, orders shuffle-joined into lineitem on the order key, then a
+    // global top-10 by revenue — deterministic tie-break on the order key
+    // so LIMIT is stable under any partitioning; TakeOrderedAndProject
+    // keeps 10 rows per partition, no global sort materializes
+    "sql_shipping_priority" -> ((s, d) => {
+      val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
+      t(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+        .join(t(s, d, "orders").filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double") / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q7 shape: supplier-nation x customer-nation shipping volume by
+    // year. lineitem shuffles once on the order key; supplier and both
+    // nation copies ride broadcast; orders->customer is the second (and
+    // last) fact shuffle, on the customer key
+    "sql_volume_pairs" -> ((s, d) => {
+      val n1 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("sn_key"))
+        .join(n2, col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double") / 100.0).as("volume"),
+          count(lit(1)).as("n_items"))
+    })
   )
 }

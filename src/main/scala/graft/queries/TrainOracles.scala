@@ -948,6 +948,22 @@ object TrainOracles {
          |       ${strHash("chunk_s")} AS chunk_hash
          |FROM c""".stripMargin,
 
+    // keyframe twin: same 256-byte chunking and string hash; LAG window per
+    // doc, keep first frame and |sig - prev| >= 200 jumps
+    "mm_keyframes" ->
+      s"""WITH p AS (SELECT doc_id, text, strlen(text) AS blen FROM documents WHERE strlen(text) > 0),
+         |i AS (SELECT doc_id, text, CAST(x.i AS INTEGER) AS frame_idx
+         |      FROM p, unnest(generate_series(0, CAST(ceil(blen / 256.0) AS INTEGER) - 1)) AS x(i)),
+         |c AS (SELECT doc_id, frame_idx,
+         |             substring(text, frame_idx * 256 + 1, 256) AS chunk_s
+         |      FROM i),
+         |s AS (SELECT doc_id, frame_idx, ${strHash("chunk_s")} % 1000 AS sig FROM c),
+         |lg AS (SELECT doc_id, frame_idx, sig,
+         |              LAG(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+         |       FROM s)
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, sig
+         |FROM lg WHERE prev IS NULL OR abs(sig - prev) >= 200""".stripMargin,
+
     // plain range-predicate join: the engine's binned equi-join rewrite is
     // lossless, so the naive form is the oracle
     "evt_range_join" ->
@@ -1099,6 +1115,33 @@ object TrainOracles {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
          |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
          |FROM kp GROUP BY doc_id""".stripMargin),
+
+    // ExactSubstr twin: sliding 10-token windows over the same normalized
+    // token stream; windows whose gram text repeats anywhere mark their
+    // positions; equal-length islands merge on gap > 10
+    "txt_span_dedup" -> ErOracles.materializeCtes(
+      s"""WITH dn AS (SELECT doc_id,
+         |         list_filter(string_split(${norm("text")}, ' '), t -> length(t) > 0) AS toks
+         |       FROM documents),
+         |gr AS (SELECT doc_id, CAST(x.i AS INT) AS pos,
+         |         array_to_string(list_slice(toks, CAST(x.i + 1 AS BIGINT), CAST(x.i + 10 AS BIGINT)), ' ') AS gram
+         |       FROM dn, unnest(generate_series(0, CAST(len(toks) - 10 AS BIGINT))) AS x(i)
+         |       WHERE len(toks) >= 10),
+         |dup AS (SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) > 1),
+         |mk AS (SELECT doc_id, pos FROM gr JOIN dup USING (gram)),
+         |gp AS (SELECT doc_id, pos,
+         |          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+         |               THEN 0 ELSE 1 END AS gap
+         |        FROM mk),
+         |isl AS (SELECT doc_id, pos,
+         |          SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |        FROM gp)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |       CAST(MAX(pos) + 10 AS BIGINT) AS span_end,
+         |       CAST(MAX(pos) + 10 - MIN(pos) AS BIGINT) AS span_tokens,
+         |       CAST(COUNT(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY doc_id, island""".stripMargin),
 
     // boilerplate twin: same chunking, then drop chunks whose distinct-doc
     // frequency exceeds 1 (every copy, unlike chunk_dedup's keep-first)

@@ -554,6 +554,12 @@ object TrainQueries {
     // The raw chunk bytes stay in the operator; the query projects a
     // content hash — binary columns are unhashable in the pandas-side
     // compare, and the corpus is ASCII so decode(chunk) is lossless
+    // frame-difference keyframe selection over the chunked payload: keep
+    // frame 0 and every frame whose content signature jumps >= 200
+    "mm_keyframes" -> ((s, d) =>
+      Multimodal.keyframes(Multimodal.asMultimodal(docs(s, d)),
+        chunkBytes = 256, threshold = 200L)),
+
     "mm_chunks" -> ((s, d) =>
       Multimodal.chunkPayload(Multimodal.asMultimodal(docs(s, d)), chunkBytes = 256)
         .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
@@ -635,6 +641,11 @@ object TrainQueries {
     // first-occurrence survivors, order-preserving reassembly
     "txt_chunk_dedup" -> ((s, d) =>
       graft.text.Curation.chunkDedup(docs(s, d), w = 10)),
+
+    // ExactSubstr spans (Lee et al. 2022): maximal merged spans of sliding
+    // 10-token windows that occur more than once anywhere in the corpus
+    "txt_span_dedup" -> ((s, d) =>
+      graft.text.Curation.dupSpans(docs(s, d), L = 10)),
 
     // CCNet-style boilerplate removal: any 10-token chunk appearing in
     // more than one distinct document is dropped EVERYWHERE (vs

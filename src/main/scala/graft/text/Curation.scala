@@ -497,6 +497,55 @@ object Curation {
           s => s.getField("chunk"))).as("text_clean"))
   }
 
+  /**
+   * Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better" — the ExactSubstr
+   * setting): every SLIDING `L`-token window that occurs more than once
+   * anywhere in the corpus (including again in the same document) marks
+   * its positions as duplicated; overlapping/adjacent marked windows merge
+   * into maximal spans. This is the sliding complement of [[chunkDedup]]
+   * (fixed chunks miss duplicates that straddle a chunk boundary): the
+   * suffix-array construction in the paper is exactly equivalent, for a
+   * fixed minimum length, to this n-gram count — which is one groupBy
+   * instead of a distributed suffix array.
+   *
+   * Shape at scale: one explode to L-gram positions (L× token volume — the
+   * same order as any shingling pass here), one count aggregate on the
+   * gram text, one semi-join back, then a per-document interval merge. All
+   * windows have identical length, so "islands" need no running-max: a gap
+   * opens exactly when pos - lag(pos) > L. The per-doc window partition is
+   * bounded by document length, never by corpus size.
+   *
+   * Returns (doc_id, span_start, span_end, span_tokens, n_windows) with
+   * token positions 0-based and span_end exclusive.
+   */
+  def dupSpans(docs: DataFrame, L: Int, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    require(L >= 2)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0).as("toks"))
+    val grams = graft.util.Snapshot(toks.select(col("doc_id"), posexplode(
+        when(size(col("toks")) < L, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - L),
+            i => array_join(slice(col("toks"), i + 1, lit(L)), " ")))))
+      .toDF("doc_id", "pos", "gram"))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gram")
+    val marked = grams.join(dup, Seq("gram")).select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("gap", when(col("pos") - lag("pos", 1).over(w) <= L, 0).otherwise(1))
+      .withColumn("island", sum("gap").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + L).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"), col("n_windows"))
+  }
+
   /** Email/URL patterns shared by the operator and its spec. Conservative
    * character-class-only regexes: identical semantics in Java regex
    * (Spark) and RE2 (the DuckDB oracle) — no backreferences, no

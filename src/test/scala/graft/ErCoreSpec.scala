@@ -354,5 +354,27 @@ class ErCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r8 == r)
   }
 
+  test("canopy: id-order centers, tight suppression, loose gather, singleton selfs") {
+    import spark.implicits._
+    // edges: (1,2,5) tight; (2,3,2) loose-only; (4,5,1) sub-loose; (5,6,3) tight
+    val pairs = Seq((1L, 2L, 5L), (2L, 3L, 2L), (4L, 5L, 1L), (5L, 6L, 3L))
+      .toDF("p1", "p2", "cbs")
+    val got = graft.er.MetaBlocking.canopy(pairs, tight = 3L, loose = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 2 dominated by 1 (cbs 5 >= tight), 6 by 5; centers = {1,3,4,5};
+    // loose members: 1->2, 3->2, 5->6; every center also self-joins
+    assert(got == Set(
+      (1L, 2L, 5L), (3L, 2L, 2L), (5L, 6L, 3L),
+      (1L, 1L, 0L), (3L, 3L, 0L), (4L, 4L, 0L), (5L, 5L, 0L)))
+  }
+
+  test("canopy rejects loose > tight") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 5L)).toDF("p1", "p2", "cbs")
+    intercept[IllegalArgumentException] {
+      graft.er.MetaBlocking.canopy(pairs, tight = 2L, loose = 3L)
+    }
+  }
+
   override def afterAll(): Unit = () // keep shared session for other specs
 }

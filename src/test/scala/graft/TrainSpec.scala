@@ -889,4 +889,58 @@ class TrainSpec extends AnyFunSuite {
     assert(kept == expect)
     assert(kept.nonEmpty && kept.size < 5) // the gate actually drops something
   }
+
+  test("dupSpans: cross-doc span, within-doc repeat merging adjacent windows") {
+    val df = docs(
+      (1L, "a b c d e f g h i j k l"),            // window pos0 = a..j shared
+      (2L, "x a b c d e f g h i j z"),            // window pos1 = a..j shared
+      (3L, "p q r s t u v w y z p q r s t u v w y z"), // pos0 == pos10
+      (4L, "one two three"))                      // < 10 tokens: no windows
+    val got = graft.text.Curation.dupSpans(df, L = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, 10L, 10L, 1L),
+      (2L, 1L, 11L, 10L, 1L),
+      // positions 0 and 10 both marked, gap 10 <= L: ONE merged span
+      (3L, 0L, 20L, 20L, 2L)))
+  }
+
+  test("dupSpans: distinct islands when marked windows are > L apart") {
+    // 40 tokens; "m1..m10" repeats at pos 0 and pos 25 in doc 1 and also
+    // appears in doc 2, the fillers are all unique -> two islands in doc 1
+    val rep = (1 to 10).map("m" + _).mkString(" ")
+    val fill1 = (1 to 15).map("f" + _).mkString(" ")
+    val fill2 = (1 to 5).map("g" + _).mkString(" ")
+    val df = docs((1L, s"$rep $fill1 $rep $fill2"), (2L, rep))
+    val got = graft.text.Curation.dupSpans(df, L = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    assert(got == Set((1L, 0L, 10L, 1L), (1L, 25L, 35L, 1L), (2L, 0L, 10L, 1L)))
+  }
+
+  test("keyframes: frame 0 always kept, identical frames collapse to it") {
+    val threeSame = "ab" * 128 * 3 // three identical 256-byte frames
+    val short = "tiny clip"        // single ragged frame
+    val df = docs((1L, threeSame), (2L, short))
+    val mm = Multimodal.asMultimodal(df)
+    val got = Multimodal.keyframes(mm, chunkBytes = 256, threshold = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (2L, 0L)))
+  }
+
+  test("keyframes keeps exactly the frames whose signature jumps >= threshold") {
+    val text = ("x" * 256) + ("y" * 256) + ("z" * 128)
+    val df = docs((1L, text))
+    val mm = Multimodal.asMultimodal(df)
+    // independent expectation from the raw signatures
+    val sigs = Multimodal.chunkPayload(mm, 256)
+      .select(col("chunk_idx"),
+        (graft.functions.PolyHash31(decode(col("chunk"), "UTF-8")) % 1000L).as("sig"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    val expect = sigs.indices.filter(i => i == 0 || math.abs(sigs(i) - sigs(i - 1)) >= 200L)
+      .map(i => (1L, i.toLong)).toSet
+    val got = Multimodal.keyframes(mm, chunkBytes = 256, threshold = 200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect && got.contains((1L, 0L)))
+  }
 }
