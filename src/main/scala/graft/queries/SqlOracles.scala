@@ -83,6 +83,21 @@ object SqlOracles {
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE n1.n_name < n2.n_name
-        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin,
+
+    "sql_returned_customers" ->
+      """WITH agg AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |         CAST(COUNT(*) AS BIGINT) AS n_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey, c_name, n_name, revenue, n_items
+        |FROM agg
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, o_custkey ASC
+        |LIMIT 20""".stripMargin
   )
 }

@@ -141,6 +141,24 @@ object SqlQueries {
         .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .cast("double") / 100.0).as("volume"),
           count(lit(1)).as("n_items"))
-    })
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer, global top-20.
+    // The returnflag filter reaches the lineitem scan (PushedFilters);
+    // customer/nation join broadcast after the per-customer aggregate, so
+    // the dimension join touches 20 rows' worth of groups, not the fact
+    "sql_returned_customers" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double") / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_custkey"), col("c_name"), col("n_name"),
+          col("revenue"), col("n_items"))
+        .orderBy(col("revenue").desc, col("o_custkey").asc)
+        .limit(20))
   )
 }

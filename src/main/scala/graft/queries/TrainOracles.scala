@@ -269,6 +269,33 @@ object TrainOracles {
         |FROM r LEFT JOIN l ON r.user_id = l.user_id AND r.last_left_ts = l.last_left_ts""".stripMargin,
 
     // histogram twin: identical pinned-order bin arithmetic
+    // Pearson twin: same BIGINT moment sums, same double combination order
+    "evt_corr_hour" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM (SELECT event_type,
+        |               CAST(round(value * 100) AS BIGINT) AS x,
+        |               CAST(hour(ts) AS BIGINT) AS y
+        |        FROM events)
+        |  GROUP BY event_type)
+        |SELECT event_type, n,
+        |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS corr
+        |FROM m""".stripMargin,
+
+    "evt_k_anon" ->
+      """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(CASE WHEN COUNT(DISTINCT user_id) < 5 THEN 1 ELSE 0 END AS INT) AS at_risk
+        |FROM events GROUP BY event_type, hour(ts)""".stripMargin,
+
     "evt_histogram" ->
       """WITH st AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
         |            FROM events GROUP BY event_type)

@@ -377,6 +377,39 @@ object TrainQueries {
     // equi-width histogram: 20 bins per event type from broadcast
     // min/max — the profiling pass before choosing clip/binning params;
     // bin arithmetic is pinned-order double math both engines share
+    // exact-integer Pearson correlation of event value vs hour of day, per
+    // type: all five moment sums are BIGINTs over cent fixed point, so any
+    // partitioning yields the same bits; the final combination is a fixed
+    // sequence of double ops identical to the oracle's (rounded to 9dp)
+    "evt_corr_hour" -> ((s, d) => {
+      val cents = graft.functions.FastRound.round(col("value") * 100, 0).cast("long")
+      val hr = hour(col("ts")).cast("long")
+      events(s, d)
+        .select(col("event_type"), cents.as("x"), hr.as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n"),
+          round((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 9)
+            .as("corr"))
+    }),
+
+    // k-anonymity audit: each (event_type, hour) equivalence class must
+    // contain >= k distinct individuals; one aggregate, flags inline — the
+    // governance pass before any user-level export
+    "evt_k_anon" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("at_risk", (col("n_users") < 5).cast("int"))),
+
     "evt_histogram" -> ((s, d) => {
       val e = events(s, d)
       val stats = e.groupBy("event_type")
