@@ -260,4 +260,30 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(SqlQueries.all("sql_topk_orders")(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
+
+  test("shipping-priority top-10 plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan(SqlQueries.all("sql_shipping_priority")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
+  }
+
+  test("returned-customers pushes the returnflag filter into the lineitem scan") {
+    val p = plan(SqlQueries.all("sql_returned_customers")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to scan in:\n$p")
+  }
+
+  test("nation-pair volume broadcasts supplier and both nation dims") {
+    val p = plan(SqlQueries.all("sql_volume_pairs")(spark, sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected supplier + 2 nations broadcast, got $bhj in:\n$p")
+  }
+
+  test("rollup expands grouping sets in one aggregate pass (single Expand, one scan)") {
+    val p = plan(SqlQueries.all("sql_rollup_agg")(spark, sf))
+    assert("Expand".r.findAllIn(p).length >= 1 && p.contains("orders.parquet"))
+    assert("orders\\.parquet".r.findAllIn(p).length == 1,
+      s"orders scanned more than once in:\n$p")
+  }
 }
