@@ -29,6 +29,35 @@ object TrainOracles {
   private def norm(e: String): String =
     s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
 
+  /** Shared CTE chain for Curation.dupSpans (L=10): normalized tokens ->
+   * sliding 10-grams -> duplicated positions -> merged islands -> spans
+   * `sp(doc_id, span_start, span_end, span_tokens, n_windows)`. Both
+   * txt_span_dedup and txt_span_apply compile from this one definition. */
+  private lazy val spanCtes: String =
+    s"""WITH dn AS (SELECT doc_id,
+       |         list_filter(string_split(${norm("text")}, ' '), t -> length(t) > 0) AS toks
+       |       FROM documents),
+       |gr AS (SELECT doc_id, CAST(x.i AS INT) AS pos,
+       |         array_to_string(list_slice(toks, CAST(x.i + 1 AS BIGINT), CAST(x.i + 10 AS BIGINT)), ' ') AS gram
+       |       FROM dn, unnest(generate_series(0, CAST(len(toks) - 10 AS BIGINT))) AS x(i)
+       |       WHERE len(toks) >= 10),
+       |dup AS (SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) > 1),
+       |mk AS (SELECT doc_id, pos FROM gr JOIN dup USING (gram)),
+       |gp AS (SELECT doc_id, pos,
+       |          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+       |               THEN 0 ELSE 1 END AS gap
+       |        FROM mk),
+       |isl AS (SELECT doc_id, pos,
+       |          SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |        FROM gp),
+       |sp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |         CAST(MAX(pos) + 10 AS BIGINT) AS span_end,
+       |         CAST(MAX(pos) + 10 - MIN(pos) AS BIGINT) AS span_tokens,
+       |         CAST(COUNT(*) AS BIGINT) AS n_windows
+       |       FROM isl GROUP BY doc_id, island),
+       |""".stripMargin
+
   /** Sequential double fold of a list expression (0.0-prepended). */
   private def dsum(listExpr: String): String =
     s"list_reduce(list_prepend(0.0, $listExpr), (acc, v) -> acc + v)"
@@ -1145,30 +1174,36 @@ object TrainOracles {
 
     // ExactSubstr twin: sliding 10-token windows over the same normalized
     // token stream; windows whose gram text repeats anywhere mark their
-    // positions; equal-length islands merge on gap > 10
+    // positions; equal-length islands merge on gap > 10. The CTE chain is
+    // shared with txt_span_apply so the two can't desynchronize.
     "txt_span_dedup" -> ErOracles.materializeCtes(
-      s"""WITH dn AS (SELECT doc_id,
-         |         list_filter(string_split(${norm("text")}, ' '), t -> length(t) > 0) AS toks
-         |       FROM documents),
-         |gr AS (SELECT doc_id, CAST(x.i AS INT) AS pos,
-         |         array_to_string(list_slice(toks, CAST(x.i + 1 AS BIGINT), CAST(x.i + 10 AS BIGINT)), ' ') AS gram
-         |       FROM dn, unnest(generate_series(0, CAST(len(toks) - 10 AS BIGINT))) AS x(i)
-         |       WHERE len(toks) >= 10),
-         |dup AS (SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) > 1),
-         |mk AS (SELECT doc_id, pos FROM gr JOIN dup USING (gram)),
-         |gp AS (SELECT doc_id, pos,
-         |          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
-         |               THEN 0 ELSE 1 END AS gap
-         |        FROM mk),
-         |isl AS (SELECT doc_id, pos,
-         |          SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
-         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |        FROM gp)
-         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-         |       CAST(MAX(pos) + 10 AS BIGINT) AS span_end,
-         |       CAST(MAX(pos) + 10 - MIN(pos) AS BIGINT) AS span_tokens,
-         |       CAST(COUNT(*) AS BIGINT) AS n_windows
-         |FROM isl GROUP BY doc_id, island""".stripMargin),
+      spanCtes +
+      """x AS (SELECT 1)
+        |SELECT doc_id, span_start, span_end, span_tokens, n_windows
+        |FROM sp""".stripMargin),
+
+    // apply twin: per distinct span text the (doc_id, span_start)-first
+    // copy survives; other copies' token ranges are removed, documents
+    // reassemble from the remaining positions
+    "txt_span_apply" -> ErOracles.materializeCtes(
+      spanCtes +
+      """spt AS (SELECT s.doc_id, span_start, span_end,
+        |          array_to_string(list_slice(toks, span_start + 1, span_end), ' ') AS span_text
+        |        FROM sp s JOIN dn USING (doc_id)),
+        |rm AS (SELECT doc_id, span_start, span_end FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY span_text
+        |                  ORDER BY doc_id, span_start) AS rn
+        |         FROM spt) WHERE rn > 1),
+        |ps AS (SELECT doc_id, CAST(x.i AS INT) AS pos, toks[CAST(x.i + 1 AS BIGINT)] AS tok
+        |       FROM dn, unnest(generate_series(0, CAST(len(toks) - 1 AS BIGINT))) AS x(i)
+        |       WHERE len(toks) > 0),
+        |kept AS (SELECT p.doc_id, p.pos, p.tok FROM ps p
+        |         WHERE NOT EXISTS (SELECT 1 FROM rm r
+        |                WHERE r.doc_id = p.doc_id
+        |                  AND p.pos >= r.span_start AND p.pos < r.span_end))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+        |       string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        |FROM kept GROUP BY doc_id""".stripMargin),
 
     // boilerplate twin: same chunking, then drop chunks whose distinct-doc
     // frequency exceeds 1 (every copy, unlike chunk_dedup's keep-first)

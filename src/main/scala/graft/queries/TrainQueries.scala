@@ -680,6 +680,11 @@ object TrainQueries {
     "txt_span_dedup" -> ((s, d) =>
       graft.text.Curation.dupSpans(docs(s, d), L = 10)),
 
+    // apply stage: drop every duplicated span but the globally first copy
+    // of its text, reassemble the cleaned documents
+    "txt_span_apply" -> ((s, d) =>
+      graft.text.Curation.dupSpansRemove(docs(s, d), L = 10)),
+
     // CCNet-style boilerplate removal: any 10-token chunk appearing in
     // more than one distinct document is dropped EVERYWHERE (vs
     // chunk_dedup's keep-first rule)

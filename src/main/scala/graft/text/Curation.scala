@@ -546,6 +546,50 @@ object Curation {
         (col("span_end") - col("span_start")).as("span_tokens"), col("n_windows"))
   }
 
+  /**
+   * Apply stage of [[dupSpans]]: remove every duplicated span except the
+   * globally first occurrence of its exact text (first = smallest
+   * (doc_id, span_start), the same keep-first rule as [[chunkDedup]]),
+   * then reassemble each document from its surviving tokens. Granularity
+   * note: dedup is at MAXIMAL-span level — two docs sharing a window are
+   * both marked, but if their merged spans differ (one repeat extended the
+   * island), each distinct span text keeps its own first copy.
+   *
+   * Shape at scale: [[dupSpans]]'s shuffles, plus one aggregate on the
+   * span text (keeper election), one anti range-join of token positions
+   * against the per-doc removed spans (equi on doc_id; spans per doc are
+   * few), one per-doc reassembly. Documents whose every token is removed
+   * drop out.
+   *
+   * Returns (doc_id, kept_tokens, text_clean).
+   */
+  def dupSpansRemove(docs: DataFrame, L: Int, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val toksDf = graft.util.Snapshot(docs.select(col(idCol).as("doc_id"),
+      filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0).as("toks")))
+    val spansT = dupSpans(docs, L, textCol, idCol)
+      .join(toksDf, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        array_join(slice(col("toks"), (col("span_start") + 1).cast("int"),
+          (col("span_end") - col("span_start")).cast("int")), " ").as("span_text"))
+    val w = Window.partitionBy("span_text")
+      .orderBy(col("doc_id").asc, col("span_start").asc)
+    val removed = spansT.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id").as("r_doc"), col("span_start"), col("span_end"))
+    val pos = toksDf.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(col("toks"))).toDF("doc_id", "pos", "tok")
+    pos.join(removed, pos("doc_id") === removed("r_doc")
+        && col("pos") >= col("span_start") && col("pos") < col("span_end"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("text_clean"))
+  }
+
   /** Email/URL patterns shared by the operator and its spec. Conservative
    * character-class-only regexes: identical semantics in Java regex
    * (Spark) and RE2 (the DuckDB oracle) — no backreferences, no

@@ -918,6 +918,20 @@ class TrainSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, 10L, 1L), (1L, 25L, 35L, 1L), (2L, 0L, 10L, 1L)))
   }
 
+  test("dupSpansRemove keeps the globally first copy of each span text") {
+    val df = docs(
+      (1L, "a b c d e f g h i j k l"),       // span [0,10) — the keeper
+      (2L, "x a b c d e f g h i j z"),       // same text at [1,11) — removed
+      (3L, "p q r s t u v w y z p q r s t u v w y z"), // merged 20-token span:
+      (4L, "one two three"))                 //   distinct text, its own keeper
+    val got = graft.text.Curation.dupSpansRemove(df, L = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) == ((12L, "a b c d e f g h i j k l")))
+    assert(got(2L) == ((2L, "x z")))
+    assert(got(3L)._1 == 20L) // unique merged-span text keeps itself whole
+    assert(got(4L) == ((3L, "one two three")))
+  }
+
   test("keyframes: frame 0 always kept, identical frames collapse to it") {
     val threeSame = "ab" * 128 * 3 // three identical 256-byte frames
     val short = "tiny clip"        // single ragged frame
