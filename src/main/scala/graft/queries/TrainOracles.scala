@@ -29,34 +29,45 @@ object TrainOracles {
   private def norm(e: String): String =
     s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
 
-  /** Shared CTE chain for Curation.dupSpans (L=10): normalized tokens ->
-   * sliding 10-grams -> duplicated positions -> merged islands -> spans
-   * `sp(doc_id, span_start, span_end, span_tokens, n_windows)`. Both
-   * txt_span_dedup and txt_span_apply compile from this one definition. */
-  private lazy val spanCtes: String =
-    s"""WITH dn AS (SELECT doc_id,
+  /** Tokens + sliding 10-grams CTEs, parameterized by the doc filter and
+   * CTE names (twin of Curation.tokenArr + slidingGrams at L=10). */
+  private def gramCtes(dnName: String, grName: String, where: String): String =
+    s"""$dnName AS (SELECT doc_id,
        |         list_filter(string_split(${norm("text")}, ' '), t -> length(t) > 0) AS toks
-       |       FROM documents),
-       |gr AS (SELECT doc_id, CAST(x.i AS INT) AS pos,
+       |       FROM documents$where),
+       |$grName AS (SELECT doc_id, CAST(x.i AS INT) AS pos,
        |         array_to_string(list_slice(toks, CAST(x.i + 1 AS BIGINT), CAST(x.i + 10 AS BIGINT)), ' ') AS gram
-       |       FROM dn, unnest(generate_series(0, CAST(len(toks) - 10 AS BIGINT))) AS x(i)
+       |       FROM $dnName, unnest(generate_series(0, CAST(len(toks) - 10 AS BIGINT))) AS x(i)
        |       WHERE len(toks) >= 10),
-       |dup AS (SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) > 1),
-       |mk AS (SELECT doc_id, pos FROM gr JOIN dup USING (gram)),
-       |gp AS (SELECT doc_id, pos,
-       |          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
-       |               THEN 0 ELSE 1 END AS gap
-       |        FROM mk),
-       |isl AS (SELECT doc_id, pos,
-       |          SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
-       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-       |        FROM gp),
-       |sp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-       |         CAST(MAX(pos) + 10 AS BIGINT) AS span_end,
-       |         CAST(MAX(pos) + 10 - MIN(pos) AS BIGINT) AS span_tokens,
-       |         CAST(COUNT(*) AS BIGINT) AS n_windows
-       |       FROM isl GROUP BY doc_id, island),
        |""".stripMargin
+
+  /** Island-merge tail (twin of Curation.mergeIslands at L=10): from a
+   * marked-position CTE `mk(doc_id, pos)` to spans
+   * `sp(doc_id, span_start, span_end, span_tokens, n_windows)`. */
+  private lazy val spanTail: String =
+    """gp AS (SELECT doc_id, pos,
+      |          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+      |               THEN 0 ELSE 1 END AS gap
+      |        FROM mk),
+      |isl AS (SELECT doc_id, pos,
+      |          SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |        FROM gp),
+      |sp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |         CAST(MAX(pos) + 10 AS BIGINT) AS span_end,
+      |         CAST(MAX(pos) + 10 - MIN(pos) AS BIGINT) AS span_tokens,
+      |         CAST(COUNT(*) AS BIGINT) AS n_windows
+      |       FROM isl GROUP BY doc_id, island),
+      |""".stripMargin
+
+  /** Shared CTE chain for Curation.dupSpans (L=10): mark rule = gram text
+   * occurs more than once anywhere. txt_span_dedup and txt_span_apply
+   * compile from this one definition. */
+  private lazy val spanCtes: String =
+    "WITH " + gramCtes("dn", "gr", "") +
+    """dup AS (SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) > 1),
+      |mk AS (SELECT doc_id, pos FROM gr JOIN dup USING (gram)),
+      |""".stripMargin + spanTail
 
   /** Sequential double fold of a list expression (0.0-prepended). */
   private def dsum(listExpr: String): String =
@@ -1178,6 +1189,19 @@ object TrainOracles {
     // shared with txt_span_apply so the two can't desynchronize.
     "txt_span_dedup" -> ErOracles.materializeCtes(
       spanCtes +
+      """x AS (SELECT 1)
+        |SELECT doc_id, span_start, span_end, span_tokens, n_windows
+        |FROM sp""".stripMargin),
+
+    // span-decontamination twin: corpus = doc_id % 50 <> 0, benchmark =
+    // doc_id % 50 = 0 (same split as txt_decontaminate); mark rule = gram
+    // occurs in the benchmark's distinct gram set, same island merge
+    "txt_decon_spans" -> ErOracles.materializeCtes(
+      "WITH " + gramCtes("dn", "gr", " WHERE doc_id % 50 <> 0")
+        + gramCtes("bdn", "bgr", " WHERE doc_id % 50 = 0") +
+      """bg AS (SELECT DISTINCT gram FROM bgr),
+        |mk AS (SELECT doc_id, pos FROM gr WHERE gram IN (SELECT gram FROM bg)),
+        |""".stripMargin + spanTail +
       """x AS (SELECT 1)
         |SELECT doc_id, span_start, span_end, span_tokens, n_windows
         |FROM sp""".stripMargin),

@@ -685,6 +685,15 @@ object TrainQueries {
     "txt_span_apply" -> ((s, d) =>
       graft.text.Curation.dupSpansRemove(docs(s, d), L = 10)),
 
+    // span-level benchmark decontamination: corpus spans whose 10-gram
+    // windows occur anywhere in the held-out benchmark docs (doc_id%50=0)
+    "txt_decon_spans" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.Curation.contaminatedSpans(
+        all.filter(col("doc_id") % 50 =!= 0),
+        all.filter(col("doc_id") % 50 === 0), L = 10)
+    }),
+
     // CCNet-style boilerplate removal: any 10-token chunk appearing in
     // more than one distinct document is dropped EVERYWHERE (vs
     // chunk_dedup's keep-first rule)

@@ -519,20 +519,27 @@ object Curation {
    * Returns (doc_id, span_start, span_end, span_tokens, n_windows) with
    * token positions 0-based and span_end exclusive.
    */
-  def dupSpans(docs: DataFrame, L: Int, textCol: String = "text",
-               idCol: String = "doc_id"): DataFrame = {
-    require(L >= 2)
-    val toks = docs.select(col(idCol).as("doc_id"),
+  /** (doc_id, toks): normalized non-empty token array per document. */
+  private def tokenArr(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
       filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
         t => length(t) > 0).as("toks"))
-    val grams = graft.util.Snapshot(toks.select(col("doc_id"), posexplode(
+
+  /** Sliding `L`-token windows: (doc_id, pos, gram), pos 0-based; docs
+   * shorter than L emit nothing (explicit empty guard — sequence(0, neg)
+   * would descend). */
+  private def slidingGrams(toks: DataFrame, L: Int): DataFrame =
+    toks.select(col("doc_id"), posexplode(
         when(size(col("toks")) < L, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(0), size(col("toks")) - L),
             i => array_join(slice(col("toks"), i + 1, lit(L)), " ")))))
-      .toDF("doc_id", "pos", "gram"))
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("gram")
-    val marked = grams.join(dup, Seq("gram")).select("doc_id", "pos")
+      .toDF("doc_id", "pos", "gram")
+
+  /** Merge marked equal-length window positions into maximal spans. All
+   * windows span exactly L tokens, so no running max is needed: a new
+   * island starts exactly when pos - lag(pos) > L. The window partition
+   * is per document — bounded by doc length, never corpus size. */
+  private def mergeIslands(marked: DataFrame, L: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     marked
       .withColumn("gap", when(col("pos") - lag("pos", 1).over(w) <= L, 0).otherwise(1))
@@ -544,6 +551,42 @@ object Curation {
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"), col("n_windows"))
+  }
+
+  def dupSpans(docs: DataFrame, L: Int, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    require(L >= 2)
+    val grams = graft.util.Snapshot(
+      slidingGrams(tokenArr(docs, textCol, idCol), L))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gram")
+    mergeIslands(grams.join(dup, Seq("gram")).select("doc_id", "pos"), L)
+  }
+
+  /**
+   * Span-level benchmark decontamination: mark every maximal span of the
+   * corpus whose sliding `L`-token windows also occur ANYWHERE in the
+   * benchmark set — the substring-granularity version of the document
+   * containment check (Dedup.containment / txt_decontaminate), which is
+   * what a pretraining pipeline actually excises before packing (a doc
+   * quoting one eval question shouldn't be dropped whole, the quote
+   * should). Same island merge as [[dupSpans]]; the mark rule is a
+   * broadcast semi-join against the benchmark's distinct grams —
+   * benchmarks are MBs against a corpus of TBs, so the corpus grams never
+   * shuffle: mark at scan speed, then the bounded per-doc merge.
+   *
+   * Returns (doc_id, span_start, span_end, span_tokens, n_windows) over
+   * corpus documents.
+   */
+  def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame, L: Int,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(L >= 2)
+    val cg = slidingGrams(tokenArr(corpus, textCol, idCol), L)
+    val bg = slidingGrams(tokenArr(benchmark, textCol, idCol), L)
+      .select("gram").distinct()
+    mergeIslands(
+      cg.join(broadcast(bg), Seq("gram"), "left_semi").select("doc_id", "pos"), L)
   }
 
   /**
@@ -565,9 +608,7 @@ object Curation {
    */
   def dupSpansRemove(docs: DataFrame, L: Int, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
-    val toksDf = graft.util.Snapshot(docs.select(col(idCol).as("doc_id"),
-      filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
-        t => length(t) > 0).as("toks")))
+    val toksDf = graft.util.Snapshot(tokenArr(docs, textCol, idCol))
     val spansT = dupSpans(docs, L, textCol, idCol)
       .join(toksDf, Seq("doc_id"))
       .select(col("doc_id"), col("span_start"), col("span_end"),

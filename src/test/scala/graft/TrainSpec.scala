@@ -918,6 +918,16 @@ class TrainSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, 10L, 1L), (1L, 25L, 35L, 1L), (2L, 0L, 10L, 1L)))
   }
 
+  test("contaminatedSpans marks exactly the benchmark-overlapping spans") {
+    val corpus = docs(
+      (1L, "a b c d e f g h i j k l"),  // pos0 window = benchmark doc
+      (2L, "totally novel words nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+    val bench = docs((100L, "a b c d e f g h i j"))
+    val got = graft.text.Curation.contaminatedSpans(corpus, bench, L = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 10L)))
+  }
+
   test("dupSpansRemove keeps the globally first copy of each span text") {
     val df = docs(
       (1L, "a b c d e f g h i j k l"),       // span [0,10) — the keeper
