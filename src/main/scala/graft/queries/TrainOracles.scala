@@ -1206,6 +1206,18 @@ object TrainOracles {
         |SELECT doc_id, span_start, span_end, span_tokens, n_windows
         |FROM sp""".stripMargin),
 
+    // the streaming ingest must equal the batch pass bit-for-bit — the
+    // oracle IS the batch twin
+    "txt_decon_spans_stream" -> ErOracles.materializeCtes(
+      "WITH " + gramCtes("dn", "gr", " WHERE doc_id % 50 <> 0")
+        + gramCtes("bdn", "bgr", " WHERE doc_id % 50 = 0") +
+      """bg AS (SELECT DISTINCT gram FROM bgr),
+        |mk AS (SELECT doc_id, pos FROM gr WHERE gram IN (SELECT gram FROM bg)),
+        |""".stripMargin + spanTail +
+      """x AS (SELECT 1)
+        |SELECT doc_id, span_start, span_end, span_tokens, n_windows
+        |FROM sp""".stripMargin),
+
     // apply twin: per distinct span text the (doc_id, span_start)-first
     // copy survives; other copies' token ranges are removed, documents
     // reassemble from the remaining positions

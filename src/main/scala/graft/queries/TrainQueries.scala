@@ -685,6 +685,12 @@ object TrainQueries {
     "txt_span_apply" -> ((s, d) =>
       graft.text.Curation.dupSpansRemove(docs(s, d), L = 10)),
 
+    // the same span decontamination as a STREAM: stateless gram tagging
+    // against the standing benchmark index, island merge in compaction —
+    // must equal the batch twin bit-for-bit (same oracle)
+    "txt_decon_spans_stream" -> ((s, d) =>
+      graft.streaming.EventStreams.deconSpansStreaming(s, d, L = 10)),
+
     // span-level benchmark decontamination: corpus spans whose 10-gram
     // windows occur anywhere in the held-out benchmark docs (doc_id%50=0)
     "txt_decon_spans" -> ((s, d) => {

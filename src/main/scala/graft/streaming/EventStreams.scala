@@ -376,6 +376,52 @@ object EventStreams {
     drainAvailableNow(codes, "ann_pq_stream", "append")
   }
 
+  private val deconIdxPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Standing benchmark gram index (distinct 10-token window texts of the
+   * doc_id % 50 == 0 held-out docs), materialized once per dir — the
+   * static side of the streaming span-decontamination gate. */
+  def deconGramIndex(spark: SparkSession, dir: String, L: Int = 10): DataFrame = {
+    val path = deconIdxPath.getOrElseUpdate(dir,
+      graft.util.Snapshot.materialize(
+        graft.text.Curation.slidingGrams(
+            graft.text.Curation.tokenArr(
+              spark.read.parquet(s"$dir/documents.parquet")
+                .filter(col("doc_id") % 50 === 0), "text", "doc_id"), L)
+          .select("gram").distinct())._1)
+    spark.read.parquet(path)
+  }
+
+  /**
+   * Streaming span-decontamination ingest: corpus documents arrive as
+   * parquet files; each doc's sliding 10-grams (a stateless row-local
+   * explode) probe the STANDING benchmark gram index via a broadcast
+   * semi-join, and the marked (doc_id, pos) stream drains append-mode —
+   * no state store, no watermark, nothing buffered. The bounded per-doc
+   * island merge then runs over the drained sink: the split a production
+   * ingest uses (tag contaminated windows at wire speed; merge maximal
+   * spans in the compaction pass). AvailableNow + the full table in one
+   * batch ⇒ the merged spans equal the batch
+   * [[graft.text.Curation.contaminatedSpans]], which is the DuckDB twin.
+   */
+  def deconSpansStreaming(spark0: SparkSession, dir: String,
+                          L: Int = 10): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val benchIdx = deconGramIndex(spark, dir, L)
+    val corpus = reader(spark, schema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(streamDirFor(dir, "docs_decon_", "documents.parquet"))
+      .filter(col("doc_id") % 50 =!= 0)
+    val marked = graft.text.Curation.slidingGrams(
+        graft.text.Curation.tokenArr(corpus, "text", "doc_id"), L)
+      .join(broadcast(benchIdx), Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
+    graft.text.Curation.mergeIslands(
+      drainAvailableNow(marked, "txt_decon_spans_stream", "append"), L)
+  }
+
   def lshIngestStreaming(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema

@@ -520,7 +520,7 @@ object Curation {
    * token positions 0-based and span_end exclusive.
    */
   /** (doc_id, toks): normalized non-empty token array per document. */
-  private def tokenArr(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  private[graft] def tokenArr(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       filter(split(graft.dedup.Dedup.normalize(col(textCol)), " "),
         t => length(t) > 0).as("toks"))
@@ -528,7 +528,7 @@ object Curation {
   /** Sliding `L`-token windows: (doc_id, pos, gram), pos 0-based; docs
    * shorter than L emit nothing (explicit empty guard — sequence(0, neg)
    * would descend). */
-  private def slidingGrams(toks: DataFrame, L: Int): DataFrame =
+  private[graft] def slidingGrams(toks: DataFrame, L: Int): DataFrame =
     toks.select(col("doc_id"), posexplode(
         when(size(col("toks")) < L, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(0), size(col("toks")) - L),
@@ -539,7 +539,7 @@ object Curation {
    * windows span exactly L tokens, so no running max is needed: a new
    * island starts exactly when pos - lag(pos) > L. The window partition
    * is per document — bounded by doc length, never corpus size. */
-  private def mergeIslands(marked: DataFrame, L: Int): DataFrame = {
+  private[graft] def mergeIslands(marked: DataFrame, L: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     marked
       .withColumn("gap", when(col("pos") - lag("pos", 1).over(w) <= L, 0).otherwise(1))

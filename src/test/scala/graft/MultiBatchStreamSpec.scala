@@ -124,4 +124,28 @@ class MultiBatchStreamSpec extends AnyFunSuite {
       EventStreams.mergeLatestStreaming(spark, splitDir))
     assert(sortedRows(streamed) == sortedRows(batch))
   }
+
+  /** sf0.001 documents split into 4 doc_id-range files — arrival order is
+   * irrelevant here (the decon gate is stateless), the split only forces
+   * the drain through four micro-batches. */
+  private lazy val docsSplitDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_mbd_").toString
+    graft.util.Cleanup.onExitDelete(d)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (0 until 4).foreach { i =>
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("append").parquet(s"$d/documents.parquet")
+    }
+    d
+  }
+
+  test("streaming span decontamination over 4 micro-batches equals the batch pass") {
+    val docs = spark.read.parquet(s"$docsSplitDir/documents.parquet")
+    val expect = sortedRows(graft.text.Curation.contaminatedSpans(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), L = 10))
+    val got = withOneFilePerTrigger(
+      sortedRows(EventStreams.deconSpansStreaming(spark, docsSplitDir, L = 10)))
+    assert(got == expect && got.nonEmpty)
+  }
 }
