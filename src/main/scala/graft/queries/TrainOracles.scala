@@ -1461,6 +1461,27 @@ object TrainOracles {
          |       round(CAST(SUM(nll_fix) AS DOUBLE) / 1000000000.0 / CAST(COUNT(*) AS DOUBLE), 9) AS avg_nll
          |FROM nl GROUP BY doc_id""".stripMargin),
 
+    // bigram-surprisal twin: add-one smoothing, same 1e-9 fixed-point NLL
+    "txt_bigram_lm" -> ErOracles.materializeCtes(
+      s"""WITH dn AS (SELECT doc_id,
+         |         list_filter(string_split(${norm("text")}, ' '), t -> length(t) > 0) AS toks
+         |       FROM documents),
+         |bi AS (SELECT doc_id, toks[CAST(x.i AS BIGINT)] AS prev,
+         |              toks[CAST(x.i + 1 AS BIGINT)] AS cur
+         |       FROM dn, unnest(generate_series(1, CAST(len(toks) - 1 AS BIGINT))) AS x(i)
+         |       WHERE len(toks) >= 2),
+         |cb AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb FROM bi GROUP BY prev, cur),
+         |cu AS (SELECT unnest(toks) AS prev FROM dn),
+         |cuc AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cu FROM cu GROUP BY prev),
+         |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cuc),
+         |nl AS (SELECT bi.doc_id,
+         |         CAST(round(-ln((CAST(cb.cb AS DOUBLE) + 1.0) /
+         |              (CAST(cuc.cu AS DOUBLE) + CAST(vv.v AS DOUBLE))) * 1000000000.0) AS BIGINT) AS nll_fix
+         |       FROM bi JOIN cb USING (prev, cur) JOIN cuc USING (prev) CROSS JOIN vv)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       round(CAST(SUM(nll_fix) AS DOUBLE) / 1000000000.0 / CAST(COUNT(*) AS DOUBLE), 9) AS avg_nll
+         |FROM nl GROUP BY doc_id""".stripMargin),
+
     // epoch-mix twin: whole epochs via integer division, fractional
     // remainder via the shared Knuth-hash percent; DuckDB's
     // generate_series(1, 0) is empty (Spark's would descend — guarded

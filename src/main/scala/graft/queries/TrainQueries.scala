@@ -675,6 +675,11 @@ object TrainQueries {
     "txt_chunk_dedup" -> ((s, d) =>
       graft.text.Curation.chunkDedup(docs(s, d), w = 10)),
 
+    // add-one-smoothed bigram surprisal against the corpus's own bigram
+    // distribution — context-aware quality scoring
+    "txt_bigram_lm" -> ((s, d) =>
+      graft.text.Curation.bigramSurprisal(docs(s, d))),
+
     // ExactSubstr spans (Lee et al. 2022): maximal merged spans of sliding
     // 10-token windows that occur more than once anywhere in the corpus
     "txt_span_dedup" -> ((s, d) =>

@@ -265,6 +265,48 @@ object Curation {
   }
 
   /**
+   * Bigram language-model surprisal with add-one (Laplace) smoothing,
+   * trained on the corpus itself — the context-aware upgrade of
+   * [[lmSurprisal]]: P(w|v) = (c(v,w)+1) / (c(v)+V), score = mean
+   * −ln P over a document's bigrams. Word-salad that reuses common
+   * tokens in uncommon ORDER now scores high where the unigram model
+   * can't see it.
+   *
+   * Same determinism posture as the unigram score: each NLL rounds to a
+   * 1e-9 fixed-point BIGINT before the per-document sum, so the result
+   * is bit-identical under any partitioning. Shape: one explode to
+   * bigrams, two count aggregates (bigram, unigram — both map-side
+   * combinable), one 1-row vocab aggregate broadcast, two equi-joins
+   * back. Documents with fewer than 2 tokens emit no row.
+   */
+  def bigramSurprisal(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toksArr = tokenArr(docs, textCol, idCol)
+    val bi = graft.util.Snapshot(toksArr.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(sequence(lit(1), size(col("toks")) - 1)).as("i"),
+        col("toks"))
+      .select(col("doc_id"), element_at(col("toks"), col("i")).as("prev"),
+        element_at(col("toks"), col("i") + 1).as("cur")))
+    val cbig = bi.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val cuni = toksArr.select(explode(col("toks")).as("prev"))
+      .groupBy("prev").agg(count(lit(1)).as("cu"))
+    val vocab = cuni.agg(count(lit(1)).as("v"))
+    val nll = bi.join(cbig, Seq("prev", "cur")).join(cuni, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        graft.functions.FastRound.round(
+          -log((col("cb").cast("double") + 1.0) /
+            (col("cu").cast("double") + col("v").cast("double"))) *
+            1000000000.0, 0).cast("long").as("nll_fix"))
+    nll.groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"), sum(col("nll_fix")).as("sfix"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.functions.FastRound.round(
+          col("sfix").cast("double") / 1000000000.0 /
+            col("n_bigrams").cast("double"), 9).as("avg_nll"))
+  }
+
+  /**
    * N-gram novelty score (the C4/Gopher "repetition against the corpus"
    * gate, corpus-global): fraction of a document's distinct word n-gram
    * shingles whose FIRST corpus occurrence (minimum doc_id) is this

@@ -918,6 +918,20 @@ class TrainSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, 10L, 1L), (1L, 25L, 35L, 1L), (2L, 0L, 10L, 1L)))
   }
 
+  test("bigramSurprisal: hand-computed add-one NLLs") {
+    val df = docs((1L, "a b a b"), (2L, "a b c"))
+    // unigrams a:3 b:3 c:1, V=3; bigrams (a,b):3 (b,a):1 (b,c):1
+    val got = graft.text.Curation.bigramSurprisal(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ab = -math.log(4.0 / 6.0); val ba = -math.log(2.0 / 6.0)
+    val bc = -math.log(2.0 / 6.0) // c(b,c)=1 -> (1+1)/(3+3)
+    def fx(x: Double) = math.floor(x * 1e9 + 0.5) // the 1e-9 fixed point
+    def avg(xs: Seq[Double]) =
+      math.floor(xs.map(fx).sum / 1e9 / xs.size * 1e9 + 0.5) / 1e9
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - avg(Seq(ab, ba, ab))) < 1e-12)
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - avg(Seq(ab, bc))) < 1e-12)
+  }
+
   test("contaminatedSpans marks exactly the benchmark-overlapping spans") {
     val corpus = docs(
       (1L, "a b c d e f g h i j k l"),  // pos0 window = benchmark doc
