@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed rank statistics. Spearman's rho per group without ever
+ * ranking rows in a single window partition: ranks come from a
+ * value-COUNT prefix sum (graft.util.Prefix — two O(N) passes), doubled
+ * so tie-averages stay integers, and every moment is a BIGINT sum —
+ * bit-stable under any partitioning. Only the final combination runs in
+ * doubles, as one fixed op sequence both engines reproduce exactly.
+ *
+ * BIGINT headroom: rank2 <= 2N per group, so the largest moment is
+ * <= 4N^3 — exact to ~1.3M rows per group; beyond that the moment
+ * columns move to DECIMAL(38,0) with the same plan.
+ */
+object Stats {
+
+  /** Doubled average rank of `expr` within each `group`: one count
+   * aggregate + the distributed prefix + a broadcast per-group offset.
+   * Returns (group, x, out) where out = 2*(rows before the tie block)
+   * + tie count + 1 — an exact BIGINT. */
+  private def rank2(df: DataFrame, group: Column, expr: Column,
+                    out: String): DataFrame = {
+    val vc = df.groupBy(group.as("g"), expr.as("x"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = graft.util.Prefix.runningSum(vc,
+      Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
+    val off = vc.groupBy("g").agg(sum("cnt").cast("double").as("n_g"))
+      .withColumn("off", coalesce(sum(col("n_g")).over(
+        Window.orderBy("g") // one row per GROUP: bounded window
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+    cum.join(broadcast(off), Seq("g"))
+      .select(col("g"), col("x"),
+        (lit(2L) * (col("cum") - col("off") - col("cnt")).cast("long")
+          + col("cnt") + 1L).as(out))
+  }
+
+  /** Spearman rank correlation of `xCol` vs `yCol` per `groupCol`.
+   * Returns (<groupCol>, n, rho) with rho rounded to 9 decimals. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(xCol).as("xv"),
+      col(yCol).as("yv"))
+    val xr = rank2(base, col("g"), col("xv"), "rx").withColumnRenamed("x", "xv")
+    val yr = rank2(base, col("g"), col("yv"), "ry").withColumnRenamed("x", "yv")
+    val m = base
+      .join(xr, Seq("g", "xv")).join(yr, Seq("g", "yv"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"), sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+    m.select(col("g").as(groupCol), col("n"),
+      round((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          * sqrt(col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))), 9)
+        .as("rho"))
+  }
+}

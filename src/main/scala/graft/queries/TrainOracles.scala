@@ -309,6 +309,38 @@ object TrainOracles {
         |FROM r LEFT JOIN l ON r.user_id = l.user_id AND r.last_left_ts = l.last_left_ts""".stripMargin,
 
     // histogram twin: identical pinned-order bin arithmetic
+    // Spearman twin: identical doubled average ranks from the value-count
+    // prefix, identical BIGINT moments and double combination
+    "evt_spearman" -> ErOracles.materializeCtes(
+      """WITH ev AS (SELECT event_type, value, CAST(hour(ts) AS BIGINT) AS hr FROM events),
+        |vcx AS (SELECT event_type, value AS x, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2),
+        |rkx AS (SELECT event_type, x,
+        |          2 * CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY x
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS BIGINT)
+        |            + cnt + 1 AS rx
+        |        FROM vcx),
+        |vcy AS (SELECT event_type, hr AS y, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2),
+        |rky AS (SELECT event_type, y,
+        |          2 * CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY y
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS BIGINT)
+        |            + cnt + 1 AS ry
+        |        FROM vcy),
+        |j AS (SELECT ev.event_type, rx, ry
+        |      FROM ev JOIN rkx ON ev.event_type = rkx.event_type AND ev.value = rkx.x
+        |              JOIN rky ON ev.event_type = rky.event_type AND ev.hr = rky.y),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(rx) AS sx, SUM(ry) AS sy,
+        |        SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+        |      FROM j GROUP BY event_type)
+        |SELECT event_type, n,
+        |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS rho
+        |FROM m""".stripMargin),
+
     // Pearson twin: same BIGINT moment sums, same double combination order
     "evt_corr_hour" ->
       """WITH m AS (

@@ -377,6 +377,21 @@ object TrainQueries {
     // equi-width histogram: 20 bins per event type from broadcast
     // min/max — the profiling pass before choosing clip/binning params;
     // bin arithmetic is pinned-order double math both engines share
+    // Spearman rank correlation of value vs hour per type — Pearson over
+    // EXACT average ranks. Ranks come from the same distributed
+    // value-count prefix as evt_percent_rank (never a global row window),
+    // doubled so tie-averages stay integers: rank2 = 2*(#rows before the
+    // tie block) + cnt + 1. All moment sums are then BIGINTs — bit-stable
+    // under any partitioning — and the final combination is the same
+    // fixed double sequence as evt_corr_hour. (BIGINT headroom: rank2 <=
+    // 2N, so Sxy <= 4N^3 — exact to ~1.3M rows per type; beyond that the
+    // moment columns move to DECIMAL(38,0), the plan is unchanged.)
+    "evt_spearman" -> ((s, d) =>
+      graft.operators.Stats.spearman(
+        events(s, d).select(col("event_type"), col("value"),
+          hour(col("ts")).cast("long").as("hr")),
+        "event_type", "value", "hr")),
+
     // exact-integer Pearson correlation of event value vs hour of day, per
     // type: all five moment sums are BIGINTs over cent fixed point, so any
     // partitioning yields the same bits; the final combination is a fixed

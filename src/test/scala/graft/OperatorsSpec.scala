@@ -210,4 +210,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(0)._3 == r(1)._3 && r(1)._3 > r(2)._3)
     assert(r.map(_._4).toSeq == Seq(1, 2, 3))
   }
+
+  test("spearman: monotone +/-1, tie-averaged ranks on hand fixture") {
+    val df = Seq(
+      ("up", 1.0, 10L), ("up", 2.0, 20L), ("up", 3.0, 30L),
+      ("dn", 1.0, 30L), ("dn", 2.0, 20L), ("dn", 3.0, 10L),
+      ("tie", 1.0, 5L), ("tie", 1.0, 7L), ("tie", 2.0, 6L))
+      .toDF("g", "x", "y")
+    val r = graft.operators.Stats.spearman(df, "g", "x", "y")
+      .collect().map(row => row.getString(0) -> ((row.getLong(1), row.getDouble(2)))).toMap
+    assert(r("up") == ((3L, 1.0)) && r("dn") == ((3L, -1.0)))
+    // tie group: rank2(x) = (3,3,6); rank2(y) = (2,6,4) -> same formula
+    val (n, rx, ry) = (3.0, Seq(3L, 3L, 6L), Seq(2L, 6L, 4L))
+    val (sx, sy) = (rx.sum.toDouble, ry.sum.toDouble)
+    val (sxx, syy) = (rx.map(v => v * v).sum.toDouble, ry.map(v => v * v).sum.toDouble)
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum.toDouble
+    val rho = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val rho9 = math.floor(rho * 1e9 + 0.5) / 1e9
+    assert(r("tie")._1 == 3L && math.abs(r("tie")._2 - rho9) < 1e-12)
+  }
+
+  test("spearman is invariant to repartitioning (bit-identical rho)") {
+    val df = (1 to 200).map(i => ("g", (i % 17).toDouble, (i % 23).toLong))
+      .toDF("g", "x", "y")
+    val a = graft.operators.Stats.spearman(df, "g", "x", "y")
+      .collect().head.getDouble(2)
+    val b = graft.operators.Stats.spearman(df.repartition(13), "g", "x", "y")
+      .collect().head.getDouble(2)
+    assert(a == b)
+  }
 }
