@@ -496,6 +496,37 @@ object TrainOracles {
          |JOIN sigs s2 ON c.d2 = s2.doc_id AND s1.i = s2.i
          |GROUP BY c.d1, c.d2""".stripMargin),
 
+    // recall/precision twin: exact-pair and LSH-candidate CTEs composed
+    // from the same shingle/signature preludes as their own oracles
+    "dedup_lsh_recall" -> (shinglePrelude + sigCte +
+      s"""szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |freqok AS (
+         |  SELECT * FROM (SELECT doc_id, shingle,
+         |                 COUNT(*) OVER (PARTITION BY shingle) AS f FROM sh)
+         |  WHERE f <= 1000),
+         |cp AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS common
+         |  FROM freqok a JOIN freqok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT d1, d2 FROM cp JOIN szs s1 ON cp.d1 = s1.doc_id
+         |       JOIN szs s2 ON cp.d2 = s2.doc_id
+         |       WHERE CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) >= 0.5),
+         |bk AS (
+         |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         |         array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(sig AS VARCHAR))), ',') AS band_key
+         |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
+         |lshp AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+         |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lshp),
+         |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM ex
+         |       WHERE EXISTS (SELECT 1 FROM lshp WHERE lshp.d1 = ex.d1 AND lshp.d2 = ex.d2))
+         |SELECT n_exact, n_lsh, n_hit,
+         |       round(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 9) AS recall,
+         |       round(CAST(n_hit AS DOUBLE) / CAST(n_lsh AS DOUBLE), 9) AS precision
+         |FROM ne CROSS JOIN nl CROSS JOIN nh""".stripMargin),
+
     // winnowing twin: identical (h+1)*2^31 - i encoding, windowed MIN over
     // CURRENT ROW..3 FOLLOWING, integer decode; full windows only
     "txt_winnow" -> (winnowCte +
@@ -1492,6 +1523,29 @@ object TrainOracles {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
          |       round(CAST(SUM(nll_fix) AS DOUBLE) / 1000000000.0 / CAST(COUNT(*) AS DOUBLE), 9) AS avg_nll
          |FROM nl GROUP BY doc_id""".stripMargin),
+
+    // composition-diagnostics twin: same 1e-9 fixed-point entropy/MI terms
+    "txt_mi_lang_source" -> ErOracles.materializeCtes(
+      """WITH j AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_ls
+        |           FROM documents GROUP BY lang, source),
+        |nl AS (SELECT lang, CAST(SUM(n_ls) AS BIGINT) AS n_l FROM j GROUP BY lang),
+        |ns AS (SELECT source, CAST(SUM(n_ls) AS BIGINT) AS n_s FROM j GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_ls) AS BIGINT) AS n FROM j),
+        |hl AS (SELECT CAST(SUM(CAST(round(-(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * ln(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |          / 1000000000.0 AS h_lang
+        |       FROM nl CROSS JOIN tot),
+        |hs AS (SELECT CAST(SUM(CAST(round(-(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * ln(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |          / 1000000000.0 AS h_source
+        |       FROM ns CROSS JOIN tot),
+        |mi AS (SELECT CAST(SUM(CAST(round((CAST(n_ls AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * ln((CAST(n_ls AS DOUBLE) * CAST(n AS DOUBLE))
+        |                 / (CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE))) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |          / 1000000000.0 AS mi
+        |       FROM j JOIN nl USING (lang) JOIN ns USING (source) CROSS JOIN tot)
+        |SELECT tot.n AS n_docs, h_lang, h_source, mi
+        |FROM tot CROSS JOIN hl CROSS JOIN hs CROSS JOIN mi""".stripMargin),
 
     // bigram-surprisal twin: add-one smoothing, same 1e-9 fixed-point NLL
     "txt_bigram_lm" -> ErOracles.materializeCtes(

@@ -76,6 +76,21 @@ object TrainQueries {
     kmeansCache.getOrElseUpdate(d,
       graft.similarity.KMeans.centroids(embs(s, d), k = 8, iters = 2))
 
+  /** Exact Jaccard>=0.5 pairs and MinHash-LSH candidate pairs, snapshot
+   * once per dir — shared by their dump queries, the recall metric, and
+   * the cluster chain (the pair graphs are the product; consumers must
+   * not each rebuild them). */
+  private val jacPairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def jaccardPairs05(s: SparkSession, d: String): DataFrame =
+    jacPairsCache.getOrElseUpdate(d,
+      graft.util.Snapshot(Dedup.jaccardPairs(shingles3(s, d), threshold = 0.5)))
+  private val lshPairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsCache.getOrElseUpdate(d,
+      graft.util.Snapshot(Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4)))
+
   /** Dedup cluster assignment (MinHash-LSH near-dup graph -> hash-min CC),
    * snapshot ONCE per dir: both the clusters query and the cluster-aware
    * split consume it, and the CC iterations are the expensive part. */
@@ -84,7 +99,7 @@ object TrainQueries {
   private def clusters3(s: SparkSession, d: String): DataFrame =
     clustersCache.getOrElseUpdate(d,
       graft.util.Snapshot(Dedup.clusters(docs(s, d),
-        Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4).select("d1", "d2"))))
+        lshPairs(s, d).select("d1", "d2"))))
 
   /** Planted-twin embedding union + its trained coarse quantizer for the
    * SemDeDup query (clustering must see the twins, so these centroids are
@@ -181,8 +196,26 @@ object TrainQueries {
 
     "dedup_shingles" -> ((s, d) => shingles3(s, d)),
 
-    "dedup_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(shingles3(s, d), threshold = 0.5)),
+    "dedup_jaccard" -> ((s, d) => jaccardPairs05(s, d)),
+
+    // calibration metric for the LSH index: candidate recall/precision of
+    // MinHash-LSH (16 perms, 4 bands) against the exact Jaccard>=0.5
+    // pairs — the number a pipeline owner watches when tuning bands. All
+    // three one-row counts ride broadcast; nothing joins at corpus scale
+    "dedup_lsh_recall" -> ((s, d) => {
+      val exact = jaccardPairs05(s, d).select("d1", "d2")
+      val lsh = lshPairs(s, d).select("d1", "d2")
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nh = exact.join(lsh, Seq("d1", "d2"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      ne.crossJoin(broadcast(nl)).crossJoin(broadcast(nh))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          graft.functions.FastRound.round(
+            col("n_hit").cast("double") / col("n_exact").cast("double"), 9).as("recall"),
+          graft.functions.FastRound.round(
+            col("n_hit").cast("double") / col("n_lsh").cast("double"), 9).as("precision"))
+    }),
 
     // prefix-filtered exact Jaccard (SSJoin/PPJoin): candidates only
     // from each doc's rarest-first prefix, verified row-locally —
@@ -193,8 +226,7 @@ object TrainQueries {
     "dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(shingles3(s, d), k = 16)),
 
-    "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4)),
+    "dedup_minhash_lsh" -> ((s, d) => lshPairs(s, d)),
 
     // cluster assignment over the MinHash-LSH near-dup graph: smallest
     // reachable doc_id as the cluster representative (survivor set =
@@ -694,6 +726,37 @@ object TrainQueries {
     // distribution — context-aware quality scoring
     "txt_bigram_lm" -> ((s, d) =>
       graft.text.Curation.bigramSurprisal(docs(s, d))),
+
+    // corpus-composition diagnostics: entropy of the language and source
+    // marginals and their mutual information, in nats. One cell aggregate
+    // (langs x sources cells) then driver-free broadcast combination;
+    // every ln term rounds to a 1e-9 fixed point before summing, so the
+    // metrics are bit-stable under any partitioning
+    "txt_mi_lang_source" -> ((s, d) => {
+      def fix(c: org.apache.spark.sql.Column) =
+        graft.functions.FastRound.round(c * 1000000000.0, 0).cast("long")
+      val joint = docs(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_ls"))
+      val nl = joint.groupBy("lang").agg(sum("n_ls").as("n_l"))
+      val ns = joint.groupBy("source").agg(sum("n_ls").as("n_s"))
+      val tot = joint.agg(sum("n_ls").as("n"))
+      val hl = nl.crossJoin(broadcast(tot))
+        .agg(sum(fix(-(col("n_l").cast("double") / col("n").cast("double"))
+          * log(col("n_l").cast("double") / col("n").cast("double")))).as("hfix"))
+        .select((col("hfix").cast("double") / 1000000000.0).as("h_lang"))
+      val hs = ns.crossJoin(broadcast(tot))
+        .agg(sum(fix(-(col("n_s").cast("double") / col("n").cast("double"))
+          * log(col("n_s").cast("double") / col("n").cast("double")))).as("hfix"))
+        .select((col("hfix").cast("double") / 1000000000.0).as("h_source"))
+      val mi = joint.join(broadcast(nl), Seq("lang"))
+        .join(broadcast(ns), Seq("source")).crossJoin(broadcast(tot))
+        .agg(sum(fix((col("n_ls").cast("double") / col("n").cast("double"))
+          * log((col("n_ls").cast("double") * col("n").cast("double"))
+            / (col("n_l").cast("double") * col("n_s").cast("double"))))).as("mfix"))
+        .select((col("mfix").cast("double") / 1000000000.0).as("mi"))
+      tot.select(col("n").as("n_docs"))
+        .crossJoin(broadcast(hl)).crossJoin(broadcast(hs)).crossJoin(broadcast(mi))
+    }),
 
     // ExactSubstr spans (Lee et al. 2022): maximal merged spans of sliding
     // 10-token windows that occur more than once anywhere in the corpus
