@@ -159,4 +159,67 @@ class PropertiesSpec extends AnyFunSuite {
         s"seed $seed: no shared fingerprint for a planted $t-char match")
     }
   }
+
+  /** Seeded random corpus with a planted 12-token phrase in every third
+   * document (guaranteed duplicated L=10 spans at random offsets) plus
+   * unique-vocab filler (tokens carry the doc id, so filler never
+   * duplicates across docs). */
+  private def genDocs(seed: Int, nDocs: Int = 30): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val phrase = (1 to 12).map("p" + _)
+    (0 until nDocs).map { i =>
+      def filler(n: Int) = (1 to n).map(_ => s"f${i}_${rnd.nextInt(1000)}")
+      val toks =
+        if (i % 3 == 0) filler(rnd.nextInt(15)) ++ phrase ++ filler(rnd.nextInt(15))
+        else filler(5 + rnd.nextInt(30))
+      (i.toLong, toks.mkString(" "))
+    }
+  }
+
+  test("dupSpans invariants: bounds, min length, disjoint, window counts") {
+    for (seed <- 1 to 3) {
+      val rows = genDocs(seed)
+      val lens = rows.map { case (id, t) => id -> t.split(" ").length.toLong }.toMap
+      val L = 10
+      val spans = graft.text.Curation.dupSpans(rows.toDF("doc_id", "text"), L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(spans.nonEmpty, s"seed $seed: tiny vocab must produce duplicates")
+      spans.foreach { case (id, s0, e0, tk, nw) =>
+        assert(s0 >= 0 && e0 <= lens(id), s"seed $seed: span out of doc bounds")
+        assert(tk == e0 - s0 && tk >= L, s"seed $seed: span shorter than L")
+        assert(nw >= 1 && nw <= tk - L + 1, s"seed $seed: window count impossible")
+      }
+      // spans of one doc are disjoint AND non-adjacent (maximality: a gap
+      // of <= L windows would have merged)
+      spans.groupBy(_._1).foreach { case (_, ss) =>
+        val sorted = ss.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array((_, _, e1, _, _), (_, s2, _, _, _)) => assert(s2 - e1 > 0)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("dupSpansRemove conservation: kept + removed spans cover every token once") {
+    for (seed <- 4 to 6) {
+      val rows = genDocs(seed)
+      val df = rows.toDF("doc_id", "text")
+      val kept = graft.text.Curation.dupSpansRemove(df, L = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every surviving doc's text_clean token count == kept_tokens, and
+      // kept_tokens never exceeds the original length
+      val lens = rows.map { case (id, t) => id -> t.split(" ").length.toLong }.toMap
+      kept.foreach { case (id, k) =>
+        assert(k >= 1 && k <= lens(id), s"seed $seed: kept tokens out of range")
+      }
+      // a doc with no duplicated spans survives in full
+      val spanned = graft.text.Curation.dupSpans(df, L = 10)
+        .collect().map(_.getLong(0)).toSet
+      rows.foreach { case (id, t) =>
+        if (!spanned.contains(id))
+          assert(kept.get(id).contains(lens(id)), s"seed $seed: untouched doc truncated")
+      }
+    }
+  }
 }
