@@ -502,6 +502,13 @@ object ErOracles {
     "er_cbs_clean" -> (prelude(clean = true) +
       "x AS (SELECT 1) SELECT p1, p2, cbs FROM pairs"),
 
+    // block-size histogram twin over the re-validated collection
+    "er_block_sizes" -> (prelude(clean = false) +
+      """x AS (SELECT 1)
+        |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |       CAST(SUM(comparisons) AS BIGINT) AS comparisons
+        |FROM bs2 GROUP BY size""".stripMargin),
+
     // parallel canopy twin: center = no tight (cbs>=3) neighbor of smaller
     // id; members = loose (cbs>=2) edges from centers, plus the center
     "er_canopy" -> (prelude(clean = false) +

@@ -345,6 +345,14 @@ object ErQueries {
     "er_filtered_dirty" -> ((s, d) =>
       cleaned(s, d, clean = false).profileBlocksF.select("profile_id", "key")),
 
+    // block-size histogram of the final (purged+filtered, re-validated)
+    // collection — the observability panel for tuning purge/filter knobs
+    "er_block_sizes" -> ((s, d) =>
+      cleaned(s, d, clean = false).stats2
+        .groupBy("size")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum("comparisons").cast("long").as("comparisons"))),
+
     "er_cbs_dirty" -> ((s, d) => cachedPairs(s, d, clean = false)
       .select("p1", "p2", "cbs")),
 

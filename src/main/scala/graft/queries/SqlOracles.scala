@@ -98,6 +98,27 @@ object SqlOracles {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY revenue DESC, o_custkey ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "sql_order_counts" ->
+      """WITH oc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |            FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(n_orders, 0) AS c_count,
+        |       CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |GROUP BY COALESCE(n_orders, 0)""".stripMargin,
+
+    "sql_promo_revenue" ->
+      """WITH r AS (
+        |  SELECT CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rev,
+        |         p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_cents,
+        |             CAST(SUM(rev) AS BIGINT) AS total_cents
+        |      FROM r)
+        |SELECT CAST(promo_cents AS DOUBLE) / 100.0 AS promo_revenue,
+        |       CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue,
+        |       round(100.0 * CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 9) AS promo_share
+        |FROM a""".stripMargin
   )
 }

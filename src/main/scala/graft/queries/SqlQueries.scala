@@ -159,6 +159,35 @@ object SqlQueries {
         .select(col("o_custkey"), col("c_name"), col("n_name"),
           col("revenue"), col("n_items"))
         .orderBy(col("revenue").desc, col("o_custkey").asc)
-        .limit(20))
+        .limit(20)),
+
+    // TPC-H Q13 shape: order-count distribution INCLUDING zero-order
+    // customers (left outer from the dimension) — two cascaded aggregates,
+    // the second over at most max-orders-per-customer rows
+    "sql_order_counts" -> ((s, d) => {
+      val ocnt = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      t(s, d, "customer")
+        .join(ocnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    // one lineitem x part join, cent-exact sums, one-row result. No
+    // broadcast hint on part: it scales with the fact tables (unlike
+    // nation/region), so the join strategy is AQE's runtime call
+    "sql_promo_revenue" -> ((s, d) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_cents"),
+          sum(rev).as("total_cents"))
+        .select((col("promo_cents").cast("double") / 100.0).as("promo_revenue"),
+          (col("total_cents").cast("double") / 100.0).as("total_revenue"),
+          graft.functions.FastRound.round(lit(100.0) * col("promo_cents").cast("double")
+            / col("total_cents").cast("double"), 9).as("promo_share"))
+    })
   )
 }

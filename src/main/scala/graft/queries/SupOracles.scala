@@ -237,6 +237,26 @@ object SupOracles {
          |SELECT p1, p2, round(1.0 / (1.0 + exp(-($fixedZ))), 9) AS p_match, is_match
          |FROM feat""".stripMargin),
 
+    // PR-curve twin: same bucket-and-cumulate shape, same rounding
+    "sup_pr_curve" -> (supPrelude() +
+      s"""sf AS (SELECT round(1.0 / (1.0 + exp(-($fixedZ))), 9) AS p, is_match FROM feat),
+         |bk AS (SELECT LEAST(CAST(floor(p * 10) AS BIGINT), 9) AS bb,
+         |              CAST(COUNT(*) AS BIGINT) AS n_e,
+         |              CAST(SUM(CASE WHEN is_match = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_m
+         |       FROM sf GROUP BY 1),
+         |th AS (SELECT unnest(generate_series(0, 9)) AS b),
+         |prcum AS (SELECT th.b,
+         |          CAST(COALESCE(SUM(bk.n_e), 0) AS BIGINT) AS n_edges,
+         |          CAST(COALESCE(SUM(bk.n_m), 0) AS BIGINT) AS n_match
+         |        FROM th LEFT JOIN bk ON bk.bb >= th.b GROUP BY th.b),
+         |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS gt_n FROM gtc)
+         |SELECT CAST(b AS DOUBLE) / 10.0 AS threshold, n_edges, n_match,
+         |       round(CASE WHEN n_edges > 0
+         |                  THEN CAST(n_match AS DOUBLE) / CAST(n_edges AS DOUBLE)
+         |                  ELSE 0.0 END, 9) AS precision,
+         |       round(CAST(n_match AS DOUBLE) / CAST(gt_n AS DOUBLE), 9) AS recall
+         |FROM prcum, ng""".stripMargin),
+
     "sup_stats" -> (supPrelude() +
       """nm AS (SELECT CAST(SUM(CASE WHEN is_match = 1 THEN 1 ELSE 0 END) AS BIGINT) AS num_matches,
         |              CAST(COUNT(*) AS BIGINT) AS num_edges FROM overt),

@@ -170,6 +170,33 @@ object SupQueries {
       SupervisedMB.stats(SupervisedMB.bcl(scored(s, d)), gtSize)
     }),
 
+    // precision/recall curve of the frozen-coefficient scorer: ONE pass
+    // buckets every edge by floor(10*p) (never 10 threshold scans), the
+    // 10-row cumulative runs as a broadcast theta join — the
+    // model-quality sweep behind choosing an operating threshold
+    "sup_pr_curve" -> ((s, d) => {
+      val sf = SupervisedMB.fixedScore(features(s, d))
+        .select(col("p_match"), col("is_match"))
+      val bk = sf.groupBy(least(floor(col("p_match") * 10).cast("long"), lit(9L)).as("bb"))
+        .agg(count(lit(1)).as("n_e"),
+          sum(when(col("is_match") === 1, 1).otherwise(0)).cast("long").as("n_m"))
+      val th = s.range(10).select(col("id").as("b"))
+      val cum = th.join(broadcast(bk), col("bb") >= col("b"), "left")
+        .groupBy("b")
+        .agg(coalesce(sum("n_e"), lit(0L)).as("n_edges"),
+          coalesce(sum("n_m"), lit(0L)).as("n_match"))
+      val ng = ErQueries.gtConverted(s, d).agg(count(lit(1)).as("gt_n"))
+      cum.crossJoin(broadcast(ng))
+        .select((col("b").cast("double") / 10.0).as("threshold"),
+          col("n_edges"), col("n_match"),
+          graft.functions.FastRound.round(
+            when(col("n_edges") > 0,
+              col("n_match").cast("double") / col("n_edges").cast("double"))
+              .otherwise(0.0), 9).as("precision"),
+          graft.functions.FastRound.round(
+            col("n_match").cast("double") / col("gt_n").cast("double"), 9).as("recall"))
+    }),
+
     "prog_pps" -> ((s, d) =>
       Progressive.ppsEmission(
         ErQueries.weightedCached(s, d, clean = false, WeightType.CBS),
