@@ -38,6 +38,30 @@ object Stats {
           + col("cnt") + 1L).as(out))
   }
 
+  /** Exact quantile binning per group, no global row window: each
+   * DISTINCT value's bin is floor(#rows-before-it * n / N), clamped to
+   * n-1 — ties always share a bin, every bin boundary is exact (not
+   * sampled like approxQuantile). Same value-count prefix machinery as
+   * [[spearman]]: two O(N) passes, shuffles carry distinct values only.
+   * Returns (group, value, bin). */
+  def quantileBins(df: DataFrame, groupCol: String, valueCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 2)
+    val base = df.select(col(groupCol).as("g"), col(valueCol).as("x"))
+    val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+    val cum = graft.util.Prefix.runningSum(vc,
+      Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
+    val off = vc.groupBy("g").agg(sum("cnt").cast("double").as("n_g"))
+      .withColumn("off", coalesce(sum(col("n_g")).over(
+        Window.orderBy("g") // one row per GROUP: bounded window
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+    cum.join(broadcast(off), Seq("g"))
+      .select(col("g").as(groupCol), col("x").as(valueCol),
+        least(lit(n - 1).cast("long"),
+          floor((col("cum") - col("off") - col("cnt")) * n / col("n_g"))
+            .cast("long")).as("bin"))
+  }
+
   /** Spearman rank correlation of `xCol` vs `yCol` per `groupCol`.
    * Returns (<groupCol>, n, rho) with rho rounded to 9 decimals. */
   def spearman(df: DataFrame, groupCol: String, xCol: String,

@@ -309,6 +309,22 @@ object TrainOracles {
         |FROM r LEFT JOIN l ON r.user_id = l.user_id AND r.last_left_ts = l.last_left_ts""".stripMargin,
 
     // histogram twin: identical pinned-order bin arithmetic
+    // decile twin: same rows-before-value bin rule over the value counts
+    "evt_value_deciles" -> ErOracles.materializeCtes(
+      """WITH vc AS (SELECT event_type, value AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |            FROM events GROUP BY 1, 2),
+        |nt AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_g FROM vc GROUP BY 1),
+        |bn AS (SELECT vc.event_type, x,
+        |         LEAST(9, CAST(floor(CAST((SUM(cnt) OVER (PARTITION BY vc.event_type ORDER BY x
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) * 10 AS DOUBLE)
+        |                / CAST(n_g AS DOUBLE)) AS BIGINT)) AS bin
+        |       FROM vc JOIN nt USING (event_type))
+        |SELECT e.event_type, bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(e.value) AS lo, MAX(e.value) AS hi,
+        |       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+        |FROM events e JOIN bn ON e.event_type = bn.event_type AND e.value = bn.x
+        |GROUP BY e.event_type, bin""".stripMargin),
+
     // Spearman twin: identical doubled average ranks from the value-count
     // prefix, identical BIGINT moments and double combination
     "evt_spearman" -> ErOracles.materializeCtes(
@@ -733,6 +749,58 @@ object TrainOracles {
          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rn
          |  FROM cand)
          |SELECT query_id, nn_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // RRF twin: both retrievers' top-5 CTE chains inlined (l*/i* names),
+    // fused with the same 1/(60+rank) terms and rounding
+    "ann_rrf_topk" ->
+      s"""WITH lcb AS (${srpBucket("embeddings", 8)}),
+         |lqb AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbk FROM lcb WHERE vec_id < 10),
+         |lpr AS (
+         |  SELECT query_id, qe, qbk AS bucket FROM lqb
+         |  UNION ALL
+         |  SELECT query_id, qe, xor(qbk, (CAST(1 AS BIGINT) << CAST(p.p AS INTEGER)))
+         |  FROM lqb, (SELECT unnest(generate_series(0, 7)) AS p) p),
+         |lcand AS (
+         |  SELECT DISTINCT query_id, c.vec_id AS nn_id, round(${cosine("qe", "c.embedding")}, 9) AS cos
+         |  FROM lpr JOIN lcb c USING (bucket)
+         |  WHERE query_id <> c.vec_id),
+         |lrank AS (
+         |  SELECT query_id, nn_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rn
+         |  FROM lcand),
+         |icent AS (SELECT vec_id AS cid, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+         |iasg0 AS (
+         |  SELECT c.vec_id AS nn_id, c.embedding AS ce, icent.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |           ORDER BY round(${cosine("c.embedding", "icent.centroid")}, 9) DESC, icent.cid ASC) AS rn
+         |  FROM embeddings c CROSS JOIN icent),
+         |iasg AS (SELECT nn_id, ce, cid FROM iasg0 WHERE rn = 1),
+         |ipr0 AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qe, icent.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |           ORDER BY round(${cosine("q.embedding", "icent.centroid")}, 9) DESC, icent.cid ASC) AS rn
+         |  FROM embeddings q CROSS JOIN icent WHERE q.vec_id < 10),
+         |ipr AS (SELECT query_id, qe, cid FROM ipr0 WHERE rn <= 4),
+         |icand AS (
+         |  SELECT ipr.query_id, iasg.nn_id, round(${cosine("ipr.qe", "iasg.ce")}, 9) AS cos
+         |  FROM iasg JOIN ipr USING (cid) WHERE ipr.query_id <> iasg.nn_id),
+         |irank AS (
+         |  SELECT query_id, nn_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rn
+         |  FROM icand),
+         |lr5 AS (SELECT query_id, nn_id, rn FROM lrank WHERE rn <= 5),
+         |ir5 AS (SELECT query_id, nn_id, rn FROM irank WHERE rn <= 5),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+         |         COALESCE(l.nn_id, i.nn_id) AS nn_id,
+         |         round(COALESCE(1.0 / (60.0 + CAST(l.rn AS DOUBLE)), 0.0)
+         |               + COALESCE(1.0 / (60.0 + CAST(i.rn AS DOUBLE)), 0.0), 9) AS rrf
+         |  FROM lr5 l FULL OUTER JOIN ir5 i
+         |    ON l.query_id = i.query_id AND l.nn_id = i.nn_id),
+         |fr AS (SELECT query_id, nn_id, rrf,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, nn_id ASC) AS rn
+         |       FROM fused)
+         |SELECT query_id, nn_id, rrf, rn FROM fr WHERE rn <= 5""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS centroid FROM embeddings WHERE vec_id < 16),

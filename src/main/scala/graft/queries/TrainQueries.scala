@@ -278,6 +278,31 @@ object TrainQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5)
     }),
 
+    // reciprocal-rank fusion of the two ANN indexes (RRF, Cormack et al.
+    // SIGIR'09, k=60): a candidate's fused score sums 1/(60+rank) over
+    // the lists that retrieved it — the standard way to combine
+    // complementary retrievers without score calibration. Full-outer on
+    // the two top-5 lists (tiny per query), then one WindowGroupLimit
+    "ann_rrf_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val lsh = Similarity.lshTopK(e, q, k = 5)
+        .select(col("query_id"), col("nn_id"), col("rn").as("rl"))
+      val ivf = Similarity.ivfTopK(e, q, k = 5)
+        .select(col("query_id"), col("nn_id"), col("rn").as("ri"))
+      val fused = lsh.join(ivf, Seq("query_id", "nn_id"), "full_outer")
+        .select(col("query_id"), col("nn_id"),
+          graft.functions.FastRound.round(
+            coalesce(lit(1.0) / (lit(60.0) + col("rl").cast("double")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60.0) + col("ri").cast("double")), lit(0.0)),
+            9).as("rrf"))
+      fused.withColumn("rn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("rrf").desc, col("nn_id").asc)))
+        .filter(col("rn") <= 5)
+        .select("query_id", "nn_id", "rrf", "rn")
+    }),
+
     // threshold 0.4: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ~0.51 at sf0.01), so production-style thresholds
     // (~0.9) select the empty set and prove nothing; 0.4 yields a small
@@ -409,6 +434,21 @@ object TrainQueries {
     // equi-width histogram: 20 bins per event type from broadcast
     // min/max — the profiling pass before choosing clip/binning params;
     // bin arithmetic is pinned-order double math both engines share
+    // exact decile binning of value per type (no approxQuantile, no
+    // global sort): distinct-value prefix decides every boundary, then
+    // one aggregate per (type, bin) — the feature-binning pass
+    "evt_value_deciles" -> ((s, d) => {
+      val e = events(s, d)
+      val bins = graft.operators.Stats.quantileBins(
+        e.select("event_type", "value"), "event_type", "value", n = 10)
+      e.select(col("event_type"), col("value"),
+          graft.functions.FastRound.round(col("value") * 100, 0).cast("long").as("cents"))
+        .join(bins, Seq("event_type", "value"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"),
+          (sum("cents").cast("double") / 100.0).as("value_sum"))
+    }),
+
     // Spearman rank correlation of value vs hour per type — Pearson over
     // EXACT average ranks. Ranks come from the same distributed
     // value-count prefix as evt_percent_rank (never a global row window),

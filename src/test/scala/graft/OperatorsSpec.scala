@@ -231,6 +231,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r("tie")._1 == 3L && math.abs(r("tie")._2 - rho9) < 1e-12)
   }
 
+  test("quantileBins: exact boundaries, ties share a bin, clamp at n-1") {
+    // 10 rows, quartiles: rows-before * 4 / 10 -> bins 0,0,0,1,1,2,2,2,3,3
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "x")
+    val bins = graft.operators.Stats.quantileBins(df, "g", "x", n = 4)
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    assert((1 to 10).map(i => bins(i.toDouble)) ==
+      Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
+    // all-tied input: single bin 0
+    val tied = (1 to 8).map(_ => ("g", 5.0)).toDF("g", "x")
+    val tb = graft.operators.Stats.quantileBins(tied, "g", "x", n = 4).collect()
+    assert(tb.length == 1 && tb.head.getLong(2) == 0L)
+  }
+
   test("spearman is invariant to repartitioning (bit-identical rho)") {
     val df = (1 to 200).map(i => ("g", (i % 17).toDouble, (i % 23).toLong))
       .toDF("g", "x", "y")
