@@ -309,6 +309,38 @@ object TrainOracles {
         |FROM r LEFT JOIN l ON r.user_id = l.user_id AND r.last_left_ts = l.last_left_ts""".stripMargin,
 
     // histogram twin: identical pinned-order bin arithmetic
+    // confusion-matrix twin: the same marker-hit argmax CASE as
+    // txt_analysis (generated from the engine's marker lists)
+    "txt_langid_eval" -> ErOracles.materializeCtes(
+      s"""WITH base AS (SELECT doc_id, lang, trim(text) AS tt FROM documents),
+         |t AS (SELECT doc_id, lang,
+         |        list_filter(regexp_split_to_array(lower(tt), '\\s+'), x -> length(x) > 0) AS lws_toks
+         |      FROM base),
+         |sc AS (SELECT doc_id, lang,
+         |$langHitExprs
+         |       FROM t),
+         |lid AS (SELECT doc_id, lang,
+         |$langCase
+         |        FROM sc)
+         |SELECT lang, lang_id, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM lid GROUP BY lang, lang_id""".stripMargin),
+
+    // 3-step funnel twin: identical per-user min cascade
+    "evt_funnel3" -> ErOracles.materializeCtes(
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM s3""".stripMargin),
+
     // decile twin: same rows-before-value bin rule over the value counts
     "evt_value_deciles" -> ErOracles.materializeCtes(
       """WITH vc AS (SELECT event_type, value AS x, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -434,6 +434,33 @@ object TrainQueries {
     // equi-width histogram: 20 bins per event type from broadcast
     // min/max — the profiling pass before choosing clip/binning params;
     // bin arithmetic is pinned-order double math both engines share
+    // language-ID evaluation: confusion matrix of the n-gram-marker
+    // heuristic against the labeled lang column — the accuracy panel for
+    // the classifier the curation gates depend on
+    "txt_langid_eval" -> ((s, d) =>
+      docs(s, d).select(col("lang"),
+          graft.text.TextAnalysis.languageId(col("text")).as("lang_id"))
+        .groupBy("lang", "lang_id").agg(count(lit(1)).as("n"))),
+
+    // strict-order 3-step funnel (signup -> first click after -> first
+    // purchase after that): three per-user min aggregates, each shuffling
+    // on user_id only — no window over event history
+    "evt_funnel3" -> ((s, d) => {
+      val e = events(s, d)
+      def firstAfter(tpe: String, prev: DataFrame, prevTs: String, out: String) =
+        e.filter(col("event_type") === tpe)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevTs))
+          .groupBy("user_id").agg(min("ts").as(out))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = firstAfter("click", s1, "t1", "t2")
+      val s3 = firstAfter("purchase", s2, "t2", "t3")
+      s1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("step"), col("n_users"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users")).select(lit(2L).as("step"), col("n_users")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users")).select(lit(3L).as("step"), col("n_users")))
+    }),
+
     // exact decile binning of value per type (no approxQuantile, no
     // global sort): distinct-value prefix decides every boundary, then
     // one aggregate per (type, bin) — the feature-binning pass
