@@ -108,6 +108,118 @@ object SqlOracles {
         |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
         |GROUP BY COALESCE(n_orders, 0)""".stripMargin,
 
+    "sql_revenue_forecast" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "sql_market_share" ->
+      """WITH f AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |         n1.n_name AS supp_nation,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END) AS DOUBLE)
+        |             / CAST(SUM(rev) AS DOUBLE), 9) AS mkt_share,
+        |       CAST(SUM(rev) AS DOUBLE) / 100.0 AS total_volume
+        |FROM f GROUP BY o_year""".stripMargin,
+
+    "sql_profit_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |              - CAST(round(p_retailprice * l_quantity * 0.6 * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_profit,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+
+    "sql_top_supplier" ->
+      """WITH q AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT l_suppkey, s_name, CAST(c AS DOUBLE) / 100.0 AS total_revenue
+        |FROM q JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE c = (SELECT MAX(c) FROM q)""".stripMargin,
+
+    "sql_small_qty_revenue" ->
+      """WITH thr AS (
+        |  SELECT l_partkey AS t_partkey, AVG(l_quantity) * 0.2 AS qty_thr
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+        |JOIN thr ON l_partkey = t_partkey
+        |WHERE l_quantity < qty_thr""".stripMargin,
+
+    "sql_big_orders" ->
+      """WITH oq AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qc
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 25000)
+        |SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(qc AS DOUBLE) / 100.0 AS sum_qty
+        |FROM oq
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "sql_idle_rich_customers" ->
+      """WITH c AS (SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS bc FROM customer),
+        |a AS (SELECT CAST(SUM(bc) AS DOUBLE) / COUNT(*) AS avg_bc FROM c WHERE bc > 0)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |       CAST(SUM(bc) AS DOUBLE) / 100.0 AS total_acctbal
+        |FROM c, a
+        |WHERE CAST(bc AS DOUBLE) > avg_bc
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "sql_late_lines" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "sql_disjunctive_revenue" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "sql_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "sql_promo_revenue" ->
       """WITH r AS (
         |  SELECT CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rev,

@@ -174,6 +174,189 @@ object SqlQueries {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // TPC-H Q6 shape: pure scan-side revenue delta — every predicate is a
+    // parquet PushedFilter (timestamp range, double range, double bound),
+    // so at 100 TB the row-group statistics skip most of the table before
+    // a single row is decoded; one map-side-combinable global aggregate
+    "sql_revenue_forecast" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg((sum(cents(col("l_extendedprice") * col("l_discount")))
+          .cast("double") / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q8 shape: national market share — NATION_7's slice of STANDARD
+    // part revenue sold into EUROPE customers, by order year. Fact tables
+    // shuffle twice (orderkey, custkey); part is filtered before its join
+    // (AQE picks the strategy — part scales with SF, unlike nation/region);
+    // supplier/nation/region ride broadcast. Share = exact-cents ratio.
+    "sql_market_share" -> ((s, d) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val n1 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("sn_key"))
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_7", rev).otherwise(lit(0L))).as("_n"),
+          sum(rev).as("_d"))
+        .select(col("o_year"),
+          graft.functions.FastRound.round(
+            col("_n").cast("double") / col("_d").cast("double"), 9).as("mkt_share"),
+          (col("_d").cast("double") / 100.0).as("total_volume"))
+    }),
+
+    // TPC-H Q9 shape: product-line profit by supplier nation and year.
+    // ps_supplycost doesn't exist in this schema, so cost is proxied as
+    // 60% of retail price x quantity — BOTH terms rounded to cents per
+    // row, so the per-row profit is an exact BIGINT difference and the
+    // aggregate is partitioning-stable. The p_name LIKE filter lands on
+    // the part scan before its join.
+    "sql_profit_nation" -> ((s, d) => {
+      val profit = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+        cents(col("p_retailprice") * col("l_quantity") * 0.6)
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_name").contains("gear")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg((sum(profit).cast("double") / 100.0).as("sum_profit"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q15 shape: top supplier(s) by quarterly revenue. The max is a
+    // 1-row aggregate broadcast back over the per-supplier totals (the
+    // view + HAVING = MAX of the original); exact-cents equality makes
+    // the tie predicate bit-stable under any partitioning
+    "sql_top_supplier" -> ((s, d) => {
+      val q = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("_cents"))
+      q.crossJoin(broadcast(q.agg(max(col("_cents")).as("_max"))))
+        .filter(col("_cents") === col("_max"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey"), col("s_name"),
+          (col("_cents").cast("double") / 100.0).as("total_revenue"))
+    }),
+
+    // TPC-H Q17 shape: revenue lost to small-quantity orders of one brand.
+    // The correlated per-part AVG becomes a per-part aggregate joined back
+    // to the fact — quantities are integral so the double AVG is an exact
+    // ratio of exact sums, making the 0.2x threshold comparison
+    // deterministic across engines and partitionings
+    "sql_small_qty_revenue" -> ((s, d) => {
+      val thr = t(s, d, "lineitem").groupBy(col("l_partkey").as("t_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_thr"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_brand") === "Brand#3"),
+          col("l_partkey") === col("p_partkey"))
+        .join(thr, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_thr"))
+        .agg((sum(cents(col("l_extendedprice"))).cast("double") / 100.0 / 7.0)
+          .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — per-order quantity rollup
+    // HAVING > 250, then the order/customer detail joins AFTER the
+    // aggregate so they touch only the surviving ~1% of orders; global
+    // top-100 with a deterministic key tie-break (TakeOrderedAndProject)
+    "sql_big_orders" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity"))).as("_qc"))
+        .filter(col("_qc") > 250 * 100L)
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          (col("_qc").cast("double") / 100.0).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)),
+
+    // TPC-H Q22 shape: rich-but-idle customers — balance above the
+    // positive-balance mean (1-row broadcast, exact-cents average) and no
+    // orders since 2000 (anti join with a pushed date filter on the
+    // orders side), rolled up per nation. The anti join is the scalable
+    // NOT EXISTS: no distinct, no driver-side set
+    "sql_idle_rich_customers" -> ((s, d) => {
+      val c = t(s, d, "customer").withColumn("_bc", cents(col("c_acctbal")))
+      val avgPos = c.filter(col("_bc") > 0)
+        .agg((sum(col("_bc")).cast("double") / count(lit(1))).as("_avg"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+      c.crossJoin(broadcast(avgPos))
+        .filter(col("_bc").cast("double") > col("_avg"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          (sum(col("_bc")).cast("double") / 100.0).as("total_acctbal"))
+    }),
+
+    // TPC-H Q12 shape: late-shipment priority mix — conditional counts
+    // over one fact⋈fact join with a date-arithmetic residual (shipped
+    // more than 90 days after ordering), grouped by return flag. The
+    // CASE aggregation folds both priority classes into one pass
+    "sql_late_lines" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))),
+
+    // TPC-H Q19 shape: OR-of-ANDs over brand/size/quantity — the whole
+    // disjunction stays inside whole-stage codegen as one vectorized
+    // predicate, and the shared conjunct (size>=1, qty>=1) is what the
+    // scan can still push; revenue in exact cents
+    "sql_disjunctive_revenue" -> ((s, d) => {
+      val m1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 20)
+      val m2 = col("p_brand") === "Brand#2" && col("p_size").between(11, 20) &&
+        col("l_quantity").between(10, 30)
+      val m3 = col("p_brand") === "Brand#3" && col("p_size").between(21, 30) &&
+        col("l_quantity").between(20, 40)
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(m1 || m2 || m3)
+        .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double") / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // co-located join over bucketed layouts: both fact tables were written
+    // hash-bucketed on the order key (sources.Bucketed), so the equi-join
+    // needs NO exchange on either side — the only shuffle in the plan is
+    // the final tiny groupBy. At 100 TB this is the difference between
+    // re-shuffling the corpus every query and amortizing one layout write
+    "sql_bucketed_join" -> ((s, d) => {
+      val li = graft.sources.Bucketed.table(s, d, "lineitem", "l_orderkey")
+      val od = graft.sources.Bucketed.table(s, d, "orders", "o_orderkey")
+      li.join(od, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double") / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // TPC-H Q14 shape: promo revenue share — conditional aggregation over
     // one lineitem x part join, cent-exact sums, one-row result. No
     // broadcast hint on part: it scales with the fact tables (unlike

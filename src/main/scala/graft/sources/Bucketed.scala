@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/**
+ * Memoized bucketed layouts of the warehouse fact tables — the
+ * query-facing side of [[Wrappers.writeBucketed]]. `bucketBy(n, key)`
+ * writes a table hash-partitioned on the join key at WRITE time, so a
+ * later equi-join on that key reads both sides already co-partitioned
+ * and Spark elides BOTH shuffle exchanges: the scans feed SortMergeJoin
+ * directly (pinned by PlanSpec). At 100 TB this converts the dominant
+ * fact⋈fact shuffle — rewriting the whole input over the network on
+ * every query — into a one-time layout cost that every subsequent join
+ * amortizes, the same contract as Hive bucketing or Iceberg's bucket
+ * partition transform.
+ *
+ * Registration is memoized per (session, dir, table): the first call
+ * pays the write, later calls return the catalog reader. Table names
+ * carry a hash of the source dir so sf0.01 and sf0.1 coexist in one
+ * catalog.
+ *
+ * Bucket count is fixed small (8) for the local bench; on a cluster
+ * size it so one bucket ≈ one healthy partition per executor core
+ * (e.g. 4096 for a 100 TB fact), and keep it EQUAL across tables that
+ * join together.
+ */
+object Bucketed {
+  val NumBuckets = 8
+
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Unit]
+
+  /** Bucketed view of `dir/name.parquet`, hash-bucketed and sorted on
+   * `key`. First call per (session, dir, name) writes the layout. */
+  def table(s: SparkSession, dir: String, name: String, key: String): DataFrame = {
+    val tag = Integer.toHexString(dir.hashCode & 0x7fffffff)
+    val tbl = s"graft_${name}_b$tag"
+    registered.getOrElseUpdate((s, dir, tbl), {
+      // one file per bucket: pre-partition on the bucket key (same
+      // Murmur3 hash the bucket spec uses) so each writer task emits
+      // exactly its own bucket file, and the sorted-bucket scan can
+      // skip the per-query Sort under the join
+      val src = s.read.parquet(s"$dir/$name.parquet")
+        .repartition(NumBuckets, col(key))
+      Wrappers.writeBucketed(src, tbl, key, NumBuckets)
+    })
+    s.table(tbl)
+  }
+}

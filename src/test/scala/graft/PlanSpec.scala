@@ -286,4 +286,53 @@ class PlanSpec extends AnyFunSuite {
     assert("orders\\.parquet".r.findAllIn(p).length == 1,
       s"orders scanned more than once in:\n$p")
   }
+
+  test("revenue-forecast pushes every predicate into the lineitem scan") {
+    // default metadata truncation (100 chars) cuts the PushedFilters list
+    // mid-entry; widen it so the assertion sees all three predicates
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan(SqlQueries.all("sql_revenue_forecast")(spark, sf))
+    finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    // all three row-group-skippable predicates must reach the parquet
+    // reader: at 100 TB these statistics prune most of the table unread
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"),
+      s"discount lower bound not pushed in:\n$p")
+    assert(p.contains("LessThan(l_quantity,24"),
+      s"quantity bound not pushed in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range not pushed in:\n$p")
+  }
+
+  test("top-supplier's MAX is a 1-row broadcast, never a shuffle of the totals") {
+    val p = plan(SqlQueries.all("sql_top_supplier")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row max not broadcast in:\n$p")
+    // lineitem feeds exactly one aggregate spine; the max reuses it
+    assert(!p.contains("CartesianProduct"), s"cartesian on the totals in:\n$p")
+  }
+
+  test("big-orders aggregates before joining: dimensions see only survivors") {
+    val p = plan(SqlQueries.all("sql_big_orders")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k in:\n$p")
+    // customer is broadcast; the per-order rollup happens below the join
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast in:\n$p")
+  }
+
+  test("bucketed fact join: the ONLY exchange is the final groupBy") {
+    // force the join strategy a 100 TB fact⋈fact join would get (at
+    // sf0.001 orders would broadcast, hiding the layout's value)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = "/root/testdata/sf0.001"
+      val q = SqlQueries.all("sql_bucketed_join")(spark, d)
+      val p = plan(q)
+      assert(p.contains("SortMergeJoin"), s"no SortMergeJoin in:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"want exactly 1 exchange (the groupBy), got $exchanges in:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join side shuffled despite bucketing:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
