@@ -153,6 +153,28 @@ object TrainOracles {
        |  GROUP BY doc_id, i.i),
        |""".stripMargin
 
+  /** Transitive closure over the MinHash-LSH band graph, ending in
+   * `cl(doc_id, cluster_rep)`. ONE definition shared by dedup_clusters /
+   * dedup_survivors / dedup_golden / dedup_cluster_split /
+   * txt_removal_audit so the banding rule and the closure can never
+   * desynchronize between those oracles (requires WITH RECURSIVE and the
+   * sigCte prefix). */
+  private lazy val ccCtes: String =
+    s"""bk AS (
+       |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+       |         array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(sig AS VARCHAR))), ',') AS band_key
+       |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT d1 AS u, d2 AS v FROM cand UNION ALL SELECT d2, d1 FROM cand),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+       |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a),
+       |""".stripMargin
+
   /** Winnowing fingerprint CTE `fp(doc_id, pos, gram_hash)` — twin of
    * TextAnalysis.winnow at its production defaults (constants derived from
    * TextAnalysis.WinnowK/WinnowW so engine and oracle cannot drift):
@@ -628,38 +650,14 @@ object TrainOracles {
     // feasible because sf0.01 components are small; the engine side is the
     // iterative hash-min propagation that scales
     "dedup_clusters" -> (shinglePrelude.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
-      s"""bk AS (
-         |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
-         |         array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(sig AS VARCHAR))), ',') AS band_key
-         |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |edges AS (SELECT d1 AS u, d2 AS v FROM cand UNION ALL SELECT d2, d1 FROM cand),
-         |reach(a, b) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
-         |SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a""".stripMargin),
+      ccCtes + "x AS (SELECT 1)\nSELECT doc_id, cluster_rep FROM cl"),
 
     // survivor twin: same transitive closure, then top-1 per cluster by
     // (token count DESC, doc_id ASC) — the same whitespace token count
     // as the txt_analysis oracle
     "dedup_survivors" -> (shinglePrelude.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
-      s"""bk AS (
-         |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
-         |         array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(sig AS VARCHAR))), ',') AS band_key
-         |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |edges AS (SELECT d1 AS u, d2 AS v FROM cand UNION ALL SELECT d2, d1 FROM cand),
-         |reach(a, b) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
-         |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a),
-         |tc AS (SELECT doc_id,
+      ccCtes +
+      s"""tc AS (SELECT doc_id,
          |         CASE WHEN length(trim(text)) = 0 THEN 0
          |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
          |       FROM documents),
@@ -672,20 +670,8 @@ object TrainOracles {
     // golden-record twin: same transitive closure, then per-cluster MODE
     // of each attribute (ties -> smallest value) + member count
     "dedup_golden" -> (shinglePrelude.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
-      s"""bk AS (
-         |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
-         |         array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(sig AS VARCHAR))), ',') AS band_key
-         |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |edges AS (SELECT d1 AS u, d2 AS v FROM cand UNION ALL SELECT d2, d1 FROM cand),
-         |reach(a, b) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
-         |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a),
-         |j AS (SELECT cl.cluster_rep, d.lang, d.source
+      ccCtes +
+      s"""j AS (SELECT cl.cluster_rep, d.lang, d.source
          |      FROM cl JOIN documents d USING (doc_id)),
          |szs AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members FROM j GROUP BY cluster_rep),
          |lm AS (SELECT cluster_rep, lang AS lang_golden FROM (
@@ -703,19 +689,8 @@ object TrainOracles {
     // then the Knuth-hash bucket of the cluster REPRESENTATIVE decides the
     // split (pure BIGINT arithmetic — bit-identical in both engines)
     "dedup_cluster_split" -> (shinglePrelude.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
-      s"""bk AS (
-         |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
-         |         array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(sig AS VARCHAR))), ',') AS band_key
-         |  FROM sigs GROUP BY doc_id, CAST(i // 4 AS INTEGER)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |edges AS (SELECT d1 AS u, d2 AS v FROM cand UNION ALL SELECT d2, d1 FROM cand),
-         |reach(a, b) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
-         |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a)
+      ccCtes +
+      s"""x AS (SELECT 1)
          |SELECT doc_id, cluster_rep,
          |       CASE WHEN ((cluster_rep % 1000000007) * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
          |            WHEN ((cluster_rep % 1000000007) * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
@@ -1488,6 +1463,34 @@ object TrainOracles {
          |SELECT j.doc_id, j.bench_id, j.n_shared,
          |       CAST(j.n_shared AS DOUBLE) / bn.bench_n AS containment
          |FROM j JOIN bn USING (bench_id)""".stripMargin),
+
+    // removal-audit twin: each gate re-stated from the SAME shared
+    // fragments its standalone oracle uses (ccCtes closure, dedup_exact
+    // hash, txt_decontaminate containment rule, txt_analysis nested as a
+    // subquery), composed into one first-failing-stage CASE
+    "txt_removal_audit" -> (shinglePrelude.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
+      ccCtes +
+      s"""eh AS (SELECT doc_id, ${strHash(norm("text"))} AS h FROM documents),
+         |ex AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM eh),
+         |bsh AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+         |tsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+         |cj AS (SELECT t.doc_id, b.bench_id FROM tsh t JOIN bsh b USING (shingle)
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |cont AS (SELECT DISTINCT doc_id FROM cj),
+         |ta AS (SELECT doc_id, lang_id, quality FROM ($txtAnalysisSql) z)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 50 = 0 THEN 'benchmark'
+         |       WHEN ex.rep_id <> d.doc_id THEN 'exact_dup'
+         |       WHEN cl.cluster_rep <> d.doc_id THEN 'near_dup'
+         |       WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+         |       WHEN ta.lang_id <> 'en' THEN 'lang'
+         |       WHEN ta.quality < 0.5 THEN 'quality'
+         |       ELSE 'kept' END AS stage
+         |FROM documents d
+         |JOIN ex USING (doc_id)
+         |JOIN cl USING (doc_id)
+         |LEFT JOIN cont USING (doc_id)
+         |JOIN ta USING (doc_id)""".stripMargin),
 
     // salted-join twin: the salt is partitioning-only, so the oracle is
     // the NAIVE join (lossless-rewrite rule, same as RangeJoin)

@@ -883,6 +883,39 @@ object TrainQueries {
         minShared = 3L)
     }),
 
+    // removal audit — per-document lineage through the curation funnel:
+    // the FIRST gate that excludes each doc (benchmark holdout, exact
+    // dup, LSH near-dup, benchmark contamination, language, quality) or
+    // 'kept'. Every gate reuses its memoized standalone artifact (exact
+    // reps, CC clusters, containment flags, analysis), so the audit adds
+    // only doc_id-equi-joins — the provenance table a real pipeline
+    // ships next to the training set, at the cost of a few broadcastable
+    // joins rather than a recompute
+    "txt_removal_audit" -> ((s, d) => {
+      val ex = Dedup.exact(docs(s, d)).select("doc_id", "rep_id")
+      val cl = clusters3(s, d).select("doc_id", "cluster_rep")
+      val sh = shingles3(s, d)
+      val cont = Dedup.containment(
+          sh.filter(col("doc_id") % 50 =!= 0),
+          sh.filter(col("doc_id") % 50 === 0), minShared = 3L)
+        .select("doc_id").distinct().withColumn("_cont", lit(true))
+      val ta = TextAnalysis.analyze(docs(s, d), "text")
+        .select("doc_id", "lang_id", "quality")
+      docs(s, d).select("doc_id")
+        .join(ex, Seq("doc_id"))
+        .join(cl, Seq("doc_id"))
+        .join(cont, Seq("doc_id"), "left")
+        .join(ta, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 50 === 0, "benchmark")
+            .when(col("rep_id") =!= col("doc_id"), "exact_dup")
+            .when(col("cluster_rep") =!= col("doc_id"), "near_dup")
+            .when(col("_cont"), "contaminated")
+            .when(col("lang_id") =!= "en", "lang")
+            .when(col("quality") < 0.5, "quality")
+            .otherwise("kept").as("stage"))
+    }),
+
     // the same decontamination pass behind a broadcast Bloom pre-filter
     // (lossless: exact join confirms, so the oracle is the naive SQL) —
     // the 100 TB shape, where the corpus side is pruned at scan time
