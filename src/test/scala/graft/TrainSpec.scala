@@ -981,4 +981,43 @@ class TrainSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expect && got.contains((1L, 0L)))
   }
+
+  test("removal audit: total, stage vocabulary, and gate-order invariants") {
+    val d = "/root/testdata/sf0.001"
+    val audit = graft.queries.TrainQueries.all("txt_removal_audit")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+    // exactly one verdict per document (the joins must not drop or dup)
+    assert(audit.size.toLong == nDocs)
+    val allowed = Set("benchmark", "exact_dup", "near_dup", "contaminated",
+      "lang", "quality", "kept")
+    assert(audit.values.forall(allowed))
+    // the holdout gate fires first: every 50th doc is 'benchmark' and no
+    // benchmark doc leaks into any later stage
+    audit.foreach { case (id, st) =>
+      if (id % 50 == 0) assert(st == "benchmark", s"doc $id -> $st")
+      else assert(st != "benchmark", s"doc $id -> $st")
+    }
+    // 'kept' docs survive every individual gate, re-checked independently
+    val kept = audit.collect { case (id, "kept") => id }.toSet
+    val ana = graft.text.TextAnalysis.analyze(
+        spark.read.parquet(s"$d/documents.parquet"), "text")
+      .select("doc_id", "lang_id", "quality")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    kept.foreach { id =>
+      assert(ana(id)._1 == "en" && ana(id)._2 >= 0.5, s"kept doc $id fails a gate")
+    }
+  }
+
+  test("Bucketed.table memoizes the layout and reuses the catalog table") {
+    val d = "/root/testdata/sf0.001"
+    val t1 = graft.sources.Bucketed.table(spark, d, "orders", "o_orderkey")
+    val n = t1.count()
+    assert(n == spark.read.parquet(s"$d/orders.parquet").count())
+    // second call returns the registered table without rewriting
+    val t2 = graft.sources.Bucketed.table(spark, d, "orders", "o_orderkey")
+    assert(t2.count() == n)
+    val tables = spark.catalog.listTables().collect().map(_.name)
+    assert(tables.exists(_.startsWith("graft_orders_b")), tables.mkString(","))
+  }
 }
