@@ -220,6 +220,31 @@ object SqlOracles {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
+    "evt_nullsafe_cohorts" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, 0) AS cohort
+        |  FROM events),
+        |c AS (SELECT cohort AS ck, CAST(COUNT(*) AS BIGINT) AS n_clicks
+        |      FROM e WHERE event_type = 'click' GROUP BY cohort),
+        |b AS (SELECT cohort AS bk, CAST(COUNT(*) AS BIGINT) AS n_buys
+        |      FROM e WHERE event_type = 'purchase' GROUP BY cohort)
+        |SELECT COALESCE(ck, bk) AS cohort,
+        |       COALESCE(n_clicks, 0) AS n_clicks,
+        |       COALESCE(n_buys, 0) AS n_buys
+        |FROM c FULL JOIN b ON ck IS NOT DISTINCT FROM bk""".stripMargin,
+
+    "sql_order_seq" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       LAG(o_totalprice, 1) OVER w AS prev_price,
+        |       LEAD(o_totalprice, 1) OVER w AS next_price,
+        |       CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
     "sql_promo_revenue" ->
       """WITH r AS (
         |  SELECT CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rev,

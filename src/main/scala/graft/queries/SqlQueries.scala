@@ -357,6 +357,44 @@ object SqlQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // three-valued-logic showcase: full-outer join on a genuinely
+    // NULLABLE key with null-safe equality (<=> / IS NOT DISTINCT FROM),
+    // so the NULL-key cohorts on both sides match each other instead of
+    // silently dropping — the semantics a plain equi-join gets wrong
+    "evt_nullsafe_cohorts" -> ((s, d) => {
+      val e = graft.streaming.EventStreams.loadEvents(s, d)
+        .select(col("event_type"),
+          // k % 10 == 0 -> NULL: a deterministic nullable cohort key
+          when(get_json_object(col("props"), "$.k").cast("long") % 10 === 0, lit(null))
+            .otherwise(get_json_object(col("props"), "$.k").cast("long") % 10)
+            .as("cohort"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("cohort").as("ck")).agg(count(lit(1)).as("n_clicks"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .groupBy(col("cohort").as("bk")).agg(count(lit(1)).as("n_buys"))
+      clicks.join(buys, col("ck") <=> col("bk"), "full")
+        .select(coalesce(col("ck"), col("bk")).as("cohort"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_buys"), lit(0L)).as("n_buys"))
+    }),
+
+    // sequence features over each customer's order history: lag/lead
+    // neighbors, ntile quartile, and a running cent-exact total — ONE
+    // window partition spec, so all four functions share a single sort
+    // and exchange (order history per customer is bounded, no skew risk)
+    "sql_order_seq" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          (sum(cents(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / 100.0).as("run_total"))
+    }),
+
     // TPC-H Q14 shape: promo revenue share — conditional aggregation over
     // one lineitem x part join, cent-exact sums, one-row result. No
     // broadcast hint on part: it scales with the fact tables (unlike

@@ -318,6 +318,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast in:\n$p")
   }
 
+  test("null-safe full-outer join plans as an equi-join, never a nested loop") {
+    // <=> is still an equi-join key (Spark coalesces it into the hash/sort
+    // key); a BNLJ here would be quadratic at scale
+    val p = plan(SqlQueries.all("evt_nullsafe_cohorts")(spark, sf))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested loop for a null-safe equi-join:\n$p")
+  }
+
+  test("order-sequence features share ONE window sort (single exchange+sort)") {
+    val p = plan(SqlQueries.all("sql_order_seq")(spark, sf))
+    // lag/lead/ntile/running-sum all use the same (partition, order) spec:
+    // they must fuse into one Window pass over one sort
+    val exchanges = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(exchanges == 1, s"want 1 exchange for the shared window spec, got $exchanges in:\n$p")
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(sorts <= 2, s"window functions did not share the sort:\n$p")
+  }
+
   test("bucketed fact join: the ONLY exchange is the final groupBy") {
     // force the join strategy a 100 TB fact⋈fact join would get (at
     // sf0.001 orders would broadcast, hiding the layout's value)
