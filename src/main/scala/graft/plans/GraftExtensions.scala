@@ -74,5 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectOptimizerRule(RangeJoinRule)
+    // the custom as-of join physical operator (see AsOfJoinPlan.scala);
+    // graft.operators.AsOf also registers it idempotently on first use
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -312,6 +312,19 @@ object TrainOracles {
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE""".stripMargin,
 
     // as-of join twin: same window pass + equi-join resolution
+    // custom-exec twin via DuckDB's NATIVE ASOF LEFT JOIN (independent
+    // implementation, not a restatement); clicks pre-deduped to max
+    // event_id per (user, ts) to pin the same tie rule the exec's
+    // (key, time, tie-break) ordering guarantees
+    "evt_asof_custom" ->
+      """WITH c AS (SELECT user_id AS c_uid, ts AS c_ts, MAX(event_id) AS c_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       COALESCE(c.c_id, -1) AS click_id,
+        |       COALESCE(c.c_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.c_uid AND p.ts >= c.c_ts""".stripMargin,
+
     "evt_asof_join" ->
       """WITH t AS (
         |  SELECT user_id, ts, event_id,

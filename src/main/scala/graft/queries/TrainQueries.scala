@@ -425,6 +425,26 @@ object TrainQueries {
     // Unmatched purchases (left-outer semantics) surface as sentinel
     // -1/epoch instead of NULL purely for the hash compare — the operator
     // itself returns real NULLs
+    // the SAME as-of semantics through the custom AsOfJoinExec physical
+    // operator (graft.plans.AsOfJoinPlan): two clustering exchanges + one
+    // forward-only merge pass, vs the composition's window + second join.
+    // Oracle = DuckDB's native ASOF LEFT JOIN — an independent engine's
+    // implementation of the operator, not a re-statement of ours
+    "evt_asof_custom" -> ((s, d) => {
+      val e = events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.operators.AsOf.join(p, c, "user_id", "ts", "c_uid", "c_ts", "c_id")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          coalesce(col("c_id"), lit(-1L)).as("click_id"),
+          coalesce(col("c_ts"), lit("1970-01-01 00:00:00").cast("timestamp"))
+            .as("click_ts"))
+    }),
+
     "evt_asof_join" -> ((s, d) =>
       EventStreams.asofJoin(events(s, d))
         .select(col("purchase_id"), col("user_id"),

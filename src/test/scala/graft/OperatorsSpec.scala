@@ -253,4 +253,63 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().head.getDouble(2)
     assert(a == b)
   }
+
+  // ---- custom AsOfJoinExec (graft.plans.AsOfJoinPlan) ----
+
+  private def asofFixture(probe: Seq[(Long, Long, Long)],
+                          ref: Seq[(Long, Long, Long)]): DataFrame = {
+    // parquet round-trip so the plan shape matches production (and the
+    // fixture is not a LocalRelation special case); columns (key, ts, id)
+    val p = graft.util.Snapshot(probe.toDF("k", "t", "pid"))
+    val r = graft.util.Snapshot(ref.toDF("k", "t", "rid")
+      .select(col("k"), col("t"), col("rid"), (col("rid") * 10).as("rval")))
+    graft.operators.AsOf.join(p, r, "k", "t", "rid")
+  }
+
+  test("asof join: backward match, exact ts inclusive, no-prior gives null") {
+    val out = asofFixture(
+      probe = Seq((1L, 15L, 900L), (1L, 10L, 901L), (1L, 5L, 902L), (2L, 9L, 903L)),
+      ref = Seq((1L, 10L, 100L), (1L, 20L, 102L)))
+      .select("pid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(900L).contains(100L)) // latest at-or-before 15 is ts=10
+    assert(out(901L).contains(100L)) // exact match counts
+    assert(out(902L).isEmpty)        // nothing at-or-before 5
+    assert(out(903L).isEmpty)        // key 2 has no reference rows
+  }
+
+  test("asof join: tie on (key, ts) resolves to the max tie-break id") {
+    val out = asofFixture(
+      probe = Seq((1L, 15L, 900L)),
+      ref = Seq((1L, 10L, 100L), (1L, 10L, 101L)))
+      .select("pid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(900L).contains(101L))
+  }
+
+  test("asof join: result is identical under adversarial partitioning") {
+    val probe = (0L until 200L).map(i => (i % 7, i * 3 % 50, 1000L + i))
+    val ref = (0L until 100L).map(i => (i % 7, i * 5 % 50, i))
+    val expect = {
+      // independent oracle: per probe row, scan all reference rows
+      val byKey = ref.groupBy(_._1)
+      probe.map { case (k, t, pid) =>
+        val c = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+        pid -> (if (c.isEmpty) None
+                else Some(c.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+    }
+    val out = asofFixture(probe, ref)
+      .select("pid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out == expect)
+  }
+
+  test("asof join plans as AsOfJoinExec with the two clustering exchanges") {
+    val df = asofFixture(Seq((1L, 1L, 1L)), Seq((1L, 1L, 1L)))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("AsOfJoin"), s"custom exec missing in:\n$p")
+    val ex = "Exchange hashpartitioning\\(k".r.findAllIn(p).size
+    assert(ex == 2, s"want the two co-clustered exchanges, got $ex in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"fallback join appeared next to the custom exec:\n$p")
+  }
 }
