@@ -220,6 +220,24 @@ object SqlOracles {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
+    "sql_median_mode" ->
+      """WITH byseg AS (
+        |  SELECT c_mktsegment, o_totalprice, o_orderpriority
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |med AS (
+        |  SELECT c_mktsegment, quantile_cont(o_totalprice, 0.5) AS median_price,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM byseg GROUP BY c_mktsegment),
+        |md AS (
+        |  SELECT c_mktsegment, o_orderpriority AS mode_priority FROM (
+        |    SELECT c_mktsegment, o_orderpriority,
+        |           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |             ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+        |    FROM byseg GROUP BY c_mktsegment, o_orderpriority)
+        |  WHERE rn = 1)
+        |SELECT med.c_mktsegment, med.median_price, med.n_orders, md.mode_priority
+        |FROM med JOIN md USING (c_mktsegment)""".stripMargin,
+
     "evt_nullsafe_cohorts" ->
       """WITH e AS (
         |  SELECT event_type,

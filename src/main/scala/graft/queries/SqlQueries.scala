@@ -357,6 +357,27 @@ object SqlQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // robust per-segment stats: EXACT interpolated median (Spark's
+    // percentile == DuckDB's quantile_cont, both engines interpolate the
+    // same way) and a deterministic mode (max count, smallest value on
+    // ties — never the engines' arbitrary-tie mode() builtin)
+    "sql_median_mode" -> ((s, d) => {
+      val byseg = t(s, d, "orders").join(broadcast(t(s, d, "customer")
+          .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      val medians = byseg.groupBy(col("c_mktsegment"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          count(lit(1)).as("n_orders"))
+      val mode = byseg.groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("_cnt"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("c_mktsegment")
+            .orderBy(col("_cnt").desc, col("o_orderpriority").asc)))
+        .filter(col("_rn") === 1)
+        .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"))
+      medians.join(mode, Seq("c_mktsegment"))
+    }),
+
     // three-valued-logic showcase: full-outer join on a genuinely
     // NULLABLE key with null-safe equality (<=> / IS NOT DISTINCT FROM),
     // so the NULL-key cohorts on both sides match each other instead of

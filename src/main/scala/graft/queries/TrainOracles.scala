@@ -1477,6 +1477,12 @@ object TrainOracles {
          |       CAST(j.n_shared AS DOUBLE) / bn.bench_n AS containment
          |FROM j JOIN bn USING (bench_id)""".stripMargin),
 
+    "txt_len_histogram" ->
+      """SELECT source, CAST(length(bin(greatest(n_chars, 1))) AS INT) AS log2_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
     // removal-audit twin: each gate re-stated from the SAME shared
     // fragments its standalone oracle uses (ccCtes closure, dedup_exact
     // hash, txt_decontaminate containment rule, txt_analysis nested as a

@@ -903,6 +903,17 @@ object TrainQueries {
         minShared = 3L)
     }),
 
+    // doc-length distribution for shard planning: power-of-two buckets
+    // per source via length(bin(n)) — integer-exact in both engines (no
+    // floor(log2(x)) float edge at exact powers of two), one aggregate
+    "txt_len_histogram" -> ((s, d) =>
+      docs(s, d)
+        .select(col("source"),
+          length(bin(greatest(col("n_chars"), lit(1)))).as("log2_bucket"),
+          col("n_chars"))
+        .groupBy("source", "log2_bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
+
     // removal audit — per-document lineage through the curation funnel:
     // the FIRST gate that excludes each doc (benchmark holdout, exact
     // dup, LSH near-dup, benchmark contamination, language, quality) or
