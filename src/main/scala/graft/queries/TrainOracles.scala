@@ -153,6 +153,20 @@ object TrainOracles {
        |  GROUP BY doc_id, i.i),
        |""".stripMargin
 
+  /** Custom-AsOfJoinExec twin via DuckDB's NATIVE ASOF LEFT JOIN (an
+   * independent implementation, not a restatement); clicks pre-deduped
+   * to max event_id per (user, ts) to pin the same tie rule the exec's
+   * (key, time, tie-break) ordering guarantees. Shared verbatim by the
+   * batch (`evt_asof_custom`) and streaming (`evt_asof_stream`) drives. */
+  private val asofCustomSql: String =
+    """WITH c AS (SELECT user_id AS c_uid, ts AS c_ts, MAX(event_id) AS c_id
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       COALESCE(c.c_id, -1) AS click_id,
+      |       COALESCE(c.c_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.c_uid AND p.ts >= c.c_ts""".stripMargin
+
   /** Transitive closure over the MinHash-LSH band graph, ending in
    * `cl(doc_id, cluster_rep)`. ONE definition shared by dedup_clusters /
    * dedup_survivors / dedup_golden / dedup_cluster_split /
@@ -311,19 +325,12 @@ object TrainOracles {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE""".stripMargin,
 
-    // as-of join twin: same window pass + equi-join resolution
-    // custom-exec twin via DuckDB's NATIVE ASOF LEFT JOIN (independent
-    // implementation, not a restatement); clicks pre-deduped to max
-    // event_id per (user, ts) to pin the same tie rule the exec's
-    // (key, time, tie-break) ordering guarantees
-    "evt_asof_custom" ->
-      """WITH c AS (SELECT user_id AS c_uid, ts AS c_ts, MAX(event_id) AS c_id
-        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
-        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
-        |       COALESCE(c.c_id, -1) AS click_id,
-        |       COALESCE(c.c_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.c_uid AND p.ts >= c.c_ts""".stripMargin,
+    "evt_asof_custom" -> asofCustomSql,
+
+    // the streaming drive of the same operator is batch-split invariant
+    // (stateless per-row enrichment against a standing reference), so it
+    // shares the custom exec's DuckDB-native-ASOF twin verbatim
+    "evt_asof_stream" -> asofCustomSql,
 
     "evt_asof_join" ->
       """WITH t AS (

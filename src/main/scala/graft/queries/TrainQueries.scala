@@ -445,6 +445,11 @@ object TrainQueries {
             .as("click_ts"))
     }),
 
+    // the custom exec driven from Structured Streaming: per micro-batch
+    // foreachBatch AsOf.join against the standing click table (result is
+    // batch-split invariant; same DuckDB ASOF oracle as evt_asof_custom)
+    "evt_asof_stream" -> ((s, d) => EventStreams.asofStreaming(s, d)),
+
     "evt_asof_join" -> ((s, d) =>
       EventStreams.asofJoin(events(s, d))
         .select(col("purchase_id"), col("user_id"),

@@ -816,4 +816,60 @@ object EventStreams {
         col("user_id"), col("event_type"), col("v.value").as("value"))
     drainAvailableNow(latest, "events_merge", "complete")
   }
+
+  /**
+   * STREAMING AS-OF enrichment through the custom physical operator:
+   * purchases arrive as a stream, and each micro-batch is joined to the
+   * STANDING click reference with [[graft.operators.AsOf.join]] inside
+   * `foreachBatch` — the "enrich each arriving fact with the latest
+   * reference state at-or-before its event time" deployment shape. Per-row
+   * enrichment is embarrassingly incremental (no cross-batch state: the
+   * reference side is a materialized table, each probe row's answer
+   * depends only on itself), so splitting the drain into micro-batches
+   * (`spark.graft.stream.maxFilesPerTrigger`) cannot change the result —
+   * the batch oracle (DuckDB's native ASOF LEFT JOIN) is exact.
+   *
+   * foreachBatch output lands as parquet appends (exactly-once per batch
+   * via the sink's idempotent overwrite-by-batch-id directory layout).
+   */
+  def asofStreaming(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = reader(spark, schema).parquet(streamDirFor(dir, "events_asof_"))
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = graft.util.Snapshot(loadEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("c_id")))
+    val base = spark.conf.getOption("spark.local.dir")
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+    val tag = System.nanoTime()
+    val outDir = s"$base/graft-asof-out-$tag"
+    val ck = s"$base/graft-ck-asof-$tag"
+    graft.util.Cleanup.onExitDelete(outDir)
+    graft.util.Cleanup.onExitDelete(ck)
+    val q = purchases.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.AsOf.join(batch.toDF(), clicks,
+            "user_id", "ts", "c_uid", "c_ts", "c_id")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"),
+            coalesce(col("c_id"), lit(-1L)).as("click_id"),
+            coalesce(col("c_ts"), lit("1970-01-01 00:00:00").cast("timestamp"))
+              .as("click_ts"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.util.Snapshot(spark.read.parquet(outDir).drop("batch"))
+  }
 }

@@ -148,4 +148,15 @@ class MultiBatchStreamSpec extends AnyFunSuite {
       sortedRows(EventStreams.deconSpansStreaming(spark, docsSplitDir, L = 10)))
     assert(got == expect && got.nonEmpty)
   }
+
+  test("streaming as-of enrichment over 4 micro-batches equals the batch custom exec") {
+    // the foreachBatch drive of AsOfJoinExec is stateless per probe row,
+    // so a 4-way batch split must reproduce the single-batch answer bit
+    // for bit (clicks are a standing table in both cases)
+    val expect = sortedRows(
+      graft.queries.TrainQueries.all("evt_asof_custom")(spark, splitDir))
+    val got = withOneFilePerTrigger(
+      sortedRows(EventStreams.asofStreaming(spark, splitDir)))
+    assert(got == expect && got.nonEmpty)
+  }
 }
