@@ -360,7 +360,11 @@ object SqlQueries {
     // robust per-segment stats: EXACT interpolated median (Spark's
     // percentile == DuckDB's quantile_cont, both engines interpolate the
     // same way) and a deterministic mode (max count, smallest value on
-    // ties — never the engines' arbitrary-tie mode() builtin)
+    // ties — never the engines' arbitrary-tie mode() builtin).
+    // Scale note: percentile() buffers each group's values in the
+    // aggregation buffer — right for bounded groups like these 5
+    // segments; for unbounded groups use the distributed exact binning
+    // of evt_value_quantiles (two passes, O(1) memory per task) instead
     "sql_median_mode" -> ((s, d) => {
       val byseg = t(s, d, "orders").join(broadcast(t(s, d, "customer")
           .select("c_custkey", "c_mktsegment")),

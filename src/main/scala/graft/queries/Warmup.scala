@@ -128,7 +128,15 @@ object Warmup {
         task("bucketed_layout") {
           graft.sources.Bucketed.table(s, d, "lineitem", "l_orderkey")
           graft.sources.Bucketed.table(s, d, "orders", "o_orderkey")
-        })
+        },
+        // removal audit first-touch: the containment join + the audit's
+        // equi-join fan-in (its cluster/shingle inputs are warmed by the
+        // dedup chain, the analysis by txt_analysis's own first run)
+        task("first/removal_audit")(
+          TrainQueries.all("txt_removal_audit")(s, d).count()),
+        // streaming as-of: checkpoint setup + the standing click snapshot
+        task("first/asof_stream")(
+          TrainQueries.all("evt_asof_stream")(s, d).count()))
       // dependent waves over the blocking/cleaning spine
       awaitAll(Seq(
         task("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false)),

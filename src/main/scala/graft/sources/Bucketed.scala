@@ -43,7 +43,25 @@ object Bucketed {
       // skip the per-query Sort under the join
       val src = s.read.parquet(s"$dir/$name.parquet")
         .repartition(NumBuckets, col(key))
-      Wrappers.writeBucketed(src, tbl, key, NumBuckets)
+      // EXTERNAL table under the checkpoint base, not a managed one: a
+      // managed saveAsTable refuses a leftover warehouse directory from
+      // an earlier session (LOCATION_ALREADY_EXISTS — the catalog is
+      // per-session, the filesystem is not), while an external overwrite
+      // replaces both data and catalog entry idempotently
+      val base = s.conf.getOption("spark.graft.checkpoint.dir").getOrElse {
+        require(s.sparkContext.isLocal,
+          "Bucketed: set spark.graft.checkpoint.dir to shared storage on a cluster")
+        s.conf.getOption("spark.local.dir")
+          .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+          .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+      }
+      val path = s"$base/graft-bucketed/$tbl"
+      graft.util.Cleanup.onExitDelete(path)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      src.write.format("parquet")
+        .bucketBy(NumBuckets, key).sortBy(key)
+        .option("path", path)
+        .mode("overwrite").saveAsTable(tbl)
     })
     s.table(tbl)
   }
