@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{FastRound, JaroWinkler, PolyHash31, VecDot}
+import graft.functions.{FastRound, JaroWinkler, PolyHash31, TopKLongs, VecDot}
 
 /**
  * Library integration point: `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -20,8 +20,13 @@ import graft.functions.{FastRound, JaroWinkler, PolyHash31, VecDot}
  *  - `graft_fast_round(x, d)` — half-away-from-zero double rounding
  *    ([[graft.functions.FastRound]]; `d` must be a literal, it is baked
  *    into the generated code);
+ *  - `graft_topk(x, k)` — mergeable bounded-heap top-k AGGREGATE
+ *    ([[graft.functions.TopKLongs]]): O(groups×k) task state, never
+ *    sorts the input;
  *  - [[RangeJoinRule]] — point-in-interval theta joins become binned
- *    equi-joins instead of BroadcastNestedLoopJoin.
+ *    equi-joins instead of BroadcastNestedLoopJoin;
+ *  - [[AsOfJoinStrategy]] — the custom backward as-of join physical
+ *    operator (see AsOfJoinPlan.scala).
  *
  * All three functions implement `doGenCode`, so SQL text using them stays
  * inside whole-stage codegen exactly like the DataFrame API path.
@@ -71,6 +76,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_jaro_winkler takes exactly 2 arguments")
         JaroWinkler(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info(classOf[TopKLongs], "graft_topk",
+        "graft_topk(x, k) - aggregate: the k largest long values of the group, " +
+          "sorted descending (bounded mergeable min-heap, no sort of the input; " +
+          "k must be a literal)."),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_topk takes exactly 2 arguments")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an integer literal, got $other")
+        }
+        TopKLongs(children.head, k)
       }))
 
     ext.injectOptimizerRule(RangeJoinRule)

@@ -325,6 +325,16 @@ object TrainOracles {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE""".stripMargin,
 
+    // heap-aggregate twin: the k-largest multiset per group is what the
+    // bounded min-heap retains, restated as a window rank
+    "evt_topk_agg" ->
+      """WITH s AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT event_type, vc,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc DESC) AS rn
+        |      FROM s)
+        |SELECT event_type, CAST(rn - 1 AS INT) AS pos, vc AS top_value_cents
+        |FROM r WHERE rn <= 5""".stripMargin,
+
     "evt_asof_custom" -> asofCustomSql,
 
     // the streaming drive of the same operator is batch-split invariant

@@ -445,6 +445,22 @@ object TrainQueries {
             .as("click_ts"))
     }),
 
+    // top-5 event values per type through the custom TypedImperativeAggregate
+    // (graft_topk): a size-k mergeable min-heap in the hash-aggregate
+    // buffer — partials bound task state to O(groups x k) and the input
+    // is NEVER sorted, unlike the window form (evt_topk_window). Result
+    // exploded to (type, pos, value) rows: the k-largest MULTISET is
+    // deterministic even with duplicate values
+    "evt_topk_agg" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          graft.functions.FastRound.round(col("value") * 100, 0)
+            .cast("long").as("vc"))
+        .groupBy("event_type")
+        .agg(expr("graft_topk(vc, 5)").as("tv"))
+        .select(col("event_type"), posexplode(col("tv")))
+        .withColumnRenamed("col", "top_value_cents")),
+
     // the custom exec driven from Structured Streaming: per micro-batch
     // foreachBatch AsOf.join against the standing click table (result is
     // batch-split invariant; same DuckDB ASOF oracle as evt_asof_custom)

@@ -64,6 +64,38 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_topk: bounded-heap aggregate matches sort-based top-k on any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map(i => (i % 13, rnd.nextLong() % 1000))
+    val expect = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted.reverse.take(7)
+    }
+    for (parts <- Seq(1, 4, 17)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      df.createOrReplaceTempView("tk")
+      val got = spark.sql("SELECT g, graft_topk(v, 7) AS t FROM tk GROUP BY g")
+        .as[(Int, Seq[Long])].collect().toMap
+      assert(got.view.mapValues(_.toSeq).toMap == expect, s"parts=$parts")
+    }
+  }
+
+  test("graft_topk: k larger than the group, duplicates, NULLs, empty group") {
+    import spark.implicits._
+    Seq((1, Some(5L)), (1, Some(5L)), (1, Some(3L)), (2, None), (2, Some(9L)))
+      .toDF("g", "v").createOrReplaceTempView("tk2")
+    val got = spark.sql("SELECT g, graft_topk(v, 10) AS t FROM tk2 GROUP BY g")
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(got(1) == Seq(5L, 5L, 3L)) // duplicates retained, k > size ok
+    assert(got(2) == Seq(9L))         // NULL skipped
+    val empty = spark.sql("SELECT graft_topk(v, 3) AS t FROM tk2 WHERE v IS NULL")
+      .as[Seq[Long]].head()
+    assert(empty.isEmpty)
+    intercept[Exception] { // k must be a literal
+      spark.sql("SELECT graft_topk(v, CAST(rand()*2 AS INT)) FROM tk2").collect()
+    }
+  }
+
   // --- RangeJoinRule ------------------------------------------------
 
   private def fixtures(): Unit = {
