@@ -30,14 +30,22 @@ object AsOf {
   def join(probe: DataFrame, reference: DataFrame,
            keyCol: String, timeCol: String,
            tieBreakCol: String): DataFrame =
-    join(probe, reference, keyCol, timeCol, keyCol, timeCol, tieBreakCol)
+    joinMulti(probe, reference, Seq(keyCol), timeCol, Seq(keyCol), timeCol, tieBreakCol)
 
   /** Variant with independently named reference-side columns, so callers
    * can pre-alias the reference and keep the joined output unambiguous. */
   def join(probe: DataFrame, reference: DataFrame,
            keyCol: String, timeCol: String,
            refKeyCol: String, refTimeCol: String,
-           tieBreakCol: String): DataFrame = {
+           tieBreakCol: String): DataFrame =
+    joinMulti(probe, reference, Seq(keyCol), timeCol, Seq(refKeyCol), refTimeCol, tieBreakCol)
+
+  /** Composite-key variant (`merge_asof(by = [...])`): key lists match
+   * positionally between the two sides. */
+  def joinMulti(probe: DataFrame, reference: DataFrame,
+                keyCols: Seq[String], timeCol: String,
+                refKeyCols: Seq[String], refTimeCol: String,
+                tieBreakCol: String): DataFrame = {
     val spark = probe.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -46,7 +54,8 @@ object AsOf {
     val rPlan = reference.queryExecution.analyzed
     GraftSqlBridge.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
-      leftKey = attr(probe, keyCol), rightKey = attr(reference, refKeyCol),
+      leftKeys = keyCols.map(attr(probe, _)),
+      rightKeys = refKeyCols.map(attr(reference, _)),
       leftTime = attr(probe, timeCol), rightTime = attr(reference, refTimeCol),
       rightTieBreak = attr(reference, tieBreakCol)))
   }

@@ -2,16 +2,16 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampType}
 
 /**
  * AS-OF join as a first-class operator: each LEFT (probe) row is joined
- * to the RIGHT (reference) row with the same key and the greatest
+ * to the RIGHT (reference) row with the same key(s) and the greatest
  * reference time at-or-before the probe time — `merge_asof(direction =
  * backward, allow_exact_matches = true)`, QuestDB/kdb ASOF JOIN, DuckDB
  * `ASOF LEFT JOIN` (which is also this operator's independent oracle).
@@ -19,27 +19,27 @@ import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
  * Spark's built-ins can only express this as union-tag → window → self
  * join ([[graft.streaming.EventStreams.asofJoin]]) or as a range join.
  * This node does it the way a native engine would: both sides hash
- * cluster on the key and sort by (key, time) — exactly the distribution
- * and ordering contracts SortMergeJoin uses, so EnsureRequirements
- * plans the same two exchanges and AQE coalesces them together — then
- * ONE forward-only merge pass per partition emits each probe row with
- * the latest candidate seen. No second join, no doubled row stream
- * through a window, O(1) state (a single buffered reference row) per
+ * cluster on the keys and sort by (keys, time) — the same distribution
+ * and ordering contracts SortMergeJoin declares, so EnsureRequirements
+ * plans the two exchanges and AQE coalesces them together — then ONE
+ * forward-only merge pass per partition emits each probe row with the
+ * latest candidate seen. No second join, no doubled row stream through
+ * a window, O(1) state (a single buffered reference row) per
  * partition: the shape that survives a 100 TB probe side.
  *
  * Tie rule: the right side additionally sorts by `rightTieBreak`, and
- * among reference rows sharing the winning (key, time) the LAST in that
- * order wins (e.g. tie-break on event_id asc ⇒ the max event_id) —
- * deterministic under any partitioning.
+ * among reference rows sharing the winning (keys, time) the LAST in
+ * that order wins (e.g. tie-break on event_id asc ⇒ the max event_id)
+ * — deterministic under any partitioning.
  *
- * Types: keys must be integral (int/long), times timestamp or integral
- * (timestamps are compared by their micros encoding). NULL keys or
+ * Types: key columns must be integral (int/long), times timestamp or
+ * integral (timestamps compare by their micros encoding). NULL keys or
  * times never match: a null-keyed probe row emits with a null right
  * side; null reference rows are skipped.
  */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression) extends BinaryNode {
   override def output: Seq[Attribute] =
@@ -60,7 +60,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 }
 
 case class AsOfJoinExec(
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
@@ -68,8 +68,10 @@ case class AsOfJoinExec(
   private def checkTypes(): Unit = {
     def integral(e: Expression) = e.dataType == LongType || e.dataType == IntegerType
     def timeLike(e: Expression) = integral(e) || e.dataType == TimestampType
-    require(integral(leftKey) && integral(rightKey),
-      s"asof keys must be int/long, got ${leftKey.dataType}/${rightKey.dataType}")
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"asof needs matching key lists, got ${leftKeys.size}/${rightKeys.size}")
+    require(leftKeys.forall(integral) && rightKeys.forall(integral),
+      s"asof keys must be int/long, got ${leftKeys.map(_.dataType)}/${rightKeys.map(_.dataType)}")
     require(timeLike(leftTime) && timeLike(rightTime),
       s"asof times must be timestamp/int/long, got ${leftTime.dataType}/${rightTime.dataType}")
   }
@@ -83,16 +85,13 @@ case class AsOfJoinExec(
     "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
 
   // the same contracts SortMergeJoin declares: hash cluster both sides on
-  // the key (EnsureRequirements co-partitions the two exchanges), sort
-  // within partitions by (key, time[, tie-break])
+  // the keys (EnsureRequirements co-partitions the two exchanges), sort
+  // within partitions by (keys, time[, tie-break])
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
-    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(rightTieBreak, org.apache.spark.sql.catalyst.expressions.Ascending)))
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime :+ rightTieBreak).map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -106,16 +105,20 @@ case class AsOfJoinExec(
     val numMatched = longMetric("numMatched")
     val lOut = left.output
     val rOut = right.output
-    val lKeyExprs = Seq(leftKey, leftTime)
-    val rKeyExprs = Seq(rightKey, rightTime)
+    val nKeys = leftKeys.size
+    // projected layout: [key0..keyN-1, time] on each side
+    val lKeyExprs = leftKeys :+ leftTime
+    val rKeyExprs = rightKeys :+ rightTime
     val outAttrs = output
     // type-aware long readers (int fields must not be read as longs)
-    def longGetter(dt: org.apache.spark.sql.types.DataType, i: Int): InternalRow => Long =
-      if (dt == IntegerType) r => r.getInt(i).toLong else r => r.getLong(i)
-    val lkGet = longGetter(leftKey.dataType, 0)
-    val ltGet = longGetter(leftTime.dataType, 1)
-    val rkGet = longGetter(rightKey.dataType, 0)
-    val rtGet = longGetter(rightTime.dataType, 1)
+    def getters(exprs: Seq[Expression]): Array[InternalRow => Long] =
+      exprs.zipWithIndex.map { case (e, i) =>
+        if (e.dataType == IntegerType) (r: InternalRow) => r.getInt(i).toLong
+        else (r: InternalRow) => r.getLong(i)
+      }.toArray
+    val lGet = getters(lKeyExprs)
+    val rGet = getters(rKeyExprs)
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -124,51 +127,85 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.size)
 
       // single buffered candidate: the latest eligible reference row for
-      // the key currently being probed (both iterators ascend (key, time))
+      // the key vector currently being probed (both iterators ascend
+      // (keys, time)); candKeys holds the candidate's key vector
       var cand: InternalRow = null
-      var candKey = 0L
+      val candKeys = new Array[Long](nKeys)
       // one-row lookahead on the reference side; valid until the next
       // rIter.next() overwrites the shared buffer, which only happens
       // after we either copy it into cand or discard it
-      var rHead: InternalRow = null
       var rHeadValid = false
-      var rHeadKey = 0L
+      var rHead: InternalRow = null
+      val rHeadKeys = new Array[Long](nKeys)
       var rHeadTime = 0L
+
+      def anyNull(k: UnsafeRow, n: Int): Boolean = {
+        var i = 0
+        while (i <= n) { if (k.isNullAt(i)) return true; i += 1 }
+        false
+      }
 
       def loadRightHead(): Boolean = {
         while (!rHeadValid && rIter.hasNext) {
           val row = rIter.next()
           val k = rProj(row)
-          if (!k.isNullAt(0) && !k.isNullAt(1)) {
-            rHead = row; rHeadKey = rkGet(k); rHeadTime = rtGet(k)
+          if (!anyNull(k, nKeys)) {
+            var i = 0
+            while (i < nKeys) { rHeadKeys(i) = rGet(i)(k); i += 1 }
+            rHeadTime = rGet(nKeys)(k)
+            rHead = row
             rHeadValid = true
           }
         }
         rHeadValid
       }
 
+      /** -1/0/1: rHead's key vector vs the probe's, lexicographic. */
+      def cmpKeys(lk: Array[Long]): Int = {
+        var i = 0
+        while (i < nKeys) {
+          if (rHeadKeys(i) < lk(i)) return -1
+          if (rHeadKeys(i) > lk(i)) return 1
+          i += 1
+        }
+        0
+      }
+
       // consume reference rows while they are at-or-before (lk, lt),
-      // remembering the last one with the SAME key as the probe
-      def advanceTo(lk: Long, lt: Long): Unit = {
+      // remembering the last one with the SAME key vector as the probe
+      def advanceTo(lk: Array[Long], lt: Long): Unit = {
         var continue = true
         while (continue && loadRightHead()) {
-          if (rHeadKey < lk || (rHeadKey == lk && rHeadTime <= lt)) {
-            if (rHeadKey == lk) { cand = rHead.copy(); candKey = rHeadKey }
+          val c = cmpKeys(lk)
+          if (c < 0 || (c == 0 && rHeadTime <= lt)) {
+            if (c == 0) {
+              cand = rHead.copy()
+              System.arraycopy(rHeadKeys, 0, candKeys, 0, nKeys)
+            }
             rHeadValid = false
           } else continue = false
         }
       }
 
+      val lk = new Array[Long](nKeys)
+      def candMatches(): Boolean = {
+        if (cand == null) return false
+        var i = 0
+        while (i < nKeys) { if (candKeys(i) != lk(i)) return false; i += 1 }
+        true
+      }
+
       lIter.map { lRow =>
         val k = lProj(lRow)
         numOutputRows += 1
-        if (k.isNullAt(0) || k.isNullAt(1)) {
+        if (anyNull(k, nKeys)) {
           outProj(joined(lRow, nullRight))
         } else {
-          val lk = lkGet(k)
-          val lt = ltGet(k)
+          var i = 0
+          while (i < nKeys) { lk(i) = lGet(i)(k); i += 1 }
+          val lt = lGet(nKeys)(k)
           advanceTo(lk, lt)
-          if (cand != null && candKey == lk) {
+          if (candMatches()) {
             numMatched += 1
             outProj(joined(lRow, cand))
           } else outProj(joined(lRow, nullRight))

@@ -302,6 +302,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == expect)
   }
 
+  test("asof join: composite key matches per key VECTOR, never across") {
+    val p = graft.util.Snapshot(Seq(
+      (1L, 1L, 15L, 900L), (1L, 2L, 15L, 901L), (2L, 1L, 15L, 902L))
+      .toDF("k1", "k2", "t", "pid"))
+    val r = graft.util.Snapshot(Seq(
+      (1L, 1L, 10L, 100L), (1L, 2L, 12L, 101L), (2L, 2L, 5L, 102L))
+      .toDF("k1", "k2", "t", "rid"))
+    val out = graft.operators.AsOf.joinMulti(p, r,
+        Seq("k1", "k2"), "t", Seq("k1", "k2"), "t", "rid")
+      .select("pid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(900L).contains(100L))
+    assert(out(901L).contains(101L))
+    assert(out(902L).isEmpty) // (2,1) must NOT match (2,2) or (1,*)
+  }
+
   test("asof join plans as AsOfJoinExec with the two clustering exchanges") {
     val df = asofFixture(Seq((1L, 1L, 1L)), Seq((1L, 1L, 1L)))
     df.collect()

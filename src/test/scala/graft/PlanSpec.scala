@@ -318,6 +318,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast in:\n$p")
   }
 
+  test("graft_topk plans as ObjectHashAggregate partial+final — input never sorted") {
+    val df = graft.queries.TrainQueries.all("evt_topk_agg")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topklongs"),
+      s"heap aggregate lost its partial hash stage in:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"heap aggregate fell back to a sort-based plan:\n$p")
+  }
+
   test("null-safe full-outer join plans as an equi-join, never a nested loop") {
     // <=> is still an equi-join key (Spark coalesces it into the hash/sort
     // key); a BNLJ here would be quadratic at scale
