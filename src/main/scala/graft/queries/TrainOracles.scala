@@ -153,6 +153,17 @@ object TrainOracles {
        |  GROUP BY doc_id, i.i),
        |""".stripMargin
 
+  /** Heap-aggregate twin (graft_topk): the k-largest multiset per group
+   * restated as a window rank. Shared by the batch aggregate and its
+   * streaming complete-mode drain. */
+  private val topkSql: String =
+    """WITH s AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |r AS (SELECT event_type, vc,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc DESC) AS rn
+      |      FROM s)
+      |SELECT event_type, CAST(rn - 1 AS INT) AS pos, vc AS top_value_cents
+      |FROM r WHERE rn <= 5""".stripMargin
+
   /** Custom-AsOfJoinExec twin via DuckDB's NATIVE ASOF LEFT JOIN (an
    * independent implementation, not a restatement); clicks pre-deduped
    * to max event_id per (user, ts) to pin the same tie rule the exec's
@@ -327,13 +338,12 @@ object TrainOracles {
 
     // heap-aggregate twin: the k-largest multiset per group is what the
     // bounded min-heap retains, restated as a window rank
-    "evt_topk_agg" ->
-      """WITH s AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events),
-        |r AS (SELECT event_type, vc,
-        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc DESC) AS rn
-        |      FROM s)
-        |SELECT event_type, CAST(rn - 1 AS INT) AS pos, vc AS top_value_cents
-        |FROM r WHERE rn <= 5""".stripMargin,
+    "evt_topk_agg" -> topkSql,
+
+    // same twin for the streaming drain: the k-largest multiset per type
+    // is invariant to micro-batch splits (heap state merges between
+    // triggers through the state store)
+    "evt_topk_stream" -> topkSql,
 
     "evt_asof_custom" -> asofCustomSql,
 

@@ -461,6 +461,11 @@ object TrainQueries {
         .select(col("event_type"), posexplode(col("tv")))
         .withColumnRenamed("col", "top_value_cents")),
 
+    // the heap aggregate inside Structured Streaming's stateful
+    // aggregation (complete mode): heap state serialized through the
+    // state store between micro-batches; same DuckDB window twin
+    "evt_topk_stream" -> ((s, d) => EventStreams.topkStreaming(s, d)),
+
     // the custom exec driven from Structured Streaming: per micro-batch
     // foreachBatch AsOf.join against the standing click table (result is
     // batch-split invariant; same DuckDB ASOF oracle as evt_asof_custom)

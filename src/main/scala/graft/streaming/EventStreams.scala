@@ -818,6 +818,34 @@ object EventStreams {
   }
 
   /**
+   * The custom bounded-heap aggregate ([[graft.functions.TopKLongs]])
+   * running INSIDE Structured Streaming's stateful aggregation: per-type
+   * top-k of the value stream, complete output mode. Across micro-batches
+   * the state store round-trips the heap through the aggregate's
+   * serialize/deserialize/merge path — the multi-batch spec is the proof
+   * that a custom TypedImperativeAggregate's state genuinely survives and
+   * merges between triggers, not just within one batch.
+   */
+  def topkStreaming(spark0: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = reader(spark, schema).parquet(streamDirFor(dir, "events_topk_"))
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = stream
+      .select(col("event_type"),
+        graft.functions.FastRound.round(col("value") * 100, 0)
+          .cast("long").as("vc"))
+      .groupBy("event_type")
+      .agg(expr(s"graft_topk(vc, $k)").as("tv"))
+    drainAvailableNow(agg, "events_topk", "complete")
+      .select(col("event_type"), posexplode(col("tv")))
+      .withColumnRenamed("col", "top_value_cents")
+  }
+
+  /**
    * STREAMING AS-OF enrichment through the custom physical operator:
    * purchases arrive as a stream, and each micro-batch is joined to the
    * STANDING click reference with [[graft.operators.AsOf.join]] inside

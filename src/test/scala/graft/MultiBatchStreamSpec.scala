@@ -159,4 +159,15 @@ class MultiBatchStreamSpec extends AnyFunSuite {
       sortedRows(EventStreams.asofStreaming(spark, splitDir)))
     assert(got == expect && got.nonEmpty)
   }
+
+  test("custom heap aggregate's state survives and merges across micro-batches") {
+    // 4 triggers: each round-trips the TypedImperativeAggregate buffer
+    // through the state store (serialize -> store -> deserialize -> merge);
+    // equality with the batch aggregate proves that path end to end
+    val expect = sortedRows(
+      graft.queries.TrainQueries.all("evt_topk_agg")(spark, splitDir))
+    val got = withOneFilePerTrigger(
+      sortedRows(EventStreams.topkStreaming(spark, splitDir)))
+    assert(got == expect && got.nonEmpty)
+  }
 }
