@@ -220,6 +220,17 @@ object SqlOracles {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
+    "sql_unpivot_measures" ->
+      """WITH m AS (
+        |  SELECT 'price' AS measure, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount', CAST(round(l_extendedprice * l_discount * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'tax', CAST(round(l_extendedprice * l_tax * 100) AS BIGINT) FROM lineitem)
+        |SELECT measure, CAST(SUM(cents) AS DOUBLE) / 100.0 AS total,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM m GROUP BY measure""".stripMargin,
+
     "sql_median_mode" ->
       """WITH byseg AS (
         |  SELECT c_mktsegment, o_totalprice, o_orderpriority

@@ -357,6 +357,23 @@ object SqlQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // UNPIVOT/melt: three money measures to long form in ONE scan —
+    // Spark plans unpivot as a single Expand over one pass of the fact
+    // (pinned by PlanSpec), where the naive UNION ALL form (the oracle's
+    // formulation, semantically identical) would scan it three times
+    "sql_unpivot_measures" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice")).as("price"),
+          cents(col("l_extendedprice") * col("l_discount")).as("discount"),
+          cents(col("l_extendedprice") * col("l_tax")).as("tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("price"), col("discount"), col("tax")),
+          "measure", "cents")
+        .groupBy("measure")
+        .agg((sum(col("cents")).cast("double") / 100.0).as("total"),
+          count(lit(1)).as("n"))),
+
     // robust per-segment stats: EXACT interpolated median (Spark's
     // percentile == DuckDB's quantile_cont, both engines interpolate the
     // same way) and a deterministic mode (max count, smallest value on

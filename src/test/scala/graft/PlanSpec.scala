@@ -318,6 +318,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast in:\n$p")
   }
 
+  test("unpivot is one Expand over ONE scan, not a union of three scans") {
+    val p = plan(SqlQueries.all("sql_unpivot_measures")(spark, sf))
+    assert(p.contains("Expand"), s"no Expand in:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+      s"lineitem scanned more than once in:\n$p")
+  }
+
   test("graft_topk plans as ObjectHashAggregate partial+final — input never sorted") {
     val df = graft.queries.TrainQueries.all("evt_topk_agg")(spark, sf)
     val p = plan(df)
