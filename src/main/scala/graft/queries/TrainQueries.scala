@@ -349,7 +349,7 @@ object TrainQueries {
       graft.similarity.Dbscan.cluster(
         embs(s, d).select("vec_id"),
         neardupPairs(s, d).select("v1", "v2"),
-        minPts = 3)),
+        minPts = 3, materialized = true)),
 
     "evt_windowed_agg" -> ((s, d) =>
       EventStreams.windowedAggBatch(events(s, d))),

@@ -33,13 +33,20 @@ object Dbscan {
 
   /** Cluster `allIds` (vec_id) given eps-neighbor `pairs` (v1, v2, one
    * row per unordered pair). Returns (vec_id, cluster_id, role) with
-   * role in {core, border, noise}; noise gets cluster_id -1. */
-  def cluster(allIds: DataFrame, pairs0: DataFrame, minPts: Int): DataFrame = {
+   * role in {core, border, noise}; noise gets cluster_id -1.
+   *
+   * Pass `materialized = true` when `pairs0` is already a parquet-backed
+   * snapshot (the memoized eps-graph): re-referencing a scan is cheap,
+   * and skipping the redundant re-write saves a full pairs round-trip
+   * per call. */
+  def cluster(allIds: DataFrame, pairs0: DataFrame, minPts: Int,
+              materialized: Boolean = false): DataFrame = {
     // materialize the eps-graph first: the degree aggregate, core-edge
     // join, CC iterations and border join all re-reference it — without
     // the snapshot each reference re-runs the whole neighbor discovery
     // (the r6 pre-bench measured 9.9s steady; ~1.5s materialized)
-    val pairs = graft.util.Snapshot(pairs0.select("v1", "v2"))
+    val sel = pairs0.select("v1", "v2")
+    val pairs = if (materialized) sel else graft.util.Snapshot(sel)
     val und = pairs.select(col("v1").as("u"), col("v2").as("v"))
       .unionByName(pairs.select(col("v2").as("u"), col("v1").as("v")))
     val core = und.groupBy("u").agg(count(lit(1)).as("deg"))
