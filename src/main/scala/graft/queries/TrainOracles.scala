@@ -153,6 +153,24 @@ object TrainOracles {
        |  GROUP BY doc_id, i.i),
        |""".stripMargin
 
+  /** Resample/forward-fill twin: same spine, same IGNORE NULLS LOCF. */
+  private val ffillSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events),
+      |sp AS (SELECT t.event_type, x.x AS hour
+      |       FROM (SELECT DISTINCT event_type FROM events) t, b,
+      |            unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS x(x))
+      |SELECT sp.event_type, sp.hour,
+      |       CAST(COALESCE(last_value(hourly.vc IGNORE NULLS) OVER (
+      |              PARTITION BY sp.event_type ORDER BY sp.hour
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DOUBLE) / 100.0 AS value_ffill,
+      |       CAST(hourly.vc IS NULL AS INT) AS was_gap
+      |FROM sp LEFT JOIN hourly
+      |  ON sp.event_type = hourly.event_type AND sp.hour = hourly.hour""".stripMargin
+
   /** Heap-aggregate twin (graft_topk): the k-largest multiset per group
    * restated as a window rank. Shared by the batch aggregate and its
    * streaming complete-mode drain. */
@@ -338,6 +356,8 @@ object TrainOracles {
 
     // heap-aggregate twin: the k-largest multiset per group is what the
     // bounded min-heap retains, restated as a window rank
+    "evt_ffill_hourly" -> ffillSql,
+
     "evt_topk_agg" -> topkSql,
 
     // same twin for the streaming drain: the k-largest multiset per type

@@ -351,6 +351,33 @@ object TrainQueries {
         neardupPairs(s, d).select("v1", "v2"),
         minPts = 3, materialized = true)),
 
+    // resample + forward fill — the feature-engineering gap filler: an
+    // hourly spine per type (sequence over the 1-row broadcast bounds),
+    // left join of the real hourly sums, then last-observation-carried-
+    // forward via last(ignoreNulls) over one ordered window; hours
+    // before the first observation fill 0 and gaps are flagged
+    "evt_ffill_hourly" -> ((s, d) => {
+      val e = events(s, d)
+      val hourly = e.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(graft.functions.FastRound.round(col("value") * 100, 0)
+          .cast("long")).as("vc"))
+      val bounds = e.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("hour"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          (coalesce(last(col("vc"), ignoreNulls = true).over(w), lit(0L))
+            .cast("double") / 100.0).as("value_ffill"),
+          col("vc").isNull.cast("int").as("was_gap"))
+    }),
+
     "evt_windowed_agg" -> ((s, d) =>
       EventStreams.windowedAggBatch(events(s, d))),
 
