@@ -356,6 +356,20 @@ object TrainOracles {
 
     // heap-aggregate twin: the k-largest multiset per group is what the
     // bounded min-heap retains, restated as a window rank
+    // OHLC twin: DuckDB's ordered FIRST/LAST mirror min_by/max_by over
+    // the same composite (ts, event_id) order
+    "evt_ohlc_daily" ->
+      """WITH s AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+        |                  CAST(round(value * 100) AS BIGINT) AS vc
+        |           FROM events)
+        |SELECT event_type, day,
+        |       CAST(FIRST(vc ORDER BY ts, event_id) AS DOUBLE) / 100.0 AS open,
+        |       CAST(MAX(vc) AS DOUBLE) / 100.0 AS high,
+        |       CAST(MIN(vc) AS DOUBLE) / 100.0 AS low,
+        |       CAST(LAST(vc ORDER BY ts, event_id) AS DOUBLE) / 100.0 AS close,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY event_type, day""".stripMargin,
+
     "evt_ffill_hourly" -> ffillSql,
 
     "evt_topk_agg" -> topkSql,

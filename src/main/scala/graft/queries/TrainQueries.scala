@@ -378,6 +378,24 @@ object TrainQueries {
           col("vc").isNull.cast("int").as("was_gap"))
     }),
 
+    // OHLC downsampling: one hash aggregate per (type, day) — open/close
+    // picked by min_by/max_by over the COMPOSITE (ts, event_id) order so
+    // intra-timestamp ties are deterministic, never first-row-in-
+    // partition-order; high/low are plain min/max; all money cent-exact
+    "evt_ohlc_daily" -> ((s, d) => {
+      val ord = struct(col("ts"), col("event_id"))
+      val vc = graft.functions.FastRound.round(col("value") * 100, 0).cast("long")
+      events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), vc.as("vc"))
+        .groupBy("event_type", "day")
+        .agg((min_by(col("vc"), ord).cast("double") / 100.0).as("open"),
+          (max(col("vc")).cast("double") / 100.0).as("high"),
+          (min(col("vc")).cast("double") / 100.0).as("low"),
+          (max_by(col("vc"), ord).cast("double") / 100.0).as("close"),
+          count(lit(1)).as("n_events"))
+    }),
+
     "evt_windowed_agg" -> ((s, d) =>
       EventStreams.windowedAggBatch(events(s, d))),
 
