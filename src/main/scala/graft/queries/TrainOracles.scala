@@ -372,6 +372,56 @@ object TrainOracles {
 
     "evt_ffill_hourly" -> ffillSql,
 
+    // interpolation twin: same spine, both ignore-nulls neighbor windows,
+    // lerp written operand-for-operand like the engine side
+    "evt_interp_hourly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |sp AS (SELECT t.event_type, x.x AS hour
+        |       FROM (SELECT DISTINCT event_type FROM events) t, b,
+        |            unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS x(x)),
+        |j AS (SELECT sp.event_type, sp.hour, hourly.vc
+        |      FROM sp LEFT JOIN hourly
+        |        ON sp.event_type = hourly.event_type AND sp.hour = hourly.hour),
+        |w AS (SELECT event_type, hour, vc,
+        |        last_value(vc IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |        first_value(vc IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |        last_value(CASE WHEN vc IS NOT NULL THEN hour END IGNORE NULLS)
+        |          OVER (PARTITION BY event_type ORDER BY hour
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |        first_value(CASE WHEN vc IS NOT NULL THEN hour END IGNORE NULLS)
+        |          OVER (PARTITION BY event_type ORDER BY hour
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |      FROM j)
+        |SELECT event_type, hour,
+        |       round(CASE WHEN vc IS NOT NULL THEN CAST(vc AS DOUBLE)
+        |                  WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+        |                  WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+        |                  ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+        |                       (CAST(epoch(hour) - epoch(ph) AS DOUBLE)
+        |                        / CAST(epoch(nh) - epoch(ph) AS DOUBLE))
+        |             END / 100.0, 9) AS value_interp,
+        |       CAST(vc IS NULL AS INT) AS was_gap
+        |FROM w""".stripMargin,
+
+    // Benford twin: ln ratio restated identically; shares round to 9
+    "evt_benford" ->
+      """WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc FROM events
+        |           WHERE CAST(round(value * 100) AS BIGINT) > 0),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM s),
+        |g AS (SELECT CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS INT) AS digit,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM s GROUP BY 1)
+        |SELECT digit, n,
+        |       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 9) AS observed,
+        |       round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 9) AS expected
+        |FROM g, t""".stripMargin,
+
     "evt_topk_agg" -> topkSql,
 
     // same twin for the streaming drain: the k-largest multiset per type

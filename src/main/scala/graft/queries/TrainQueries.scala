@@ -396,6 +396,69 @@ object TrainQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // linear interpolation over the same hourly spine: interior gaps get
+    // prev + (next - prev) * elapsed-fraction (both neighbors found with
+    // one backward and one forward ignore-nulls window over the SAME
+    // sort), edges fall back to nearest observation. Exact-cents anchors;
+    // the only float step is the final lerp, written operand-for-operand
+    // like the oracle and rounded once
+    "evt_interp_hourly" -> ((s, d) => {
+      val e = events(s, d)
+      val hourly = e.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(graft.functions.FastRound.round(col("value") * 100, 0)
+          .cast("long")).as("vc"))
+      val bounds = e.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("hour"))
+      val back = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsHour = when(col("vc").isNotNull, col("hour"))
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"), col("vc"),
+          last(col("vc"), ignoreNulls = true).over(back).as("pv"),
+          first(col("vc"), ignoreNulls = true).over(fwd).as("nv"),
+          last(obsHour, ignoreNulls = true).over(back).as("ph"),
+          first(obsHour, ignoreNulls = true).over(fwd).as("nh"))
+        .select(col("event_type"), col("hour"),
+          graft.functions.FastRound.round(
+            when(col("vc").isNotNull, col("vc").cast("double"))
+              .when(col("pv").isNull, col("nv").cast("double"))
+              .when(col("nv").isNull, col("pv").cast("double"))
+              .otherwise(col("pv").cast("double") +
+                (col("nv") - col("pv")).cast("double") *
+                  ((unix_timestamp(col("hour")) - unix_timestamp(col("ph"))).cast("double") /
+                   (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))).cast("double")))
+              / 100.0, 9).as("value_interp"),
+          col("vc").isNull.cast("int").as("was_gap"))
+    }),
+
+    // Benford first-digit audit — the classic fabricated-amounts smell
+    // test: observed first-digit shares of the positive cent amounts vs
+    // log10(1 + 1/d), one aggregate + a 9-row broadcast of expectations
+    "evt_benford" -> ((s, d) => {
+      val vc = graft.functions.FastRound.round(col("value") * 100, 0).cast("long")
+      events(s, d)
+        .select(vc.as("vc")).filter(col("vc") > 0)
+        .select(substring(col("vc").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(events(s, d).select(vc.as("v"))
+          .filter(col("v") > 0).agg(count(lit(1)).as("total"))))
+        .select(col("digit"), col("n"),
+          graft.functions.FastRound.round(
+            col("n").cast("double") / col("total").cast("double"), 9).as("observed"),
+          graft.functions.FastRound.round(
+            log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")), 9)
+            .as("expected"))
+    }),
+
     "evt_windowed_agg" -> ((s, d) =>
       EventStreams.windowedAggBatch(events(s, d))),
 
