@@ -220,6 +220,15 @@ object SqlOracles {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
+    "sql_grouping_sets" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_year,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())""".stripMargin,
+
     "sql_unpivot_measures" ->
       """WITH m AS (
         |  SELECT 'price' AS measure, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem

@@ -357,6 +357,23 @@ object SqlQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // explicit GROUPING SETS — two independent rollup axes plus the
+    // grand total in ONE Expand + hash aggregate over one scan (neither
+    // ROLLUP nor CUBE: the (year, priority) pair is deliberately absent);
+    // grouping() flags disambiguate subtotal rows from real NULLs
+    "sql_grouping_sets" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        year(col("o_orderdate")).as("o_year"),
+        col("o_orderpriority"), col("o_totalprice"))
+      o.groupingSets(
+          Seq(Seq(col("o_year")), Seq(col("o_orderpriority")), Seq()),
+          col("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"),
+          grouping(col("o_year")).cast("long").as("g_year"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+    }),
+
     // UNPIVOT/melt: three money measures to long form in ONE scan —
     // Spark plans unpivot as a single Expand over one pass of the fact
     // (pinned by PlanSpec), where the naive UNION ALL form (the oracle's

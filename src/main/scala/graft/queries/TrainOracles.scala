@@ -409,6 +409,29 @@ object TrainOracles {
         |       CAST(vc IS NULL AS INT) AS was_gap
         |FROM w""".stripMargin,
 
+    // cross-correlation twin: identical integer moments, identical final
+    // float expression
+    "evt_xcorr_lags" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT CAST(epoch(hour) AS BIGINT) AS ch, v AS x FROM hourly WHERE event_type = 'click'),
+        |p AS (SELECT CAST(epoch(hour) AS BIGINT) AS ph, v AS y FROM hourly WHERE event_type = 'purchase'),
+        |l AS (SELECT CAST(x AS BIGINT) AS lag FROM unnest(generate_series(0, 3)) AS u(x)),
+        |j AS (SELECT l.lag, c.x, p.y
+        |      FROM c CROSS JOIN l JOIN p ON p.ph = c.ch + l.lag * 3600),
+        |m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) AS BIGINT) AS syy
+        |      FROM j GROUP BY lag)
+        |SELECT lag, n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS pearson
+        |FROM m""".stripMargin,
+
     // Benford twin: ln ratio restated identically; shares round to 9
     "evt_benford" ->
       """WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc FROM events

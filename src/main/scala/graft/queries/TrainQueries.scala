@@ -439,6 +439,37 @@ object TrainQueries {
           col("vc").isNull.cast("int").as("was_gap"))
     }),
 
+    // lagged cross-correlation between the click and purchase hourly
+    // series (lags 0..3h): hourly cent sums, a 4-row broadcast of lags,
+    // one equi-join on shifted epoch hours, then Pearson per lag from
+    // EXACT integer moments — the only float step is the final ratio,
+    // rounded once; magnitudes stay far inside BIGINT
+    "evt_xcorr_lags" -> ((s, d) => {
+      val vc = graft.functions.FastRound.round(col("value") * 100, 0).cast("long")
+      val hourly = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(vc).as("v"))
+      val c = hourly.filter(col("event_type") === "click")
+        .select(unix_timestamp(col("hour")).as("ch"), col("v").as("x"))
+      val p = hourly.filter(col("event_type") === "purchase")
+        .select(unix_timestamp(col("hour")).as("ph"), col("v").as("y"))
+      val lags = events(s, d).sparkSession.range(4)
+        .select(col("id").cast("long").as("lag"))
+      c.crossJoin(broadcast(lags))
+        .join(p, col("ph") === col("ch") + col("lag") * 3600L)
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n"),
+          graft.functions.FastRound.round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 9)
+            .as("pearson"))
+    }),
+
     // Benford first-digit audit — the classic fabricated-amounts smell
     // test: observed first-digit shares of the positive cent amounts vs
     // log10(1 + 1/d), one aggregate + a 9-row broadcast of expectations
