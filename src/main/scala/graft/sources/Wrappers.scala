@@ -202,6 +202,20 @@ object Wrappers {
   }
 
   /**
+   * Schema-evolution reader: parquet files written at different times
+   * with different (compatible) schemas read as ONE table under the
+   * union schema — columns absent from older files surface as NULL.
+   * Spark's default read takes the schema from one footer and silently
+   * DROPS columns the other files added, so an evolving 100 TB corpus
+   * (new metadata columns over months of ingest) must read through
+   * `mergeSchema`. The flag costs a footer read per file at planning
+   * time, which is why it isn't the default — use it at the ingest
+   * boundary, then Snapshot/compact to the current schema.
+   */
+  def loadParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /**
    * Small-files compaction: rewrite a parquet directory into
    * ceil(bytes / targetBytes) files. Streaming sinks and incremental
    * appends accrete thousands of KB-sized files; at 100 TB the resulting

@@ -160,6 +160,50 @@ class MultiBatchStreamSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("checkpoint restart: a RESUMED stream processes only files added since") {
+    // the operational contract AvailableNow drains rely on: stop, add
+    // data, restart with the SAME checkpoint -> the source's file log
+    // skips everything already committed, the parquet sink appends
+    // exactly the new rows. This is what makes incremental ingest
+    // restart-safe (no reprocessing, no loss) on a real deployment.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val events = new java.io.File(s"$splitDir/events.parquet")
+      .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+    assert(events.length == 4)
+    val src = Files.createTempDirectory("graft_restart_src_").toString
+    val out = Files.createTempDirectory("graft_restart_out_").toString + "/out"
+    val ck = Files.createTempDirectory("graft_restart_ck_").toString
+    Seq(src, out, ck).foreach(graft.util.Cleanup.onExitDelete)
+    val schema = spark.read.parquet(s"$splitDir/events.parquet").schema
+
+    def drainOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .select(col("event_id"), col("user_id"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def copyIn(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      Files.copy(f.toPath, Paths.get(src, f.getName), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    copyIn(events.take(2))
+    drainOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst ==
+      events.take(2).map(f => spark.read.parquet(f.getPath).count()).sum)
+
+    copyIn(events.drop(2))
+    drainOnce()
+    val afterSecond = spark.read.parquet(out).count()
+    val total = spark.read.parquet(s"$splitDir/events.parquet").count()
+    // all rows exactly once: the resumed run added ONLY files 3 and 4
+    assert(afterSecond == total,
+      s"expected $total rows after restart, got $afterSecond")
+  }
+
   test("custom heap aggregate's state survives and merges across micro-batches") {
     // 4 triggers: each round-trips the TypedImperativeAggregate buffer
     // through the state store (serialize -> store -> deserialize -> merge);

@@ -110,4 +110,24 @@ class WrappersSpec extends AnyFunSuite {
     val m = nested.collect().map(r => r.getLong(0) -> r.getSeq[Any](1).size).toMap
     assert(m == Map(1L -> 1, 2L -> 2, 3L -> 1))
   }
+
+  test("schema evolution: mergeSchema unions old and new file schemas") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+    graft.util.Cleanup.onExitDelete(dir)
+    // v1 writer: (doc_id, text); v2 adds a lang column
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    val merged = graft.sources.Wrappers.loadParquetMerged(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
+    val rows = merged.select("doc_id", "lang").as[(Long, Option[String])]
+      .collect().toMap
+    // the v1 file's rows surface the new column as NULL, v2's keep it
+    assert(rows == Map(1L -> None, 2L -> Some("en")))
+    // the default read picks a footer (order nondeterministic) — its
+    // schema never exceeds the merged union
+    assert(spark.read.parquet(dir).columns.toSet.subsetOf(merged.columns.toSet))
+  }
 }
