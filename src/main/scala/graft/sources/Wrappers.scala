@@ -77,7 +77,14 @@ object Wrappers {
                        startIdFrom: Long = 0, realIdField: String = "",
                        sourceId: Int = 0,
                        fieldsToKeep: Seq[String] = Nil): DataFrame = {
-    val raw = spark.read.json(path)
+    // PERMISSIVE parsing (the default) surfaces a malformed line as a
+    // row whose only non-null column is the corrupt-record capture; keep
+    // the row (ingest never crashes) but DROP that column before the
+    // attribute bag — otherwise the raw garbage text becomes a blocking
+    // attribute and its tokens seed junk blocks downstream
+    val corruptCol = spark.conf.getOption("spark.sql.columnNameOfCorruptRecord")
+      .getOrElse("_corrupt_record")
+    val raw = spark.read.json(path).drop(corruptCol)
     fromDataFrame(raw, startIdFrom, realIdField, sourceId, fieldsToKeep = fieldsToKeep)
   }
 

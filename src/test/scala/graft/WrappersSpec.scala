@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 import graft.sources.Wrappers
@@ -129,5 +130,31 @@ class WrappersSpec extends AnyFunSuite {
     // the default read picks a footer (order nondeterministic) — its
     // schema never exceeds the merged union
     assert(spark.read.parquet(dir).columns.toSet.subsetOf(merged.columns.toSet))
+  }
+
+  test("malformed JSON lines degrade to dropped attributes, never a crash") {
+    // Spark's PERMISSIVE default (kept by loadProfilesJson) turns a
+    // corrupt line into an all-null row; the profile layout then drops
+    // the null attributes, so one bad record costs one profile with no
+    // attributes instead of failing a 100 TB ingest
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson_").toString
+    graft.util.Cleanup.onExitDelete(dir)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "d.json"),
+      """{"id": "a", "name": "alice"}
+        |{"id": "b", "name": THIS IS NOT JSON}
+        |{"id": "c", "name": "carol"}
+        |""".stripMargin)
+    val profiles = graft.sources.Wrappers.loadProfilesJson(
+      spark, s"$dir/d.json", realIdField = "id")
+    // the two clean records keep their attributes; the corrupt line
+    // contributes nothing (its parse produced only nulls)
+    val attrs = profiles
+      .select(org.apache.spark.sql.functions.explode(col("attributes")).as("a"))
+      .select(col("a.key").as("key"), col("a.value").as("value"))
+    val names = attrs.filter(col("key") === "name")
+      .select("value").as[String].collect().toSet
+    assert(names == Set("alice", "carol"))
+    // nothing from the corrupt line leaks into the attribute bag as data
+    assert(attrs.filter(col("value").contains("NOT JSON")).count() == 0)
   }
 }
