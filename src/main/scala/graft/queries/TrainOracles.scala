@@ -432,6 +432,19 @@ object TrainOracles {
         |             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS pearson
         |FROM m""".stripMargin,
 
+    // trimmed-mean twin: quantile_cont bounds, identical band filter and
+    // mean expression
+    "evt_trimmed_mean" ->
+      """WITH b AS (
+        |  SELECT event_type AS bt, quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       round(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 9) AS trimmed_mean
+        |FROM events JOIN b ON event_type = bt
+        |WHERE value >= lo AND value <= hi
+        |GROUP BY event_type""".stripMargin,
+
     // Benford twin: ln ratio restated identically; shares round to 9
     "evt_benford" ->
       """WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc FROM events

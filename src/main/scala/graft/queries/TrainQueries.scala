@@ -470,6 +470,25 @@ object TrainQueries {
             .as("pearson"))
     }),
 
+    // trimmed mean per type — the robust-location stat: exact p5/p95
+    // bounds (Spark percentile == DuckDB quantile_cont, pinned parity),
+    // broadcast back as a 5-row dim, then a cent-exact mean over the
+    // surviving band; outliers can no longer drag the estimate
+    "evt_trimmed_mean" -> ((s, d) => {
+      val vc = graft.functions.FastRound.round(col("value") * 100, 0).cast("long")
+      val e = events(s, d).select(col("event_type"), col("value"), vc.as("vc"))
+      val bounds = e.groupBy(col("event_type").as("bt"))
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      e.join(broadcast(bounds), col("event_type") === col("bt"))
+        .filter(col("value") >= col("lo") && col("value") <= col("hi"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"),
+          graft.functions.FastRound.round(
+            sum(col("vc")).cast("double") / 100.0 / count(lit(1)), 9)
+            .as("trimmed_mean"))
+    }),
+
     // Benford first-digit audit — the classic fabricated-amounts smell
     // test: observed first-digit shares of the positive cent amounts vs
     // log10(1 + 1/d), one aggregate + a 9-row broadcast of expectations
