@@ -432,6 +432,21 @@ object TrainOracles {
         |             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS pearson
         |FROM m""".stripMargin,
 
+    // vocabulary-overlap twin: same normalization as every token-level
+    // oracle, same exact-count Jaccard
+    "txt_vocab_overlap" ->
+      (s"""WITH st AS (
+         |  SELECT DISTINCT source, t AS token
+         |  FROM (SELECT source, ${norm("text")} AS nt FROM documents),
+         |       unnest(list_filter(string_split(nt, ' '), x -> length(x) > 0)) AS u(t)),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS z FROM st GROUP BY source),
+         |cm AS (SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_common
+         |       FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT s1, s2, n_common,
+         |       round(CAST(n_common AS DOUBLE) / CAST(z1.z + z2.z - n_common AS DOUBLE), 9) AS jaccard
+         |FROM cm JOIN sz z1 ON cm.s1 = z1.source JOIN sz z2 ON cm.s2 = z2.source""".stripMargin),
+
     // trimmed-mean twin: quantile_cont bounds, identical band filter and
     // mean expression
     "evt_trimmed_mean" ->

@@ -470,6 +470,32 @@ object TrainQueries {
             .as("pearson"))
     }),
 
+    // cross-source vocabulary overlap — the corpus-drift diagnostic:
+    // distinct (source, token) pairs once, per-source vocab sizes, then
+    // pairwise |∩| by one self-equi-join on the token and Jaccard from
+    // exact integer counts. Tokens are bounded per source, so the join
+    // fan-out is |vocab| x sources-sharing-token, never documents²
+    "txt_vocab_overlap" -> ((s, d) => {
+      val st = docs(s, d)
+        .select(col("source"),
+          explode(filter(split(Dedup.normalize(col("text")), " "),
+            t => length(t) > 0)).as("token"))
+        .distinct()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+      val common = st.select(col("source").as("s1"), col("token"))
+        .join(st.select(col("source").as("s2"), col("token")), Seq("token"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.select(col("source").as("s1"), col("sz").as("z1")), Seq("s1"))
+        .join(sizes.select(col("source").as("s2"), col("sz").as("z2")), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n_common"),
+          graft.functions.FastRound.round(
+            col("n_common").cast("double") /
+              (col("z1") + col("z2") - col("n_common")).cast("double"), 9)
+            .as("jaccard"))
+    }),
+
     // trimmed mean per type — the robust-location stat: exact p5/p95
     // bounds (Spark percentile == DuckDB quantile_cont, pinned parity),
     // broadcast back as a 5-row dim, then a cent-exact mean over the
