@@ -318,6 +318,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast in:\n$p")
   }
 
+  test("trimmed mean broadcasts the 5-row percentile bounds") {
+    val p = plan(graft.queries.TrainQueries.all("evt_trimmed_mean")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"bounds dim not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"tiny bounds dim shuffled the fact side:\n$p")
+  }
+
+  test("vocab overlap joins on the token hash-wise, never a nested loop") {
+    val p = plan(graft.queries.TrainQueries.all("txt_vocab_overlap")(spark, sf))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equi-join on token in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested loop in the token self-join:\n$p")
+  }
+
   test("unpivot is one Expand over ONE scan, not a union of three scans") {
     val p = plan(SqlQueries.all("sql_unpivot_measures")(spark, sf))
     assert(p.contains("Expand"), s"no Expand in:\n$p")
