@@ -98,6 +98,40 @@ object Dedup {
   }
 
   /**
+   * Directed exact CONTAINMENT pairs: C(src→dst) = |src ∩ dst| / |src|
+   * >= threshold — the asymmetric twin of [[jaccardPairs]]. Jaccard
+   * misses sub-document duplication (a paragraph pasted into a much
+   * larger page scores near zero), containment is exactly that detector:
+   * a high C(src→dst) with small |src| means src lives inside dst, the
+   * quote-farm / boilerplate-wrapper case a curation pipeline must
+   * catch. Same inverted-index shape and observable frequency cap
+   * (metrics node `containment_pairs_cap`); the symmetric co-occurrence
+   * count is computed ONCE per unordered pair and emitted in both
+   * directions, each scored against its own source size.
+   */
+  def containmentPairs(sh0: DataFrame, threshold: Double,
+                       maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = graft.util.Snapshot(sh0)
+    val freqOk = graft.util.CapMetrics.observeDrops(
+        sh.withColumn("_f", count(lit(1)).over(Window.partitionBy("shingle"))),
+        "containment_pairs_cap", col("_f") > maxShingleFreq)
+      .filter(col("_f") <= maxShingleFreq).drop("_f")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = freqOk.select(col("shingle"), col("doc_id").as("d1"))
+    val b = freqOk.select(col("shingle"), col("doc_id").as("d2"))
+    val common = a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+    val directed = common.select(col("d1").as("src"), col("d2").as("dst"), col("common"))
+      .union(common.select(col("d2").as("src"), col("d1").as("dst"), col("common")))
+    directed
+      .join(sizes.select(col("doc_id").as("src"), col("sz")), Seq("src"))
+      .withColumn("containment", col("common").cast("double") / col("sz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("src"), col("dst"),
+        graft.functions.FastRound.round(col("containment"), 9).as("containment"))
+  }
+
+  /**
    * Prefix-filtered exact Jaccard join (the SSJoin/PPJoin prefix
    * principle — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): two
    * shingle sets with Jaccard >= t must share a token within each set's

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.Attribute
 
-import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+import graft.plans.{AsOfDirection, AsOfJoin, AsOfJoinStrategy}
 
 /**
  * Public API over the custom [[graft.plans.AsOfJoinExec]] operator:
@@ -41,11 +41,21 @@ object AsOf {
     joinMulti(probe, reference, Seq(keyCol), timeCol, Seq(refKeyCol), refTimeCol, tieBreakCol)
 
   /** Composite-key variant (`merge_asof(by = [...])`): key lists match
-   * positionally between the two sides. */
+   * positionally between the two sides.
+   *
+   * @param direction `"backward"` (default — greatest ref time
+   *   at-or-before the probe's), `"forward"` (smallest at-or-after) or
+   *   `"nearest"` (smaller absolute gap; equal gaps resolve backward)
+   * @param tolerance max allowed |probe time − ref time| in the time
+   *   column's units (MICROSECONDS for timestamps); candidates beyond it
+   *   emit a null right side. Default: unlimited.
+   */
   def joinMulti(probe: DataFrame, reference: DataFrame,
                 keyCols: Seq[String], timeCol: String,
                 refKeyCols: Seq[String], refTimeCol: String,
-                tieBreakCol: String): DataFrame = {
+                tieBreakCol: String,
+                direction: String = "backward",
+                tolerance: Long = Long.MaxValue): DataFrame = {
     val spark = probe.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -57,6 +67,8 @@ object AsOf {
       leftKeys = keyCols.map(attr(probe, _)),
       rightKeys = refKeyCols.map(attr(reference, _)),
       leftTime = attr(probe, timeCol), rightTime = attr(reference, refTimeCol),
-      rightTieBreak = attr(reference, tieBreakCol)))
+      rightTieBreak = attr(reference, tieBreakCol),
+      direction = AsOfDirection.parse(direction),
+      toleranceTime = tolerance))
   }
 }

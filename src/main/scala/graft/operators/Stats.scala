@@ -62,6 +62,74 @@ object Stats {
             .cast("long")).as("bin"))
   }
 
+  /**
+   * Exact interpolated percentiles per group WITHOUT buffering group
+   * values in the aggregation state. Spark's `percentile()` (and DuckDB's
+   * `quantile_cont`) hold each group's full value histogram in the agg
+   * buffer — O(distinct values per group) memory, an OOM on a 100 TB
+   * table with a handful of giant groups. This is the scale-safe twin:
+   * the same distinct-value count prefix as [[quantileBins]] (two O(N)
+   * passes, shuffles carry distinct values only, O(1) task memory), then
+   * each requested percentile is answered with two conditional-min
+   * aggregates over the distinct values.
+   *
+   * Bit-parity with Spark's `percentile` is deliberate: for position
+   * `pos = p * (n-1)`, `lower = floor(pos)`, `higher = ceil(pos)`, the
+   * bracketing values are the first distinct values whose inclusive
+   * cumulative count reaches `lower+1` / `higher+1`, and the combination
+   * is the identical double sequence
+   * `(higher - pos) * vLo + (pos - lower) * vHi` with the same
+   * short-circuits (`higher == lower` or `vHi == vLo` → `vLo`), so
+   * results match the buffering aggregate to the last ulp.
+   *
+   * @param ps      (outputColumn, percentile) pairs, each p in [0,1]
+   * @param countCol if set, also emit the group's non-null value count
+   * @return one row per group: groupCols ++ ps ++ countCol, percentiles
+   *         as doubles
+   */
+  def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       ps: Seq[(String, Double)],
+                       countCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty && ps.nonEmpty)
+    require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"percentiles must be in [0,1]: $ps")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(struct(groupCols.map(col): _*).as("g"), col(valueCol).as("x"))
+    val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+    val cum = graft.util.Prefix.runningSum(vc,
+      Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
+    val off = vc.groupBy("g").agg(sum("cnt").as("n_g"))
+      .withColumn("off", coalesce(sum(col("n_g").cast("double")).over(
+        Window.orderBy("g") // one row per GROUP: bounded window
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+    // cumg = #rows in the group with value <= x (inclusive rank prefix)
+    val ranked = cum.join(broadcast(off), Seq("g"))
+      .select(col("g"), col("x"),
+        (col("cum") - col("off")).cast("long").as("cumg"), col("n_g"))
+    val braceAggs = ps.flatMap { case (nm, p) =>
+      val pos = (col("n_g") - 1).cast("double") * lit(p)
+      Seq(
+        min(when(col("cumg") >= floor(pos) + 1, col("x"))).as(s"_lo_$nm"),
+        min(when(col("cumg") >= ceil(pos) + 1, col("x"))).as(s"_hi_$nm"))
+    }
+    val allAggs = min(col("n_g")).as("_n") +: braceAggs
+    val agg = ranked.groupBy("g").agg(allAggs.head, allAggs.tail: _*)
+    val outPs = ps.map { case (nm, p) =>
+      val pos = (col("_n") - 1).cast("double") * lit(p)
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      val vLo = col(s"_lo_$nm").cast("double")
+      val vHi = col(s"_hi_$nm").cast("double")
+      when(higher === lower || vHi.isNull || vHi === vLo, vLo)
+        .otherwise((higher.cast("double") - pos) * vLo
+          + (pos - lower.cast("double")) * vHi)
+        .as(nm)
+    }
+    val outCols = groupCols.map(c => col("g").getField(c).as(c)) ++
+      outPs ++ countCol.map(nc => col("_n").as(nc)).toSeq
+    agg.select(outCols: _*)
+  }
+
   /** Spearman rank correlation of `xCol` vs `yCol` per `groupCol`.
    * Returns (<groupCol>, n, rho) with rho rounded to 9 decimals. */
   def spearman(df: DataFrame, groupCol: String, xCol: String,

@@ -27,10 +27,28 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampTyp
  * a window, O(1) state (a single buffered reference row) per
  * partition: the shape that survives a 100 TB probe side.
  *
+ * Directions (`merge_asof(direction = ...)` / DuckDB's four ASOF
+ * comparison operators):
+ *  - [[AsOfDirection.Backward]] (default): greatest reference time
+ *    at-or-before the probe time;
+ *  - [[AsOfDirection.Forward]]: smallest reference time at-or-after the
+ *    probe time;
+ *  - [[AsOfDirection.Nearest]]: whichever of the two candidates has the
+ *    smaller absolute gap; equal gaps resolve BACKWARD (an exact-time
+ *    match always wins with gap 0).
+ * All three are the same single forward-only merge pass: backward keeps
+ * the last consumed same-key row, forward peeks the un-consumed head —
+ * O(1) state either way.
+ *
+ * `toleranceTime` (optional, in the time column's units — micros for
+ * timestamps): a candidate whose |gap| exceeds it is discarded, the
+ * probe row emits with a null right side (`merge_asof(tolerance=...)`).
+ *
  * Tie rule: the right side additionally sorts by `rightTieBreak`, and
- * among reference rows sharing the winning (keys, time) the LAST in
- * that order wins (e.g. tie-break on event_id asc ⇒ the max event_id)
- * — deterministic under any partitioning.
+ * among reference rows sharing the winning (keys, time) BACKWARD takes
+ * the LAST in that order (tie-break on event_id asc ⇒ the max
+ * event_id), FORWARD the FIRST (the min) — each direction picks the row
+ * its merge naturally stops on, deterministic under any partitioning.
  *
  * Types: key columns must be integral (int/long), times timestamp or
  * integral (timestamps compare by their micros encoding). NULL keys or
@@ -41,7 +59,9 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryNode {
+    rightTieBreak: Expression,
+    direction: AsOfDirection = AsOfDirection.Backward,
+    toleranceTime: Long = Long.MaxValue) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -49,12 +69,26 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
+sealed trait AsOfDirection
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+  def parse(s: String): AsOfDirection = s.toLowerCase match {
+    case "backward" => Backward
+    case "forward"  => Forward
+    case "nearest"  => Nearest
+    case other => throw new IllegalArgumentException(
+      s"asof direction must be backward|forward|nearest, got '$other'")
+  }
+}
+
 /** Plans [[AsOfJoin]] into [[AsOfJoinExec]]; injected by
  * [[GraftExtensions]] and (idempotently) by `graft.operators.AsOf`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, dir, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r), dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -63,7 +97,9 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    direction: AsOfDirection = AsOfDirection.Backward,
+    toleranceTime: Long = Long.MaxValue) extends BinaryExecNode {
 
   private def checkTypes(): Unit = {
     def integral(e: Expression) = e.dataType == LongType || e.dataType == IntegerType
@@ -72,8 +108,26 @@ case class AsOfJoinExec(
       s"asof needs matching key lists, got ${leftKeys.size}/${rightKeys.size}")
     require(leftKeys.forall(integral) && rightKeys.forall(integral),
       s"asof keys must be int/long, got ${leftKeys.map(_.dataType)}/${rightKeys.map(_.dataType)}")
+    // key types must match EXACTLY, not just both-integral: the required
+    // distribution hashes each side on its own expressions, and Murmur3
+    // hashes Int 5 and Long 5 differently — mixed widths would cluster
+    // equal keys to DIFFERENT partitions and silently never match. Cast
+    // to a common type before the join instead.
+    leftKeys.zip(rightKeys).zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.dataType == r.dataType,
+        s"asof key $i type mismatch: ${l.dataType} vs ${r.dataType} — " +
+          "hash partitioning would route equal keys to different " +
+          "partitions; cast both sides to the same type")
+    }
     require(timeLike(leftTime) && timeLike(rightTime),
       s"asof times must be timestamp/int/long, got ${leftTime.dataType}/${rightTime.dataType}")
+    // times are compared as widened longs across sides (never hashed), so
+    // int vs long is fine — but a TIMESTAMP (micros encoding) against a
+    // raw integral is a unit mismatch, not a comparison
+    require((leftTime.dataType == TimestampType) == (rightTime.dataType == TimestampType),
+      s"asof time type mismatch: ${leftTime.dataType} vs ${rightTime.dataType} — " +
+        "timestamp micros cannot be compared against a raw integral time")
+    require(toleranceTime >= 0, s"asof tolerance must be >= 0, got $toleranceTime")
   }
   checkTypes()
 
@@ -122,15 +176,28 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // bind against the right side's NULLABLE attributes (mirroring
+      // `output`): unmatched probes project an all-null right row, and a
+      // non-nullable right input (in-memory Dataset, literals) would
+      // otherwise bind null-skipping BoundReferences that read garbage —
+      // or NPE — from the null GenericInternalRow
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
 
+      val isForward = direction == AsOfDirection.Forward
+      val isNearest = direction == AsOfDirection.Nearest
+      val tol = toleranceTime
+
       // single buffered candidate: the latest eligible reference row for
       // the key vector currently being probed (both iterators ascend
-      // (keys, time)); candKeys holds the candidate's key vector
+      // (keys, time)); candKeys holds the candidate's key vector.
+      // Forward direction never buffers — its candidate is the
+      // un-consumed right head itself.
       var cand: InternalRow = null
       val candKeys = new Array[Long](nKeys)
+      var candTime = 0L
       // one-row lookahead on the reference side; valid until the next
       // rIter.next() overwrites the shared buffer, which only happens
       // after we either copy it into cand or discard it
@@ -171,16 +238,20 @@ case class AsOfJoinExec(
         0
       }
 
-      // consume reference rows while they are at-or-before (lk, lt),
-      // remembering the last one with the SAME key vector as the probe
+      // consume reference rows while they are before (lk, lt) —
+      // at-or-before for backward/nearest (exact matches resolve
+      // backward), strictly-before for forward so an exact-time row
+      // stays at the head as the forward candidate — remembering the
+      // last consumed one with the SAME key vector as the probe
       def advanceTo(lk: Array[Long], lt: Long): Unit = {
         var continue = true
         while (continue && loadRightHead()) {
           val c = cmpKeys(lk)
-          if (c < 0 || (c == 0 && rHeadTime <= lt)) {
-            if (c == 0) {
+          if (c < 0 || (c == 0 && (if (isForward) rHeadTime < lt else rHeadTime <= lt))) {
+            if (c == 0 && !isForward) {
               cand = rHead.copy()
               System.arraycopy(rHeadKeys, 0, candKeys, 0, nKeys)
+              candTime = rHeadTime
             }
             rHeadValid = false
           } else continue = false
@@ -205,9 +276,21 @@ case class AsOfJoinExec(
           while (i < nKeys) { lk(i) = lGet(i)(k); i += 1 }
           val lt = lGet(nKeys)(k)
           advanceTo(lk, lt)
-          if (candMatches()) {
+          // backward candidate: last consumed same-key row within tol
+          val backOk = !isForward && candMatches() && lt - candTime <= tol
+          // forward candidate: the un-consumed head, same key, within tol
+          val fwdOk = (isForward || isNearest) && loadRightHead() &&
+            cmpKeys(lk) == 0 && rHeadTime - lt <= tol
+          val chosen =
+            if (isForward) { if (fwdOk) rHead else null }
+            else if (isNearest) {
+              if (backOk && (!fwdOk || lt - candTime <= rHeadTime - lt)) cand
+              else if (fwdOk) rHead
+              else null
+            } else { if (backOk) cand else null }
+          if (chosen != null) {
             numMatched += 1
-            outProj(joined(lRow, cand))
+            outProj(joined(lRow, chosen))
           } else outProj(joined(lRow, nullRight))
         }
       }

@@ -391,21 +391,21 @@ object SqlQueries {
         .agg((sum(col("cents")).cast("double") / 100.0).as("total"),
           count(lit(1)).as("n"))),
 
-    // robust per-segment stats: EXACT interpolated median (Spark's
-    // percentile == DuckDB's quantile_cont, both engines interpolate the
-    // same way) and a deterministic mode (max count, smallest value on
-    // ties — never the engines' arbitrary-tie mode() builtin).
-    // Scale note: percentile() buffers each group's values in the
-    // aggregation buffer — right for bounded groups like these 5
-    // segments; for unbounded groups use the distributed exact binning
-    // of evt_value_quantiles (two passes, O(1) memory per task) instead
+    // robust per-segment stats: EXACT interpolated median via
+    // Stats.exactPercentiles (distinct-value count prefix — O(1) task
+    // memory regardless of group SIZE; the buffering percentile() holds
+    // each group's value histogram, and 5 segments over a 100 TB orders
+    // table means 5 enormous buffers) and a deterministic mode (max
+    // count, smallest value on ties — never the engines' arbitrary-tie
+    // mode() builtin). Interpolation matches DuckDB quantile_cont to the
+    // ulp.
     "sql_median_mode" -> ((s, d) => {
       val byseg = t(s, d, "orders").join(broadcast(t(s, d, "customer")
           .select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
-      val medians = byseg.groupBy(col("c_mktsegment"))
-        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
-          count(lit(1)).as("n_orders"))
+      val medians = graft.operators.Stats.exactPercentiles(byseg,
+        Seq("c_mktsegment"), "o_totalprice",
+        Seq("median_price" -> 0.5), countCol = Some("n_orders"))
       val mode = byseg.groupBy(col("c_mktsegment"), col("o_orderpriority"))
         .agg(count(lit(1)).as("_cnt"))
         .withColumn("_rn", row_number().over(

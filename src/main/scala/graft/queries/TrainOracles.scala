@@ -487,6 +487,57 @@ object TrainOracles {
     // shares the custom exec's DuckDB-native-ASOF twin verbatim
     "evt_asof_stream" -> asofCustomSql,
 
+    // forward direction: DuckDB's ASOF with the reversed inequality;
+    // clicks pre-deduped to MIN event_id per (user, ts) — forward's tie
+    // rule is the FIRST row in (time, tie-break) order
+    "evt_asof_fwd" -> ErOracles.materializeCtes(
+      """WITH c AS (SELECT user_id AS c_uid, ts AS c_ts, MIN(event_id) AS c_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       COALESCE(c.c_id, -1) AS click_id,
+        |       COALESCE(c.c_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.c_uid AND p.ts <= c.c_ts""".stripMargin),
+
+    // backward + 1 h tolerance: native ASOF picks the candidate, the
+    // interval filter nulls it when the gap exceeds the tolerance —
+    // exactly the exec's `lt - candTime <= tol` (inclusive, micros)
+    "evt_asof_tol" -> ErOracles.materializeCtes(
+      """WITH c AS (SELECT user_id AS c_uid, ts AS c_ts, MAX(event_id) AS c_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       CASE WHEN c.c_ts IS NOT NULL AND p.ts - c.c_ts <= INTERVAL 1 HOUR
+        |            THEN c.c_id ELSE -1 END AS click_id,
+        |       CASE WHEN c.c_ts IS NOT NULL AND p.ts - c.c_ts <= INTERVAL 1 HOUR
+        |            THEN c.c_ts ELSE TIMESTAMP '1970-01-01 00:00:00' END AS click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.c_uid AND p.ts >= c.c_ts""".stripMargin),
+
+    // nearest ±2 h: both ASOF directions composed, smaller interval gap
+    // wins, equal gaps resolve BACKWARD (the exec's tie rule); each
+    // direction keeps its own tie-break dedup (backward MAX, forward MIN)
+    "evt_asof_nearest" -> ErOracles.materializeCtes(
+      """WITH cb AS (SELECT user_id AS c_uid, ts AS c_ts, MAX(event_id) AS c_id
+        |            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |cf AS (SELECT user_id AS f_uid, ts AS f_ts, MIN(event_id) AS f_id
+        |       FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT p.event_id, p.user_id, p.ts, cb.c_ts, cb.c_id
+        |      FROM p ASOF LEFT JOIN cb ON p.user_id = cb.c_uid AND p.ts >= cb.c_ts),
+        |f AS (SELECT p.event_id AS f_eid, cf.f_ts, cf.f_id
+        |      FROM p ASOF LEFT JOIN cf ON p.user_id = cf.f_uid AND p.ts <= cf.f_ts),
+        |j AS (SELECT b.event_id, b.user_id, b.ts, b.c_ts, b.c_id, f.f_ts, f.f_id,
+        |             (b.c_ts IS NOT NULL AND b.ts - b.c_ts <= INTERVAL 2 HOUR) AS back_ok,
+        |             (f.f_ts IS NOT NULL AND f.f_ts - b.ts <= INTERVAL 2 HOUR) AS fwd_ok
+        |      FROM b JOIN f ON b.event_id = f.f_eid)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |       CASE WHEN back_ok AND (NOT fwd_ok OR ts - c_ts <= f_ts - ts) THEN c_id
+        |            WHEN fwd_ok THEN f_id ELSE -1 END AS click_id,
+        |       CASE WHEN back_ok AND (NOT fwd_ok OR ts - c_ts <= f_ts - ts) THEN c_ts
+        |            WHEN fwd_ok THEN f_ts
+        |            ELSE TIMESTAMP '1970-01-01 00:00:00' END AS click_ts
+        |FROM j""".stripMargin),
+
     "evt_asof_join" ->
       """WITH t AS (
         |  SELECT user_id, ts, event_id,
@@ -709,6 +760,26 @@ object TrainOracles {
          |       round(CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE), 9) AS jaccard
          |FROM cp JOIN szs s1 ON cp.d1 = s1.doc_id JOIN szs s2 ON cp.d2 = s2.doc_id
          |WHERE CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) >= 0.5""".stripMargin),
+
+    // containment twin: the unordered co-occurrence count emitted in both
+    // directions, each divided by its OWN source size — same frequency
+    // cap as dedup_jaccard
+    "dedup_containment" -> (shinglePrelude +
+      """szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+        |freqok AS (
+        |  SELECT * FROM (SELECT doc_id, shingle,
+        |                 COUNT(*) OVER (PARTITION BY shingle) AS f FROM sh)
+        |  WHERE f <= 1000),
+        |cp AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM freqok a JOIN freqok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dir AS (SELECT d1 AS src, d2 AS dst, common FROM cp
+        |        UNION ALL SELECT d2, d1, common FROM cp)
+        |SELECT src, dst,
+        |       round(CAST(common AS DOUBLE) / CAST(sz AS DOUBLE), 9) AS containment
+        |FROM dir JOIN szs ON dir.src = szs.doc_id
+        |WHERE CAST(common AS DOUBLE) / CAST(sz AS DOUBLE) >= 0.8""".stripMargin),
 
     // ppjoin twin: the NAIVE all-pairs exact Jaccard join, no prefix
     // logic and no frequency cap — the prefix filter is lossless, so
@@ -1981,6 +2052,22 @@ object TrainOracles {
         |SELECT event_id, e.event_type, value,
         |       round(LEAST(GREATEST(value, p_lo), p_hi), 9) AS clipped
         |FROM events e JOIN q USING (event_type)""".stripMargin,
+
+    // Tukey IQR fences: same pinned expression tree as the engine
+    // (q1 - 1.5*(q3 - q1), q3 + 1.5*(q3 - q1)); filter on the unrounded
+    // fences, round only the output
+    "evt_iqr_outliers" -> ErOracles.materializeCtes(
+      """WITH q AS (SELECT event_type,
+        |                  quantile_cont(value, 0.25) AS q1,
+        |                  quantile_cont(value, 0.75) AS q3
+        |           FROM events GROUP BY event_type),
+        |f AS (SELECT event_type,
+        |             q1 - 1.5 * (q3 - q1) AS lo_fence,
+        |             q3 + 1.5 * (q3 - q1) AS hi_fence FROM q)
+        |SELECT event_id, e.event_type, value,
+        |       round(lo_fence, 9) AS lo_fence, round(hi_fence, 9) AS hi_fence
+        |FROM events e JOIN f USING (event_type)
+        |WHERE value < lo_fence OR value > hi_fence""".stripMargin),
 
     // snapshot-diff twin: latest version per key at the mid-month cutoff
     // vs the end state, full outer join, same/identical keys drop out

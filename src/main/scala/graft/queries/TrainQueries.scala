@@ -220,6 +220,11 @@ object TrainQueries {
     // prefix-filtered exact Jaccard (SSJoin/PPJoin): candidates only
     // from each doc's rarest-first prefix, verified row-locally —
     // LOSSLESS, so the oracle is the plain naive all-pairs join
+    // asymmetric containment: |src∩dst| / |src| >= 0.8 — catches a small
+    // doc living inside a big one, which Jaccard structurally misses
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(shingles3(s, d), threshold = 0.8)),
+
     "dedup_ppjoin" -> ((s, d) =>
       Dedup.ppjoinPairs(ppjoinIdx(s, d), threshold = 0.5)),
 
@@ -497,15 +502,16 @@ object TrainQueries {
     }),
 
     // trimmed mean per type — the robust-location stat: exact p5/p95
-    // bounds (Spark percentile == DuckDB quantile_cont, pinned parity),
+    // bounds (Stats.exactPercentiles == DuckDB quantile_cont to the ulp,
+    // with O(1) task memory instead of percentile()'s per-group buffer),
     // broadcast back as a 5-row dim, then a cent-exact mean over the
     // surviving band; outliers can no longer drag the estimate
     "evt_trimmed_mean" -> ((s, d) => {
       val vc = graft.functions.FastRound.round(col("value") * 100, 0).cast("long")
       val e = events(s, d).select(col("event_type"), col("value"), vc.as("vc"))
-      val bounds = e.groupBy(col("event_type").as("bt"))
-        .agg(expr("percentile(value, 0.05)").as("lo"),
-          expr("percentile(value, 0.95)").as("hi"))
+      val bounds = graft.operators.Stats.exactPercentiles(e,
+          Seq("event_type"), "value", Seq("lo" -> 0.05, "hi" -> 0.95))
+        .withColumnRenamed("event_type", "bt")
       e.join(broadcast(bounds), col("event_type") === col("bt"))
         .filter(col("value") >= col("lo") && col("value") <= col("hi"))
         .groupBy("event_type")
@@ -569,15 +575,17 @@ object TrainQueries {
           coalesce(col("event_day"), to_date(lit("1970-01-01"))).as("event_day"),
           col("n"), col("value_sum"))),
 
-    // exact interpolated quantiles per group (Spark `percentile` ==
-    // DuckDB `quantile_cont`: both lower + (upper-lower)*frac over the
-    // sorted values)
+    // exact interpolated quantiles per group — Stats.exactPercentiles
+    // (distinct-value prefix, O(1) task memory) matches DuckDB's
+    // quantile_cont interpolation to the ulp
     "evt_value_quantiles" -> ((s, d) =>
-      events(s, d).groupBy("event_type")
-        .agg(
-          graft.functions.FastRound.round(expr("percentile(value, 0.5)"), 9).as("p50"),
-          graft.functions.FastRound.round(expr("percentile(value, 0.95)"), 9).as("p95"),
-          count(lit(1)).as("n"))),
+      graft.operators.Stats.exactPercentiles(events(s, d),
+          Seq("event_type"), "value", Seq("p50" -> 0.5, "p95" -> 0.95),
+          countCol = Some("n"))
+        .select(col("event_type"),
+          graft.functions.FastRound.round(col("p50"), 9).as("p50"),
+          graft.functions.FastRound.round(col("p95"), 9).as("p95"),
+          col("n"))),
 
     "evt_windowed_agg_stream" -> ((s, d) =>
       EventStreams.windowedAggStreaming(s, d)),
@@ -622,6 +630,67 @@ object TrainQueries {
         .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
           col("event_id").as("c_id"))
       graft.operators.AsOf.join(p, c, "user_id", "ts", "c_uid", "c_ts", "c_id")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          coalesce(col("c_id"), lit(-1L)).as("click_id"),
+          coalesce(col("c_ts"), lit("1970-01-01 00:00:00").cast("timestamp"))
+            .as("click_ts"))
+    }),
+
+    // FORWARD as-of through the same exec: each purchase matched to the
+    // user's NEXT click at-or-after it (first un-consumed merge head, min
+    // event_id on time ties). Oracle = DuckDB ASOF with the reversed
+    // inequality (p.ts <= c.c_ts)
+    "evt_asof_fwd" -> ((s, d) => {
+      val e = events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.operators.AsOf.joinMulti(p, c, Seq("user_id"), "ts",
+          Seq("c_uid"), "c_ts", "c_id", direction = "forward")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          coalesce(col("c_id"), lit(-1L)).as("click_id"),
+          coalesce(col("c_ts"), lit("1970-01-01 00:00:00").cast("timestamp"))
+            .as("click_ts"))
+    }),
+
+    // backward as-of with a 1-hour TOLERANCE (merge_asof(tolerance=...)):
+    // a prior click older than an hour is no match — the stale-context
+    // guard an attribution pipeline needs. Oracle: DuckDB ASOF + interval
+    // gap filter
+    "evt_asof_tol" -> ((s, d) => {
+      val e = events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.operators.AsOf.joinMulti(p, c, Seq("user_id"), "ts",
+          Seq("c_uid"), "c_ts", "c_id", tolerance = 3600L * 1000000L)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          coalesce(col("c_id"), lit(-1L)).as("click_id"),
+          coalesce(col("c_ts"), lit("1970-01-01 00:00:00").cast("timestamp"))
+            .as("click_ts"))
+    }),
+
+    // NEAREST as-of within ±2 h: the closer of the backward/forward
+    // candidates, equal gaps resolving backward (an exact-time click
+    // always wins). Oracle composes DuckDB's two ASOF directions and
+    // picks the smaller interval gap with the same tie rule
+    "evt_asof_nearest" -> ((s, d) => {
+      val e = events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.operators.AsOf.joinMulti(p, c, Seq("user_id"), "ts",
+          Seq("c_uid"), "c_ts", "c_id", direction = "nearest",
+          tolerance = 7200L * 1000000L)
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts").as("purchase_ts"),
           coalesce(col("c_id"), lit(-1L)).as("click_id"),
@@ -972,7 +1041,7 @@ object TrainQueries {
           "id * 2654435761 % 1000000007 % 512 + 8 + id * 97 % 93 AS hi")
         .createOrReplaceTempView("graft_rj_bands")
       s.sql("""SELECT b.band_id, b.lo, b.hi, COUNT(*) AS n,
-              |       SUM(CAST(graft_fast_round(e.value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
+              |       SUM(CAST(graft_fast_round(e.value * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS value_sum
               |FROM graft_rj_events e JOIN graft_rj_bands b
               |  ON e.value >= b.lo AND e.value < b.hi
               |GROUP BY 1, 2, 3""".stripMargin)
@@ -1386,13 +1455,30 @@ object TrainQueries {
     // before feature scaling; 9-dp round so interpolation ULPs can't leak
     "evt_winsorize" -> ((s, d) => {
       val e = events(s, d)
-      val q = e.groupBy("event_type").agg(
-        expr("percentile(value, 0.05)").as("p_lo"),
-        expr("percentile(value, 0.95)").as("p_hi"))
+      val q = graft.operators.Stats.exactPercentiles(e,
+        Seq("event_type"), "value", Seq("p_lo" -> 0.05, "p_hi" -> 0.95))
       e.join(broadcast(q), "event_type")
         .select(col("event_id"), col("event_type"), col("value"),
           graft.functions.FastRound.round(
             least(greatest(col("value"), col("p_lo")), col("p_hi")), 9).as("clipped"))
+    }),
+
+    // Tukey IQR fences per type over the exact distributed percentiles:
+    // outliers beyond [q1 - 1.5·IQR, q3 + 1.5·IQR]; fence arithmetic is
+    // pinned-order double math both engines share, filter on the
+    // UNROUNDED fences, 9-dp round only on output
+    "evt_iqr_outliers" -> ((s, d) => {
+      val e = events(s, d)
+      val f = graft.operators.Stats.exactPercentiles(e,
+          Seq("event_type"), "value", Seq("q1" -> 0.25, "q3" -> 0.75))
+        .select(col("event_type").as("qt"),
+          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo_fence"),
+          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi_fence"))
+      e.join(broadcast(f), col("event_type") === col("qt"))
+        .filter(col("value") < col("lo_fence") || col("value") > col("hi_fence"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          graft.functions.FastRound.round(col("lo_fence"), 9).as("lo_fence"),
+          graft.functions.FastRound.round(col("hi_fence"), 9).as("hi_fence"))
     }),
 
     // snapshot diff: mid-month per-key state vs the end state — which
@@ -1506,13 +1592,17 @@ object TrainQueries {
 
     // robust outliers: median/MAD z-score per event type (1.4826 MAD ≈ σ
     // under normality) — immune to the outliers it hunts, unlike the
-    // moment-based evt_zscore; two broadcast-joined percentile passes
+    // moment-based evt_zscore; two broadcast-joined exact-percentile
+    // passes (Stats.exactPercentiles: O(1) task memory, no group buffer)
     "evt_mad_zscore" -> ((s, d) => {
       val e = events(s, d)
-      val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
-      val mad = e.join(broadcast(med), "event_type")
-        .groupBy("event_type", "med")
-        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      val med = graft.operators.Stats.exactPercentiles(e,
+        Seq("event_type"), "value", Seq("med" -> 0.5))
+      val mad = graft.operators.Stats.exactPercentiles(
+        e.join(broadcast(med), "event_type")
+          .select(col("event_type"), col("med"),
+            abs(col("value") - col("med")).as("dev")),
+        Seq("event_type", "med"), "dev", Seq("mad" -> 0.5))
       e.join(broadcast(mad), "event_type")
         .select(col("event_id"), col("event_type"), col("value"),
           graft.functions.FastRound.round(

@@ -704,11 +704,14 @@ object Curation {
    * curation pipeline runs before mixing, per-language so a low-resource
    * language isn't graded against English norms.
    *
-   * Shape at scale: one scan computes the score, one per-language exact
-   * `percentile` aggregate (languages ~O(100) rows → broadcast back), one
-   * broadcast join + filter. Exact interpolated percentile matches
-   * DuckDB's `quantile_cont`; both sides compare against the 9-digit
-   * rounded threshold so the gate is bit-stable.
+   * Shape at scale: one scan computes the score, then
+   * [[graft.operators.Stats.exactPercentiles]] derives each language's
+   * threshold from the distinct-value count prefix — O(1) task memory
+   * even when one language holds most of the corpus (the buffering
+   * `percentile()` aggregate would OOM there), then one broadcast join +
+   * filter. The interpolation matches DuckDB's `quantile_cont` to the
+   * ulp; both sides compare against the 9-digit rounded threshold so the
+   * gate is bit-stable.
    *
    * Returns (doc_id, lang, quality, q_threshold) for surviving docs.
    */
@@ -718,9 +721,10 @@ object Curation {
     require(p >= 0 && p <= 1, s"quantile p must be in [0,1], got $p")
     val scored = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
       graft.text.TextAnalysis.qualityScore(col(textCol)).as("quality"))
-    val th = scored.groupBy("lang")
-      .agg(graft.functions.FastRound.round(
-        expr(s"percentile(quality, $p)"), 9).as("q_threshold"))
+    val th = graft.operators.Stats.exactPercentiles(scored,
+        Seq("lang"), "quality", Seq("q" -> p))
+      .select(col("lang"),
+        graft.functions.FastRound.round(col("q"), 9).as("q_threshold"))
     scored.join(broadcast(th), Seq("lang"))
       .filter(col("quality") >= col("q_threshold"))
       .select("doc_id", "lang", "quality", "q_threshold")

@@ -244,6 +244,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tb.length == 1 && tb.head.getLong(2) == 0L)
   }
 
+  test("exactPercentiles == buffering percentile() bit-for-bit on random groups") {
+    // seeded random groups with heavy ties, single-element groups, and
+    // awkward percentiles — the rewrite (VERDICT r6 #3) must reproduce
+    // Spark's percentile() (== DuckDB quantile_cont) to the last ulp,
+    // since six oracle hashes depend on it
+    val ps = Seq("p00" -> 0.0, "p17" -> 0.17, "p25" -> 0.25, "p50" -> 0.5,
+      "p83" -> 0.83, "p95" -> 0.95, "p100" -> 1.0)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 500).map { i =>
+        val g = s"g${rnd.nextInt(7)}"
+        // ties on purpose: values drawn from a small lattice, plus noise
+        val x = if (rnd.nextBoolean()) rnd.nextInt(10).toDouble
+                else math.round(rnd.nextDouble() * 1000) / 64.0
+        (g, x)
+      } :+ (("solo", 42.5)) // single-element group
+      val df = rows.toDF("g", "x").repartition(7)
+      val got = graft.operators.Stats
+        .exactPercentiles(df, Seq("g"), "x", ps, countCol = Some("n"))
+        .collect().map(r => r.getString(0) ->
+          (ps.indices.map(i => r.getDouble(1 + i)), r.getLong(1 + ps.size))).toMap
+      val want = df.groupBy("g")
+        .agg(expr(s"percentile(x, array(${ps.map(_._2).mkString(",")}))").as("q"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) ->
+          (r.getSeq[Double](1), r.getLong(2))).toMap
+      assert(got.keySet == want.keySet, s"seed $seed group sets differ")
+      for (g <- got.keySet; i <- ps.indices) {
+        // bit-equality, not tolerance: same doubles or the rewrite drifts
+        assert(got(g)._1(i) == want(g)._1(i),
+          s"seed $seed group $g ${ps(i)._1}: ${got(g)._1(i)} != ${want(g)._1(i)}")
+      }
+      for (g <- got.keySet)
+        assert(got(g)._2 == want(g)._2, s"seed $seed group $g count")
+    }
+  }
+
   test("spearman is invariant to repartitioning (bit-identical rho)") {
     val df = (1 to 200).map(i => ("g", (i % 17).toDouble, (i % 23).toLong))
       .toDF("g", "x", "y")
@@ -300,6 +337,84 @@ class OperatorsSpec extends AnyFunSuite {
     val out = asofFixture(probe, ref)
       .select("pid", "rid").as[(Long, Option[Long])].collect().toMap
     assert(out == expect)
+  }
+
+  private def asofDir(probe: Seq[(Long, Long, Long)], ref: Seq[(Long, Long, Long)],
+                      direction: String, tolerance: Long = Long.MaxValue): Map[Long, Option[Long]] = {
+    val p = graft.util.Snapshot(probe.toDF("k", "t", "pid"))
+    val r = graft.util.Snapshot(ref.toDF("k", "t", "rid"))
+    graft.operators.AsOf.joinMulti(p, r, Seq("k"), "t", Seq("k"), "t", "rid",
+        direction = direction, tolerance = tolerance)
+      .select("pid", "rid").as[(Long, Option[Long])].collect().toMap
+  }
+
+  test("asof forward: first at-or-after, exact inclusive, min id on ties, no-later null") {
+    val out = asofDir(
+      probe = Seq((1L, 15L, 900L), (1L, 10L, 901L), (1L, 25L, 902L), (2L, 9L, 903L)),
+      ref = Seq((1L, 10L, 100L), (1L, 20L, 102L), (1L, 20L, 101L)),
+      direction = "forward")
+    assert(out(900L).contains(101L)) // first at-or-after 15 is ts=20, MIN id wins the tie
+    assert(out(901L).contains(100L)) // exact match counts
+    assert(out(902L).isEmpty)        // nothing at-or-after 25
+    assert(out(903L).isEmpty)        // key 2 empty
+  }
+
+  test("asof nearest: closer side wins, equal gap resolves backward, tolerance nulls") {
+    val ref = Seq((1L, 10L, 100L), (1L, 20L, 101L))
+    assert(asofDir(Seq((1L, 13L, 900L)), ref, "nearest")(900L).contains(100L)) // gap 3 < 7
+    assert(asofDir(Seq((1L, 18L, 900L)), ref, "nearest")(900L).contains(101L)) // gap 2 < 8
+    assert(asofDir(Seq((1L, 15L, 900L)), ref, "nearest")(900L).contains(100L)) // tie -> backward
+    assert(asofDir(Seq((1L, 16L, 900L)), ref, "nearest", tolerance = 3L)(900L)
+      .isEmpty) // both gaps (6, 4) beyond tol 3
+    assert(asofDir(Seq((1L, 16L, 900L)), ref, "nearest", tolerance = 4L)(900L)
+      .contains(101L)) // only forward within tol
+  }
+
+  test("asof backward tolerance: candidate beyond the gap is discarded") {
+    val out = asofDir(
+      probe = Seq((1L, 15L, 900L), (1L, 30L, 901L)),
+      ref = Seq((1L, 10L, 100L)), direction = "backward", tolerance = 5L)
+    assert(out(900L).contains(100L)) // gap 5 inclusive
+    assert(out(901L).isEmpty)        // gap 20 > 5
+  }
+
+  test("asof directions+tolerance identical under adversarial partitioning") {
+    val probe = (0L until 200L).map(i => (i % 7, i * 3 % 50, 1000L + i))
+    val ref = (0L until 100L).map(i => (i % 7, i * 5 % 50, i))
+    val byKey = ref.groupBy(_._1)
+    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(Long.MaxValue, 7L)) {
+      val expect = probe.map { case (k, t, pid) =>
+        val rows = byKey.getOrElse(k, Nil)
+        val back = rows.filter(r => r._2 <= t && t - r._2 <= tol)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        val fwd = rows.filter(r => r._2 >= t && r._2 - t <= tol)
+          .sortBy(r => (r._2, r._3)).headOption.map(_._3)
+        val backGap = rows.filter(_._2 <= t).map(r => t - r._2).sorted.headOption
+        val fwdGap = rows.filter(_._2 >= t).map(r => r._2 - t).sorted.headOption
+        val want = dir match {
+          case "backward" => back
+          case "forward"  => fwd
+          case "nearest"  => (back, fwd) match {
+            case (Some(_), Some(_)) =>
+              if (backGap.get <= fwdGap.get) back else fwd
+            case (b, f) => b.orElse(f)
+          }
+        }
+        pid -> want
+      }.toMap
+      val out = asofDir(probe.map { case (k, t, p) => (k, t, p) },
+        ref, dir, tol)
+      assert(out == expect, s"direction $dir tol $tol mismatch")
+    }
+  }
+
+  test("asof rejects mixed-width key types (would hash-cluster apart)") {
+    val p = graft.util.Snapshot(Seq((1, 1L, 1L)).toDF("k", "t", "pid"))
+    val r = graft.util.Snapshot(Seq((1L, 1L, 1L)).toDF("k", "t", "rid"))
+    val e = intercept[Exception] {
+      graft.operators.AsOf.joinMulti(p, r, Seq("k"), "t", Seq("k"), "t", "rid").collect()
+    }
+    assert(e.getMessage.contains("type mismatch"), e.getMessage)
   }
 
   test("asof join: composite key matches per key VECTOR, never across") {

@@ -325,6 +325,26 @@ class PlanSpec extends AnyFunSuite {
       s"tiny bounds dim shuffled the fact side:\n$p")
   }
 
+  test("no buffering percentile() aggregate anywhere in the six rewritten plans") {
+    // VERDICT r6 #3: percentile() holds each group's value histogram in
+    // the agg buffer — O(group size) memory, an OOM on 100 TB groups.
+    // All six routes go through Stats.exactPercentiles (distinct-value
+    // prefix, O(1) task memory); a regression would reappear in the plan
+    // as a Percentile ObjectHashAggregate.
+    val six = Seq(
+      graft.queries.TrainQueries.all("evt_value_quantiles")(spark, sf),
+      graft.queries.TrainQueries.all("evt_trimmed_mean")(spark, sf),
+      graft.queries.TrainQueries.all("evt_winsorize")(spark, sf),
+      graft.queries.TrainQueries.all("evt_mad_zscore")(spark, sf),
+      graft.queries.TrainQueries.all("txt_quality_filter")(spark, sf),
+      SqlQueries.all("sql_median_mode")(spark, sf))
+    six.zipWithIndex.foreach { case (df, i) =>
+      val p = plan(df)
+      assert(!p.contains("percentile("),
+        s"buffering percentile aggregate back in plan #$i:\n$p")
+    }
+  }
+
   test("vocab overlap joins on the token hash-wise, never a nested loop") {
     val p = plan(graft.queries.TrainQueries.all("txt_vocab_overlap")(spark, sf))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")

@@ -20,14 +20,38 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(res_dir):
         print(f"{name}: MISSING spark output"); fails += 1; continue
     try:
-        got = con.sql(
-            f"SELECT * FROM parquet_scan('{res_dir}/*.parquet')").fetchdf()
-        exp = con.sql(sql).fetchdf()
+        got_rel = con.sql(f"SELECT * FROM parquet_scan('{res_dir}/*.parquet')")
+        exp_rel = con.sql(sql)
+        got, exp = got_rel.fetchdf(), exp_rel.fetchdf()
     except Exception as e:
         print(f"{name}: ORACLE ERROR {e}"); fails += 1; continue
     gc, ec = sorted(got.columns), sorted(exp.columns)
     if gc != ec:
         print(f"{name}: SCHEMA got {gc} want {ec}"); fails += 1; continue
+    # dtype check at the DuckDB level, BEFORE pandas coercion (fetchdf
+    # silently turns DECIMAL into float64 — the r6 evt_range_join_sql
+    # blind spot). Modeled on the driver's observed behavior: integer
+    # widths and DATE-vs-TIMESTAMP normalize away in its value hash
+    # (23 such queries were fully green in r6), but DECIMAL vs DOUBLE is
+    # representation-visible and fails — so families collapse, DECIMAL
+    # stays its own family.
+    def fam(t):
+        t = str(t)
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+            return "int"
+        if t in ("FLOAT", "DOUBLE"):
+            return "float"
+        if t.startswith("DECIMAL"):
+            return t  # exact precision/scale: any drift is hash-visible
+        if t in ("DATE", "TIMESTAMP", "TIMESTAMP WITH TIME ZONE"):
+            return "datetime"
+        return t
+    gt = dict(zip(got_rel.columns, (fam(t) for t in got_rel.types)))
+    et = dict(zip(exp_rel.columns, (fam(t) for t in exp_rel.types)))
+    dbad = [(c, gt[c], et[c]) for c in gc if gt[c] != et[c]]
+    if dbad:
+        print(f"{name}: DTYPES differ {dbad}"); fails += 1; continue
     g = got[gc].sort_values(gc).reset_index(drop=True)
     e = exp[ec].sort_values(ec).reset_index(drop=True)
     if len(g) != len(e):
