@@ -781,6 +781,34 @@ object TrainOracles {
         |FROM dir JOIN szs ON dir.src = szs.doc_id
         |WHERE CAST(common AS DOUBLE) / CAST(sz AS DOUBLE) >= 0.8""".stripMargin),
 
+    // leakage-matrix twin: the dedup_jaccard pair graph rolled up per
+    // unordered source pair; mean Jaccard through the same 1e-9-grain
+    // integer sum as the engine
+    "dedup_leak_matrix" -> (shinglePrelude +
+      """szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+        |freqok AS (
+        |  SELECT * FROM (SELECT doc_id, shingle,
+        |                 COUNT(*) OVER (PARTITION BY shingle) AS f FROM sh)
+        |  WHERE f <= 1000),
+        |cp AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM freqok a JOIN freqok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT d1, d2,
+        |         round(CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE), 9) AS jaccard
+        |  FROM cp JOIN szs s1 ON cp.d1 = s1.doc_id JOIN szs s2 ON cp.d2 = s2.doc_id
+        |  WHERE CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) >= 0.5),
+        |m AS (
+        |  SELECT LEAST(a.source, b.source) AS source_a,
+        |         GREATEST(a.source, b.source) AS source_b,
+        |         CAST(round(jaccard * 1000000000.0) AS BIGINT) AS j9
+        |  FROM jp JOIN documents a ON jp.d1 = a.doc_id
+        |          JOIN documents b ON jp.d2 = b.doc_id)
+        |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       round(CAST(SUM(j9) AS DOUBLE) / COUNT(*) / 1000000000.0, 9) AS avg_jaccard
+        |FROM m GROUP BY 1, 2""".stripMargin),
+
     // ppjoin twin: the NAIVE all-pairs exact Jaccard join, no prefix
     // logic and no frequency cap — the prefix filter is lossless, so
     // matching this naive result IS the losslessness proof
@@ -2052,6 +2080,21 @@ object TrainOracles {
         |SELECT event_id, e.event_type, value,
         |       round(LEAST(GREATEST(value, p_lo), p_hi), 9) AS clipped
         |FROM events e JOIN q USING (event_type)""".stripMargin,
+
+    // key-skew twin: quantile_cont over the per-key counts (bit-parity
+    // with Stats.exactPercentiles), ratio from the UNROUNDED median
+    "evt_key_skew" -> ErOracles.materializeCtes(
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1),
+        |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |             quantile_cont(cnt, 0.5) AS p50,
+        |             quantile_cont(cnt, 0.9) AS p90,
+        |             quantile_cont(cnt, 0.99) AS p99,
+        |             MAX(cnt) AS max_cnt FROM c)
+        |SELECT n_keys, round(p50, 9) AS p50, round(p90, 9) AS p90,
+        |       round(p99, 9) AS p99, max_cnt,
+        |       round(CAST(max_cnt AS DOUBLE) / p50, 9) AS skew_ratio
+        |FROM q""".stripMargin),
 
     // Tukey IQR fences: same pinned expression tree as the engine
     // (q1 - 1.5*(q3 - q1), q3 + 1.5*(q3 - q1)); filter on the unrounded

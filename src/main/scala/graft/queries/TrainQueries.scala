@@ -225,6 +225,26 @@ object TrainQueries {
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(shingles3(s, d), threshold = 0.8)),
 
+    // cross-source duplication leakage matrix: near-dup pairs (the
+    // memoized Jaccard>=0.5 graph) rolled up per unordered source pair —
+    // the "is my eval source contaminated by my train source" report.
+    // Mean Jaccard via exact 1e-9-grain integer sums (partitioning-proof)
+    "dedup_leak_matrix" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      jaccardPairs05(s, d)
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), Seq("d1"))
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), Seq("d2"))
+        .select(least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"),
+          graft.functions.FastRound.round(col("jaccard") * lit(1e9), 0)
+            .cast("long").as("j9"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          graft.functions.FastRound.round(
+            sum(col("j9")).cast("double") / count(lit(1)) / lit(1e9), 9)
+            .as("avg_jaccard"))
+    }),
+
     "dedup_ppjoin" -> ((s, d) =>
       Dedup.ppjoinPairs(ppjoinIdx(s, d), threshold = 0.5)),
 
@@ -1461,6 +1481,29 @@ object TrainQueries {
         .select(col("event_id"), col("event_type"), col("value"),
           graft.functions.FastRound.round(
             least(greatest(col("value"), col("p_lo")), col("p_hi")), 9).as("clipped"))
+    }),
+
+    // key-skew report: the diagnostic you run BEFORE choosing a salt
+    // factor or bucket count — per-key count quantiles (via the
+    // distributed exact percentile, one synthetic group) + max and the
+    // max/median skew ratio. The shuffles carry distinct COUNT values
+    // only, so the report itself is safe on a 100 TB key space
+    "evt_key_skew" -> ((s, d) => {
+      val counts = events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val q = graft.operators.Stats.exactPercentiles(
+        counts.withColumn("g", lit(1)), Seq("g"), "cnt",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
+        countCol = Some("n_keys"))
+      val m = counts.agg(max(col("cnt")).as("max_cnt"))
+      q.crossJoin(broadcast(m)).select(
+        col("n_keys"),
+        graft.functions.FastRound.round(col("p50"), 9).as("p50"),
+        graft.functions.FastRound.round(col("p90"), 9).as("p90"),
+        graft.functions.FastRound.round(col("p99"), 9).as("p99"),
+        col("max_cnt"),
+        graft.functions.FastRound.round(
+          col("max_cnt").cast("double") / col("p50"), 9).as("skew_ratio"))
     }),
 
     // Tukey IQR fences per type over the exact distributed percentiles:

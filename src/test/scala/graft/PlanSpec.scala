@@ -325,6 +325,20 @@ class PlanSpec extends AnyFunSuite {
       s"tiny bounds dim shuffled the fact side:\n$p")
   }
 
+  test("key-skew report: exact-percentile spine, 1-row max broadcast, no Percentile agg") {
+    val p = plan(graft.queries.TrainQueries.all("evt_key_skew")(spark, sf))
+    assert(!p.contains("percentile("),
+      s"buffering percentile aggregate in the skew report:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row max not broadcast in:\n$p")
+  }
+
+  test("leak matrix joins the pair graph to sources hash-wise, never a nested loop") {
+    val p = plan(graft.queries.TrainQueries.all("dedup_leak_matrix")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the leak matrix:\n$p")
+  }
+
   test("no buffering percentile() aggregate anywhere in the six rewritten plans") {
     // VERDICT r6 #3: percentile() holds each group's value histogram in
     // the agg buffer — O(group size) memory, an OOM on 100 TB groups.

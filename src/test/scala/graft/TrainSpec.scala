@@ -74,6 +74,19 @@ class TrainSpec extends AnyFunSuite {
     assert(math.abs(r.head._3 - 1.0 / 3.0) < 1e-6)
   }
 
+  test("containmentPairs is asymmetric: small-in-big fires one direction only") {
+    // doc 1's shingles: {a b c, b c d} — BOTH inside doc 2's set
+    // {a b c, b c d, c d e, d e f}; C(1→2)=1.0, C(2→1)=0.5
+    val df = docs((1L, "a b c d"), (2L, "a b c d e f"))
+    val r = Dedup.containmentPairs(Dedup.shingles(df, 3), threshold = 0.8)
+      .select("src", "dst", "containment").as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((1L, 2L, 1.0))) // 2→1 at 0.5 is below the gate
+    val both = Dedup.containmentPairs(Dedup.shingles(df, 3), threshold = 0.4)
+      .select("src", "dst", "containment").as[(Long, Long, Double)]
+      .collect().map { case (s, d2, c) => s -> ((d2, c)) }.toMap
+    assert(both(1L) == ((2L, 1.0)) && both(2L) == ((1L, 0.5)))
+  }
+
   test("minhash LSH finds near-identical docs") {
     val df = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
