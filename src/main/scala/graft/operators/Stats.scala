@@ -87,25 +87,39 @@ object Stats {
    * @return one row per group: groupCols ++ ps ++ countCol, percentiles
    *         as doubles
    */
+  /** Shared spine of the exact-percentile family: one row per distinct
+   * (group, value) carrying `cumg` = #rows in the group with value <= x
+   * (inclusive rank prefix) and the group size `n_g`. Two O(N) passes,
+   * shuffles carry distinct values only. */
+  private def rankedPrefix(df: DataFrame, groupCols: Seq[String],
+                           valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(struct(groupCols.map(col): _*).as("g"), col(valueCol).as("x"))
+    val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+    val cum = graft.util.Prefix.runningSum(vc,
+      Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
+    // per-group offsets through the SAME distributed prefix (one row per
+    // group, unique order) — no single-partition window, no forced
+    // broadcast: unlike the bounded-group callers of quantileBins, this
+    // operator must survive millions of groups (per-user percentiles),
+    // so AQE picks broadcast vs shuffle join from the actual group count
+    val off = graft.util.Prefix.runningSum(
+        vc.groupBy("g").agg(sum("cnt").as("n_g")),
+        Seq(col("g").asc), col("n_g").cast("double"), "cumN")
+      .select(col("g"), col("n_g"),
+        (col("cumN") - col("n_g").cast("double")).as("off"))
+    cum.join(off, Seq("g"))
+      .select(col("g"), col("x"),
+        (col("cum") - col("off")).cast("long").as("cumg"), col("n_g"))
+  }
+
   def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        ps: Seq[(String, Double)],
                        countCol: Option[String] = None): DataFrame = {
     require(groupCols.nonEmpty && ps.nonEmpty)
     require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       s"percentiles must be in [0,1]: $ps")
-    val base = df.filter(col(valueCol).isNotNull)
-      .select(struct(groupCols.map(col): _*).as("g"), col(valueCol).as("x"))
-    val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
-    val cum = graft.util.Prefix.runningSum(vc,
-      Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
-    val off = vc.groupBy("g").agg(sum("cnt").as("n_g"))
-      .withColumn("off", coalesce(sum(col("n_g").cast("double")).over(
-        Window.orderBy("g") // one row per GROUP: bounded window
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
-    // cumg = #rows in the group with value <= x (inclusive rank prefix)
-    val ranked = cum.join(broadcast(off), Seq("g"))
-      .select(col("g"), col("x"),
-        (col("cum") - col("off")).cast("long").as("cumg"), col("n_g"))
+    val ranked = rankedPrefix(df, groupCols, valueCol)
     val braceAggs = ps.flatMap { case (nm, p) =>
       val pos = (col("n_g") - 1).cast("double") * lit(p)
       Seq(
@@ -127,6 +141,36 @@ object Stats {
     }
     val outCols = groupCols.map(c => col("g").getField(c).as(c)) ++
       outPs ++ countCol.map(nc => col("_n").as(nc)).toSeq
+    agg.select(outCols: _*)
+  }
+
+  /**
+   * DISCRETE exact percentiles per group — an actually-occurring value,
+   * never an interpolation: the value at 0-indexed rank
+   * `ceil(p*n) - 1` (clamped to 0), which is DuckDB's `quantile_disc`
+   * (probed: (n=10, p=0.95) → the max; (n=4, p=0.5) → the 2nd).
+   * Output keeps the INPUT column's type — on integer inputs the result
+   * is exact with no doubles anywhere. Same [[rankedPrefix]] spine as
+   * [[exactPercentiles]]: O(1) task memory, distinct-value shuffles.
+   */
+  def exactPercentilesDisc(df: DataFrame, groupCols: Seq[String],
+                           valueCol: String, ps: Seq[(String, Double)],
+                           countCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty && ps.nonEmpty)
+    require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"percentiles must be in [0,1]: $ps")
+    val ranked = rankedPrefix(df, groupCols, valueCol)
+    val braceAggs = ps.map { case (nm, p) =>
+      // 1-indexed target rank: max(1, ceil(p * n)) — p*n in doubles,
+      // matching DuckDB's float index computation
+      val k = greatest(lit(1L), ceil(lit(p) * col("n_g").cast("double")))
+      min(when(col("cumg") >= k, col("x"))).as(nm)
+    }
+    val allAggs = min(col("n_g")).as("_n") +: braceAggs
+    val agg = ranked.groupBy("g").agg(allAggs.head, allAggs.tail: _*)
+    val outCols = groupCols.map(c => col("g").getField(c).as(c)) ++
+      ps.map { case (nm, _) => col(nm) } ++
+      countCol.map(nc => col("_n").as(nc)).toSeq
     agg.select(outCols: _*)
   }
 

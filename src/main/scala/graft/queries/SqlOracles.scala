@@ -294,6 +294,54 @@ object SqlOracles {
         |SELECT CAST(promo_cents AS DOUBLE) / 100.0 AS promo_revenue,
         |       CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue,
         |       round(100.0 * CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 9) AS promo_share
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Q21 adaptation: the oracle keeps the textbook EXISTS / NOT EXISTS
+    // correlated form — agreement with the engine's per-order aggregate
+    // rewrite proves the rewrite
+    "sql_waiting_supplier" ->
+      """WITH w AS (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_returnflag = 'R'))
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 20""".stripMargin,
+
+    // Q2 shape: the oracle keeps the correlated scalar subquery the
+    // engine rewrote into a per-brand MIN join; cent-exact equality
+    "sql_min_price_part" ->
+      """SELECT p_brand, p_partkey,
+        |       CAST(CAST(round(p_retailprice * 100) AS BIGINT) AS DOUBLE) / 100.0 AS p_retailprice
+        |FROM part p
+        |WHERE CAST(round(p_retailprice * 100) AS BIGINT) =
+        |  (SELECT MIN(CAST(round(p2.p_retailprice * 100) AS BIGINT))
+        |   FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
+
+    "sql_value_concentration" ->
+      """WITH b AS (SELECT p_brand,
+        |                  CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS brand_cents
+        |           FROM part GROUP BY 1),
+        |g AS (SELECT CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |      FROM part)
+        |SELECT p_brand, CAST(brand_cents AS DOUBLE) / 100.0 AS brand_value,
+        |       round(CAST(brand_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 9) AS share
+        |FROM b, g WHERE brand_cents * 50 > total_cents""".stripMargin,
+
+    "sql_supplier_variety" ->
+      """SELECT p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_type""".stripMargin
   )
 }

@@ -468,6 +468,74 @@ object SqlQueries {
           (col("total_cents").cast("double") / 100.0).as("total_revenue"),
           graft.functions.FastRound.round(lit(100.0) * col("promo_cents").cast("double")
             / col("total_cents").cast("double"), 9).as("promo_share"))
-    })
+    }),
+
+    // TPC-H Q21 shape (adapted: l_returnflag 'R' plays the late-receipt
+    // role — the schema has no commit/receipt dates): suppliers who were
+    // the ONLY 'R' supplier on a multi-supplier finished order. The two
+    // correlated EXISTS / NOT EXISTS subqueries are rewritten as ONE
+    // per-order aggregate (distinct suppliers, distinct 'R' suppliers):
+    // a single pass over lineitem instead of two more self-joins — the
+    // rewrite that matters when lineitem is the 100 TB table. Oracle
+    // keeps the EXISTS form, so agreement proves the rewrite.
+    "sql_waiting_supplier" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val perOrder = li.groupBy(col("l_orderkey").as("agg_ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_late_supp"))
+      li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder, col("l_orderkey") === col("agg_ok"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q2 shape: correlated scalar subquery — each brand's
+    // cheapest part(s). The subquery becomes a per-brand MIN joined
+    // back; equality on the exact cent value, never on a double
+    "sql_min_price_part" -> ((s, d) => {
+      val p = t(s, d, "part").withColumn("price_cents", cents(col("p_retailprice")))
+      val mins = p.groupBy(col("p_brand").as("mb"))
+        .agg(min(col("price_cents")).as("min_cents"))
+      p.join(mins, col("p_brand") === col("mb") &&
+          col("price_cents") === col("min_cents"))
+        .select(col("p_brand"), col("p_partkey"),
+          (col("price_cents").cast("double") / 100.0).as("p_retailprice"))
+    }),
+
+    // TPC-H Q11 shape: HAVING against a GLOBAL aggregate scalar —
+    // brands holding more than 2% of total retail value. The comparison
+    // stays in exact integer cents (s * 50 > total, no division)
+    "sql_value_concentration" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val byBrand = p.groupBy("p_brand")
+        .agg(sum(cents(col("p_retailprice"))).as("brand_cents"))
+      val total = p.agg(sum(cents(col("p_retailprice"))).as("total_cents"))
+      byBrand.crossJoin(broadcast(total))
+        .filter(col("brand_cents") * 50 > col("total_cents"))
+        .select(col("p_brand"),
+          (col("brand_cents").cast("double") / 100.0).as("brand_value"),
+          graft.functions.FastRound.round(
+            col("brand_cents").cast("double") / col("total_cents").cast("double"), 9)
+            .as("share"))
+    }),
+
+    // TPC-H Q16 shape: NOT IN anti-join + distinct count — how many
+    // distinct suppliers (excluding negative-balance ones) ship each
+    // part type, via the lineitem link table
+    "sql_supplier_variety" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(t(s, d, "supplier")
+            .filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt")))
   )
 }

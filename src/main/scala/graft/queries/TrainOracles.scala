@@ -268,6 +268,20 @@ object TrainOracles {
   }
 
   /** txt_analysis SQL, shared by the curation oracle. */
+  /** Per-language p25 quality gate twin — shared by the batch
+   * (`txt_quality_filter`) and streaming (`txt_quality_filter_stream`)
+   * drives. */
+  private lazy val qualityFilterSql: String =
+    s"""WITH q AS (
+       |  SELECT d.doc_id, d.lang, ta.quality
+       |  FROM ( ${txtAnalysisSql} ) ta JOIN documents d USING (doc_id)),
+       |th AS (
+       |  SELECT lang, round(quantile_cont(quality, 0.25), 9) AS q_threshold
+       |  FROM q GROUP BY lang)
+       |SELECT q.doc_id, q.lang, q.quality, th.q_threshold
+       |FROM q JOIN th USING (lang)
+       |WHERE q.quality >= th.q_threshold""".stripMargin
+
   private lazy val txtAnalysisSql: String =
       s"""WITH base AS (
          |  SELECT doc_id, text, trim(text) AS tt, lower(text) AS lt FROM documents),
@@ -1254,6 +1268,18 @@ object TrainOracles {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // discrete-quantile twin: DuckDB's native quantile_disc over the
+    // same exact cent encoding — integers end to end
+    "evt_quantiles_disc" -> ErOracles.materializeCtes(
+      """WITH s AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |           FROM events)
+        |SELECT event_type,
+        |       quantile_disc(vc, 0.25) AS p25,
+        |       quantile_disc(vc, 0.5) AS p50,
+        |       quantile_disc(vc, 0.75) AS p75,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s GROUP BY event_type""".stripMargin),
+
     "evt_windowed_agg_stream" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n,
@@ -1471,16 +1497,12 @@ object TrainOracles {
 
     // per-language exact p25 gate over the same rounded quality score as
     // txt_analysis; quantile_cont == Spark's exact interpolated percentile
-    "txt_quality_filter" ->
-      s"""WITH q AS (
-         |  SELECT d.doc_id, d.lang, ta.quality
-         |  FROM ( $txtAnalysisSql ) ta JOIN documents d USING (doc_id)),
-         |th AS (
-         |  SELECT lang, round(quantile_cont(quality, 0.25), 9) AS q_threshold
-         |  FROM q GROUP BY lang)
-         |SELECT q.doc_id, q.lang, q.quality, th.q_threshold
-         |FROM q JOIN th USING (lang)
-         |WHERE q.quality >= th.q_threshold""".stripMargin,
+    "txt_quality_filter" -> qualityFilterSql,
+
+    // the streaming drive is a stateless stream-static broadcast join
+    // against the SAME trained thresholds: one AvailableNow drain of the
+    // whole table == the batch gate, so the twin is shared verbatim
+    "txt_quality_filter_stream" -> qualityFilterSql,
 
     // sliding 32-token windows every 24 tokens over the normalized
     // token stream; final windows may be short, empty docs emit nothing

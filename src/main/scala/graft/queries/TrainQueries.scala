@@ -607,6 +607,17 @@ object TrainQueries {
           graft.functions.FastRound.round(col("p95"), 9).as("p95"),
           col("n"))),
 
+    // DISCRETE quartiles over exact cent values: an actually-occurring
+    // value per group (quantile_disc), pure BIGINT end to end — zero
+    // float parity surface
+    "evt_quantiles_disc" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type"),
+        graft.functions.FastRound.round(col("value") * 100, 0)
+          .cast("long").as("vc"))
+      graft.operators.Stats.exactPercentilesDisc(e, Seq("event_type"), "vc",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), countCol = Some("n"))
+    }),
+
     "evt_windowed_agg_stream" -> ((s, d) =>
       EventStreams.windowedAggStreaming(s, d)),
 
@@ -1070,6 +1081,12 @@ object TrainQueries {
     // per-language p25 quality gate (exact interpolated percentile)
     "txt_quality_filter" -> ((s, d) =>
       graft.text.Curation.qualityGate(docs(s, d), p = 0.25)),
+
+    // the gate's deployment shape: thresholds trained on the standing
+    // corpus, incoming docs scored as a stateless stream-static
+    // broadcast join (no state store); full-table drain == batch gate
+    "txt_quality_filter_stream" -> ((s, d) =>
+      EventStreams.qualityGateStreaming(s, d)),
 
     // RAG-style sliding windows: 32-token chunks every 24 tokens
     "txt_chunk_overlap" -> ((s, d) =>

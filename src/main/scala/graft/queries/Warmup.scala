@@ -83,6 +83,10 @@ object Warmup {
           // 1.75s steady) — pay it after the text caches it feeds on
           step("train/first_decon_spans_stream")(
             TrainQueries.all("txt_decon_spans_stream")(s, d).count())
+          // the streaming quality gate's first drain: checkpoint setup
+          // + stream codegen, serialized after the other doc streams
+          step("train/first_qgate_stream")(
+            TrainQueries.all("txt_quality_filter_stream")(s, d).count())
         },
         task("train/fingerprints")(TrainQueries.warmFingerprints(s, d)),
         task("train/embeddings") {
@@ -105,6 +109,10 @@ object Warmup {
           // 9.6s run1 vs 2.0s steady in the r6 pre-bench
           step("train/first_lsh_stream")(
             TrainQueries.all("dedup_lsh_stream")(s, d).count())
+          // recall-calibration join over the same index: its own plan
+          // compile (sf0.1 bench: 2.9s run1 vs 0.14s steady)
+          step("train/first_lsh_recall")(
+            TrainQueries.all("dedup_lsh_recall")(s, d).count())
         },
         // GSPSN depends only on the raw blocking keys: run both variants
         // once here — the window-sweep emission generates large codegen

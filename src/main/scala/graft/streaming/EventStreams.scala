@@ -422,6 +422,29 @@ object EventStreams {
       drainAvailableNow(marked, "txt_decon_spans_stream", "append"), L)
   }
 
+  /**
+   * Deployment shape of the per-language quality gate: thresholds
+   * TRAINED on the standing corpus
+   * ([[graft.text.Curation.qualityThresholds]] — the distributed exact
+   * percentile, snapshotted once), incoming documents scored as a
+   * stateless stream-static broadcast join — no state store, the stream
+   * filters at projection speed. Draining the whole table in one
+   * AvailableNow batch equals the batch gate
+   * ([[graft.text.Curation.qualityGate]]), which is the DuckDB twin.
+   */
+  def qualityGateStreaming(spark0: SparkSession, dir: String,
+                           p: Double = 0.25): DataFrame = {
+    val spark = streamSession(spark0)
+    val standing = spark.read.parquet(s"$dir/documents.parquet")
+    val th = graft.util.Snapshot(
+      graft.text.Curation.qualityThresholds(standing, p))
+    val stream = reader(spark, standing.schema)
+      .parquet(streamDirFor(dir, "docs_qgate_", "documents.parquet"))
+    drainAvailableNow(
+      graft.text.Curation.qualityGateScore(stream, th),
+      "txt_quality_filter_stream", "append")
+  }
+
   def lshIngestStreaming(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema

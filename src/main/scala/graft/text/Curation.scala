@@ -715,20 +715,38 @@ object Curation {
    *
    * Returns (doc_id, lang, quality, q_threshold) for surviving docs.
    */
-  def qualityGate(docs: DataFrame, p: Double = 0.25,
-                  textCol: String = "text", idCol: String = "doc_id",
-                  langCol: String = "lang"): DataFrame = {
+  /** The gate's trained artifact on its own: per-language 9-dp-rounded
+   * p-th quality quantile — broadcastable, and reusable by the streaming
+   * drive ([[graft.streaming.EventStreams.qualityGateStreaming]]). */
+  def qualityThresholds(docs: DataFrame, p: Double,
+                        textCol: String = "text",
+                        langCol: String = "lang"): DataFrame = {
     require(p >= 0 && p <= 1, s"quantile p must be in [0,1], got $p")
-    val scored = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+    val scored = docs.select(col(langCol).as("lang"),
       graft.text.TextAnalysis.qualityScore(col(textCol)).as("quality"))
-    val th = graft.operators.Stats.exactPercentiles(scored,
+    graft.operators.Stats.exactPercentiles(scored,
         Seq("lang"), "quality", Seq("q" -> p))
       .select(col("lang"),
         graft.functions.FastRound.round(col("q"), 9).as("q_threshold"))
-    scored.join(broadcast(th), Seq("lang"))
+  }
+
+  /** Score + filter against per-language thresholds — shared by the
+   * batch gate and the streaming drive (works on a batch frame or a
+   * readStream micro-batch: stateless projection + broadcast join). */
+  def qualityGateScore(docs: DataFrame, thresholds: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       langCol: String = "lang"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        graft.text.TextAnalysis.qualityScore(col(textCol)).as("quality"))
+      .join(broadcast(thresholds), Seq("lang"))
       .filter(col("quality") >= col("q_threshold"))
       .select("doc_id", "lang", "quality", "q_threshold")
-  }
+
+  def qualityGate(docs: DataFrame, p: Double = 0.25,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  langCol: String = "lang"): DataFrame =
+    qualityGateScore(docs, qualityThresholds(docs, p, textCol, langCol),
+      textCol, idCol, langCol)
 
   /**
    * Sliding-window chunking with overlap — the RAG / context-window

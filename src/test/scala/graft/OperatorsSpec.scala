@@ -281,6 +281,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactPercentilesDisc picks the value at rank ceil(p*n)-1 (quantile_disc)") {
+    val ps = Seq("p05" -> 0.05, "p25" -> 0.25, "p50" -> 0.5,
+      "p75" -> 0.75, "p95" -> 0.95, "p100" -> 1.0)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 300).map(_ =>
+        (s"g${rnd.nextInt(5)}", rnd.nextInt(20).toLong)) :+ (("solo", 7L))
+      val df = rows.toDF("g", "x").repartition(5)
+      val got = graft.operators.Stats
+        .exactPercentilesDisc(df, Seq("g"), "x", ps, countCol = Some("n"))
+        .collect().map(r => r.getString(0) ->
+          (ps.indices.map(i => r.getLong(1 + i)), r.getLong(1 + ps.size))).toMap
+      val grouped = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sorted }
+      assert(got.keySet == grouped.keySet)
+      for ((g, vals) <- grouped) {
+        for (((nm, p), i) <- ps.zipWithIndex) {
+          val k = math.max(1L, math.ceil(p * vals.size).toLong).toInt
+          assert(got(g)._1(i) == vals(k - 1), s"seed $seed group $g $nm")
+        }
+        assert(got(g)._2 == vals.size.toLong, s"seed $seed group $g count")
+      }
+    }
+  }
+
   test("spearman is invariant to repartitioning (bit-identical rho)") {
     val df = (1 to 200).map(i => ("g", (i % 17).toDouble, (i % 23).toLong))
       .toDF("g", "x", "y")

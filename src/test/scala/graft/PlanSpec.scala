@@ -325,6 +325,35 @@ class PlanSpec extends AnyFunSuite {
       s"tiny bounds dim shuffled the fact side:\n$p")
   }
 
+  test("waiting-supplier (Q21): aggregate rewrite scans lineitem twice, not thrice; top-k pushed") {
+    val p = plan(SqlQueries.all("sql_waiting_supplier")(spark, sf))
+    // textbook EXISTS + NOT EXISTS = 3 lineitem scans (probe + semi +
+    // anti); the per-order aggregate rewrite needs only probe + aggregate
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"lineitem scanned $scans times in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("supplier-variety (Q16): NOT IN plans as a broadcast anti-join") {
+    val df = SqlQueries.all("sql_supplier_variety")(spark, sf)
+    df.collect()
+    // the INITIAL plan, not the AQE-final one: at this sf the excluded
+    // set is empty and AQE's empty-relation propagation rightly deletes
+    // the anti-join — the pin is about the shape AQE starts from
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"no anti-join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("value-concentration (Q11): global total is a 1-row broadcast") {
+    val p = plan(SqlQueries.all("sql_value_concentration")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row total not broadcast in:\n$p")
+    assert("part\\.parquet".r.findAllIn(p).length == 2,
+      s"part should feed the two aggregates once each in:\n$p")
+  }
+
   test("key-skew report: exact-percentile spine, 1-row max broadcast, no Percentile agg") {
     val p = plan(graft.queries.TrainQueries.all("evt_key_skew")(spark, sf))
     assert(!p.contains("percentile("),
