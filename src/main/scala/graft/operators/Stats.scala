@@ -92,10 +92,12 @@ object Stats {
    * (inclusive rank prefix) and the group size `n_g`. Two O(N) passes,
    * shuffles carry distinct values only. */
   private def rankedPrefix(df: DataFrame, groupCols: Seq[String],
-                           valueCol: String): DataFrame = {
+                           valueCol: String,
+                           weight: Column = lit(1L)): DataFrame = {
     val base = df.filter(col(valueCol).isNotNull)
-      .select(struct(groupCols.map(col): _*).as("g"), col(valueCol).as("x"))
-    val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+      .select(struct(groupCols.map(col): _*).as("g"), col(valueCol).as("x"),
+        weight.cast("long").as("_w"))
+    val vc = base.groupBy("g", "x").agg(sum(col("_w")).as("cnt"))
     val cum = graft.util.Prefix.runningSum(vc,
       Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
     // per-group offsets through the SAME distributed prefix (one row per
@@ -171,6 +173,40 @@ object Stats {
     val outCols = groupCols.map(c => col("g").getField(c).as(c)) ++
       ps.map { case (nm, _) => col(nm) } ++
       countCol.map(nc => col("_n").as(nc)).toSeq
+    agg.select(outCols: _*)
+  }
+
+  /**
+   * WEIGHTED discrete quantiles per group: the smallest value whose
+   * inclusive cumulative WEIGHT reaches `p` of the group's total weight
+   * — e.g. a quality threshold placed by token MASS rather than document
+   * count, so one giant document counts as its size, not as one vote.
+   * Weights must be non-negative integers (token counts, byte sizes);
+   * all rank arithmetic stays in exact BIGINT sums, the only doubles are
+   * the `cumW >= p·W` threshold compares, which the DuckDB twin states
+   * identically. Same [[rankedPrefix]] spine: O(1) task memory,
+   * distinct-value shuffles.
+   *
+   * @param totalCol if set, also emit the group's total weight
+   */
+  def weightedQuantilesDisc(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String, weightCol: String,
+                            ps: Seq[(String, Double)],
+                            totalCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty && ps.nonEmpty)
+    require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"quantiles must be in [0,1]: $ps")
+    val ranked = rankedPrefix(df.filter(col(weightCol).isNotNull),
+      groupCols, valueCol, col(weightCol))
+    val braceAggs = ps.map { case (nm, p) =>
+      min(when(col("cumg").cast("double") >=
+        lit(p) * col("n_g").cast("double"), col("x"))).as(nm)
+    }
+    val allAggs = min(col("n_g")).as("_n") +: braceAggs
+    val agg = ranked.groupBy("g").agg(allAggs.head, allAggs.tail: _*)
+    val outCols = groupCols.map(c => col("g").getField(c).as(c)) ++
+      ps.map { case (nm, _) => col(nm) } ++
+      totalCol.map(nc => col("_n").as(nc)).toSeq
     agg.select(outCols: _*)
   }
 

@@ -1504,6 +1504,27 @@ object TrainOracles {
     // whole table == the batch gate, so the twin is shared verbatim
     "txt_quality_filter_stream" -> qualityFilterSql,
 
+    // token-weighted quantile twin: cumulative token mass over the
+    // quality order, smallest value reaching p of the total — the same
+    // cumW >= p*W compare the engine states, exact BIGINT ranks
+    "txt_token_weighted_quality" ->
+      s"""WITH q AS (
+         |  SELECT d.lang, ta.quality, CAST(ta.n_tokens AS BIGINT) AS w
+         |  FROM ( $txtAnalysisSql ) ta JOIN documents d USING (doc_id)),
+         |c AS (SELECT lang, quality, CAST(SUM(w) AS BIGINT) AS w
+         |      FROM q GROUP BY 1, 2),
+         |cw AS (SELECT lang, quality,
+         |              CAST(SUM(w) OVER (PARTITION BY lang ORDER BY quality) AS BIGINT) AS cum,
+         |              CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+         |       FROM c)
+         |SELECT lang,
+         |       MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.25 * CAST(tot AS DOUBLE)
+         |                THEN quality END) AS q25,
+         |       MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
+         |                THEN quality END) AS q50,
+         |       MAX(tot) AS total_tokens
+         |FROM cw GROUP BY lang""".stripMargin,
+
     // sliding 32-token windows every 24 tokens over the normalized
     // token stream; final windows may be short, empty docs emit nothing
     "txt_chunk_overlap" ->

@@ -1088,6 +1088,19 @@ object TrainQueries {
     "txt_quality_filter_stream" -> ((s, d) =>
       EventStreams.qualityGateStreaming(s, d)),
 
+    // token-MASS-weighted quality quantiles per language: the threshold
+    // below which 25%/50% of TOKENS (not documents) sit — the quantity a
+    // token-budgeted pretraining mix actually allocates by; one giant
+    // doc counts as its size, not one vote. Exact BIGINT weight ranks
+    "txt_token_weighted_quality" -> ((s, d) => {
+      val ta = TextAnalysis.analyze(docs(s, d), "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      graft.operators.Stats.weightedQuantilesDisc(
+        ta.join(docs(s, d).select("doc_id", "lang"), Seq("doc_id")),
+        Seq("lang"), "quality", "n_tokens",
+        Seq("q25" -> 0.25, "q50" -> 0.5), totalCol = Some("total_tokens"))
+    }),
+
     // RAG-style sliding windows: 32-token chunks every 24 tokens
     "txt_chunk_overlap" -> ((s, d) =>
       graft.text.Curation.chunkOverlap(docs(s, d), w = 32, stride = 24)),

@@ -305,6 +305,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedQuantilesDisc places thresholds by weight mass, not row count") {
+    // W=10; cum: 1.0→1, 2.0→2, 3.0→10. p=0.1 → cum≥1 → 1.0;
+    // p=0.2 → cum≥2 → 2.0; p=0.5 → cum≥5 → 3.0 (the heavy value
+    // dominates — a row-count median would say 2.0)
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 8L))
+      .toDF("g", "x", "w").repartition(3)
+    val r = graft.operators.Stats.weightedQuantilesDisc(df, Seq("g"), "x", "w",
+      Seq("q10" -> 0.1, "q20" -> 0.2, "q50" -> 0.5),
+      totalCol = Some("tw")).collect().head
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 2.0
+      && r.getDouble(3) == 3.0 && r.getLong(4) == 10L)
+  }
+
   test("spearman is invariant to repartitioning (bit-identical rho)") {
     val df = (1 to 200).map(i => ("g", (i % 17).toDouble, (i % 23).toLong))
       .toDF("g", "x", "y")
