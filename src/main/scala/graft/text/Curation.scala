@@ -722,13 +722,15 @@ object Curation {
                         textCol: String = "text",
                         langCol: String = "lang"): DataFrame = {
     require(p >= 0 && p <= 1, s"quantile p must be in [0,1], got $p")
-    val scored = docs.select(col(langCol).as("lang"),
-      graft.text.TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    thresholdsFromScored(docs.select(col(langCol).as("lang"),
+      graft.text.TextAnalysis.qualityScore(col(textCol)).as("quality")), p)
+  }
+
+  private def thresholdsFromScored(scored: DataFrame, p: Double): DataFrame =
     graft.operators.Stats.exactPercentiles(scored,
         Seq("lang"), "quality", Seq("q" -> p))
       .select(col("lang"),
         graft.functions.FastRound.round(col("q"), 9).as("q_threshold"))
-  }
 
   /** Score + filter against per-language thresholds — shared by the
    * batch gate and the streaming drive (works on a batch frame or a
@@ -744,9 +746,18 @@ object Curation {
 
   def qualityGate(docs: DataFrame, p: Double = 0.25,
                   textCol: String = "text", idCol: String = "doc_id",
-                  langCol: String = "lang"): DataFrame =
-    qualityGateScore(docs, qualityThresholds(docs, p, textCol, langCol),
-      textCol, idCol, langCol)
+                  langCol: String = "lang"): DataFrame = {
+    require(p >= 0 && p <= 1, s"quantile p must be in [0,1], got $p")
+    // score ONCE and materialize: the fused token-stats expression is
+    // the dominant cost, and both the threshold aggregate and the gate
+    // read it — without the snapshot each would recompute the scan
+    val scored = graft.util.Snapshot(docs.select(
+      col(idCol).as("doc_id"), col(langCol).as("lang"),
+      graft.text.TextAnalysis.qualityScore(col(textCol)).as("quality")))
+    scored.join(broadcast(thresholdsFromScored(scored, p)), Seq("lang"))
+      .filter(col("quality") >= col("q_threshold"))
+      .select("doc_id", "lang", "quality", "q_threshold")
+  }
 
   /**
    * Sliding-window chunking with overlap — the RAG / context-window
