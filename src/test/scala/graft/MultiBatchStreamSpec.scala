@@ -149,6 +149,17 @@ class MultiBatchStreamSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("streaming quality gate over 4 micro-batches equals the batch gate") {
+    // stateless stream-static scoring against corpus-trained thresholds:
+    // a 4-way split must reproduce the batch gate exactly (thresholds
+    // are trained on the STANDING table, identical in both drives)
+    val docs = spark.read.parquet(s"$docsSplitDir/documents.parquet")
+    val expect = sortedRows(graft.text.Curation.qualityGate(docs, p = 0.25))
+    val got = withOneFilePerTrigger(
+      sortedRows(EventStreams.qualityGateStreaming(spark, docsSplitDir)))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("streaming as-of enrichment over 4 micro-batches equals the batch custom exec") {
     // the foreachBatch drive of AsOfJoinExec is stateless per probe row,
     // so a 4-way batch split must reproduce the single-batch answer bit
