@@ -432,12 +432,20 @@ object EventStreams {
    * AvailableNow batch equals the batch gate
    * ([[graft.text.Curation.qualityGate]]), which is the DuckDB twin.
    */
+  private val qgateThresholdPath =
+    scala.collection.concurrent.TrieMap.empty[(String, Double), String]
+
   def qualityGateStreaming(spark0: SparkSession, dir: String,
                            p: Double = 0.25): DataFrame = {
     val spark = streamSession(spark0)
     val standing = spark.read.parquet(s"$dir/documents.parquet")
-    val th = graft.util.Snapshot(
-      graft.text.Curation.qualityThresholds(standing, p))
+    // the trained artifact is a property of the STANDING corpus — train
+    // once per (dir, p) and path-cache the snapshot (the dedup_lsh_stream
+    // pattern), so each drain pays scoring + join, not re-training
+    val thPath = qgateThresholdPath.getOrElseUpdate((dir, p),
+      graft.util.Snapshot.materialize(
+        graft.text.Curation.qualityThresholds(standing, p))._1)
+    val th = spark.read.parquet(thPath)
     val stream = reader(spark, standing.schema)
       .parquet(streamDirFor(dir, "docs_qgate_", "documents.parquet"))
     drainAvailableNow(
