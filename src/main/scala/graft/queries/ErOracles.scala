@@ -499,6 +499,24 @@ object ErOracles {
     "er_cbs_dirty" -> (prelude(clean = false) +
       "x AS (SELECT 1) SELECT p1, p2, cbs FROM pairs"),
 
+    // stratified labeling sample twin: same distinct-weight quantile
+    // binning as Stats.quantileBins (rows-before * 5 / N, ties share a
+    // bin) and the same shared 31-poly string hash rank
+    "er_label_sample" -> (prelude(clean = false) +
+      s"""vc AS (SELECT cbs AS x, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_g FROM vc),
+         |bn AS (SELECT x,
+         |         LEAST(4, CAST(floor(CAST((SUM(cnt) OVER (ORDER BY x
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) * 5 AS DOUBLE)
+         |               / CAST(n_g AS DOUBLE)) AS BIGINT)) AS bin
+         |       FROM vc, nt),
+         |hk AS (SELECT p1, p2, cbs, bin,
+         |         ${TrainOracles.strHash("CAST(p1 AS VARCHAR) || ':' || CAST(p2 AS VARCHAR)")} AS hk
+         |       FROM pairs JOIN bn ON pairs.cbs = bn.x),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bin
+         |                 ORDER BY hk ASC, p1 ASC, p2 ASC) AS rn FROM hk)
+         |SELECT bin, rn, p1, p2, cbs FROM rk WHERE rn <= 20""".stripMargin),
+
     "er_cbs_clean" -> (prelude(clean = true) +
       "x AS (SELECT 1) SELECT p1, p2, cbs FROM pairs"),
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.er._
 
@@ -355,6 +356,28 @@ object ErQueries {
 
     "er_cbs_dirty" -> ((s, d) => cachedPairs(s, d, clean = false)
       .select("p1", "p2", "cbs")),
+
+    // labeling-budget sampler for supervised ER: 20 candidate pairs per
+    // weight QUINTILE, picked by deterministic hash rank — a stratified,
+    // replayable sample covering the whole weight spectrum (labeling only
+    // top-weighted pairs starves the classifier of hard negatives).
+    // Strata from the distributed exact quantile binning; the literal
+    // rank bound plans as WindowGroupLimit (partial top-k per partition,
+    // never a full per-stratum sort)
+    "er_label_sample" -> ((s, d) => {
+      val edges = cachedPairs(s, d, clean = false).select("p1", "p2", "cbs")
+      val bins = graft.operators.Stats.quantileBins(
+          edges.select(lit(1).as("g"), col("cbs")), "g", "cbs", 5)
+        .select(col("cbs"), col("bin"))
+      edges.join(bins, Seq("cbs"))
+        .withColumn("hk", graft.functions.PolyHash31(
+          concat_ws(":", col("p1"), col("p2"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bin")
+            .orderBy(col("hk").asc, col("p1").asc, col("p2").asc)))
+        .filter(col("rn") <= 20)
+        .select(col("bin"), col("rn"), col("p1"), col("p2"), col("cbs"))
+    }),
 
     "er_cbs_clean" -> ((s, d) => cachedPairs(s, d, clean = true)
       .select("p1", "p2", "cbs")),

@@ -19,7 +19,7 @@ object TrainOracles {
   private val Mod = "2147483647"
 
   /** h = fold over chars of (h*31 + ascii) % Mod — twin of Dedup.strHash. */
-  private def strHash(e: String): String =
+  private[queries] def strHash(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        | list_transform(generate_series(1, length($e)),
        |   i -> CAST(ascii(substr($e, CAST(i AS INTEGER), 1)) AS BIGINT))),

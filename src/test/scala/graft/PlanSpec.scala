@@ -354,6 +354,13 @@ class PlanSpec extends AnyFunSuite {
       s"part should feed the two aggregates once each in:\n$p")
   }
 
+  test("label sampler: literal rank bound plans as WindowGroupLimit per stratum") {
+    val p = plan(graft.queries.ErQueries.all("er_label_sample")(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-stratum top-k not pushed below the exchange in:\n$p")
+    assert(!p.contains("percentile("), s"buffering percentile in the binning:\n$p")
+  }
+
   test("key-skew report: exact-percentile spine, 1-row max broadcast, no Percentile agg") {
     val p = plan(graft.queries.TrainQueries.all("evt_key_skew")(spark, sf))
     assert(!p.contains("percentile("),
