@@ -454,6 +454,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("type mismatch"), e.getMessage)
   }
 
+  test("asof forward/nearest honor composite key vectors") {
+    val p = graft.util.Snapshot(Seq(
+      (1L, 1L, 15L, 900L), (1L, 2L, 15L, 901L), (2L, 1L, 15L, 902L))
+      .toDF("k1", "k2", "t", "pid"))
+    val r = graft.util.Snapshot(Seq(
+      (1L, 1L, 20L, 100L), (1L, 2L, 10L, 101L), (2L, 2L, 16L, 102L))
+      .toDF("k1", "k2", "t", "rid"))
+    val fwd = graft.operators.AsOf.joinMulti(p, r,
+        Seq("k1", "k2"), "t", Seq("k1", "k2"), "t", "rid", direction = "forward")
+      .select("pid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(fwd(900L).contains(100L)) // (1,1): next at-or-after 15 is t=20
+    assert(fwd(901L).isEmpty)        // (1,2): only t=10, before the probe
+    assert(fwd(902L).isEmpty)        // (2,1) must NOT see (2,2)'s t=16
+    val near = graft.operators.AsOf.joinMulti(p, r,
+        Seq("k1", "k2"), "t", Seq("k1", "k2"), "t", "rid", direction = "nearest")
+      .select("pid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(near(900L).contains(100L)) // only a forward candidate (gap 5)
+    assert(near(901L).contains(101L)) // only a backward candidate (gap 5)
+    assert(near(902L).isEmpty)        // no same-vector reference at all
+  }
+
   test("asof join: composite key matches per key VECTOR, never across") {
     val p = graft.util.Snapshot(Seq(
       (1L, 1L, 15L, 900L), (1L, 2L, 15L, 901L), (2L, 1L, 15L, 902L))
