@@ -72,11 +72,22 @@ object Bench {
     // output, and 236 per-query entries overflow it (BENCH_r06.json came
     // back "parsed": null). BENCH_LATEST.json sits at the repo root (NOT
     // gitignored) so the end-of-round auto-commit preserves every round's
-    // full per-query maps without a judge re-run
+    // full per-query maps without a judge re-run. Paths resolve against an
+    // explicit base (env override, else the launch dir — sbt runs from the
+    // repo root), and only non-fatal write errors are swallowed.
+    val base = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", sys.props.getOrElse("user.dir", ".")))
     for (p <- Seq("target/bench.json", "BENCH_LATEST.json")) {
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
-      catch { case e: Throwable => System.err.println(s"[bench] write $p failed: $e") }
+      try java.nio.file.Files.writeString(base.resolve(p), json)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] write ${base.resolve(p)} failed: $e") }
     }
+    // Compact headline LAST: even when the driver's tail capture truncates
+    // the full per-query JSON above, the final line always carries the
+    // round's headline numbers — and it repeats metric/value/unit so a
+    // parser that takes the last JSON line still gets a complete record.
+    val steadySum = steadyMedian.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","steady_sum":$steadySum%.3f,"run1_sum":${run1.values.sum}%.3f,"warmup_sum":$warmupSec%.3f,"n":${run1.size},"failed":$failedJson,"rc":$rc,"sf":"$sfDir"}""")
     spark.stop()
     if (rc != 0) sys.exit(rc)
   }

@@ -80,8 +80,16 @@ object Dedup {
   def jaccardPairs(sh0: DataFrame, threshold: Double,
                    maxShingleFreq: Int = 1000): DataFrame = {
     val sh = graft.util.Snapshot(sh0) // read by the index (twice, self-join) + sizes; parquet snapshot, not MemoryStore (lock contention at local[32])
+    // Per-shingle frequency as an AGGREGATION joined back, not a window:
+    // groupBy gets map-side partial aggregation (a 10^8-occurrence
+    // boilerplate shingle shrinks to one row per input partition before
+    // the shuffle) and the join-back is AQE skew-splittable — a window
+    // over partitionBy(shingle) would stream every occurrence of the hot
+    // key through ONE task, a straggler in exactly the operator meant to
+    // defuse skew.
+    val shingleFreqs = sh.groupBy("shingle").agg(count(lit(1)).as("_f"))
     val freqOk = graft.util.CapMetrics.observeDrops(
-        sh.withColumn("_f", count(lit(1)).over(Window.partitionBy("shingle"))),
+        sh.join(shingleFreqs, Seq("shingle")),
         "jaccard_pairs_cap", col("_f") > maxShingleFreq)
       .filter(col("_f") <= maxShingleFreq).drop("_f")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -112,8 +120,10 @@ object Dedup {
   def containmentPairs(sh0: DataFrame, threshold: Double,
                        maxShingleFreq: Int = 1000): DataFrame = {
     val sh = graft.util.Snapshot(sh0)
+    // Aggregation + join-back, not a window — see jaccardPairs.
+    val shingleFreqs = sh.groupBy("shingle").agg(count(lit(1)).as("_f"))
     val freqOk = graft.util.CapMetrics.observeDrops(
-        sh.withColumn("_f", count(lit(1)).over(Window.partitionBy("shingle"))),
+        sh.join(shingleFreqs, Seq("shingle")),
         "containment_pairs_cap", col("_f") > maxShingleFreq)
       .filter(col("_f") <= maxShingleFreq).drop("_f")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))

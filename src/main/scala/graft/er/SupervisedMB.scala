@@ -36,12 +36,18 @@ object SupervisedMB {
                gt: Option[DataFrame] = None): DataFrame = {
     val m = members.join(stats.select("key", "size", "comparisons"), Seq("key"))
 
-    // per-block own-source size (for redundant-comparison counts in clean ER)
+    // per-block own-source size (for redundant-comparison counts in clean
+    // ER). Computed as a groupBy aggregation joined back, not a window:
+    // map-side partials shrink a mega-block's contribution to one row per
+    // input partition before the shuffle, and the join-back is AQE
+    // skew-splittable where a partitionBy(key, source_id) window task is
+    // not.
     val withOwn =
-      if (clean)
-        m.withColumn("own",
-          count(lit(1)).over(Window.partitionBy("key", "source_id")))
-      else m.withColumn("own", lit(1L))
+      if (clean) {
+        val ownCounts = members.groupBy("key", "source_id")
+          .agg(count(lit(1)).as("own"))
+        m.join(ownCounts, Seq("key", "source_id"))
+      } else m.withColumn("own", lit(1L))
     val neighborsInBlock =
       if (clean) col("size") - col("own") else col("size") - 1
 

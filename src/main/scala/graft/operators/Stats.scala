@@ -196,8 +196,18 @@ object Stats {
     require(groupCols.nonEmpty && ps.nonEmpty)
     require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       s"quantiles must be in [0,1]: $ps")
-    val ranked = rankedPrefix(df.filter(col(weightCol).isNotNull),
-      groupCols, valueCol, col(weightCol))
+    // Enforce the documented non-negative-weight contract at runtime: a
+    // negative weight silently breaks cumulative-weight monotonicity (the
+    // min(when(cumW >= p·W)) rank lookup returns a wrong quantile with no
+    // error), so fail the job loudly instead. Row-local codegen'd check —
+    // no extra pass.
+    val weightChecked = df.filter(col(weightCol).isNotNull)
+      .withColumn(weightCol,
+        when(col(weightCol) < 0, raise_error(concat(
+          lit(s"weightedQuantilesDisc: negative weight in '$weightCol': "),
+          col(weightCol).cast("string"))))
+        .otherwise(col(weightCol)))
+    val ranked = rankedPrefix(weightChecked, groupCols, valueCol, col(weightCol))
     val braceAggs = ps.map { case (nm, p) =>
       min(when(col("cumg").cast("double") >=
         lit(p) * col("n_g").cast("double"), col("x"))).as(nm)

@@ -276,15 +276,24 @@ case class AsOfJoinExec(
           while (i < nKeys) { lk(i) = lGet(i)(k); i += 1 }
           val lt = lGet(nKeys)(k)
           advanceTo(lk, lt)
+          // Gap arithmetic via subtractExact: the exec accepts arbitrary
+          // int/long time columns, and a Long.MinValue-style sentinel
+          // would overflow plain subtraction, flipping the sign and
+          // silently choosing the wrong side — fail loudly instead.
+          // (Gaps are non-negative by the merge invariant, so overflow
+          // means a > 2^63 spread — garbage input, not a real timeline.)
           // backward candidate: last consumed same-key row within tol
-          val backOk = !isForward && candMatches() && lt - candTime <= tol
+          val backOk = !isForward && candMatches() &&
+            Math.subtractExact(lt, candTime) <= tol
           // forward candidate: the un-consumed head, same key, within tol
           val fwdOk = (isForward || isNearest) && loadRightHead() &&
-            cmpKeys(lk) == 0 && rHeadTime - lt <= tol
+            cmpKeys(lk) == 0 && Math.subtractExact(rHeadTime, lt) <= tol
           val chosen =
             if (isForward) { if (fwdOk) rHead else null }
             else if (isNearest) {
-              if (backOk && (!fwdOk || lt - candTime <= rHeadTime - lt)) cand
+              if (backOk && (!fwdOk ||
+                  Math.subtractExact(lt, candTime) <=
+                    Math.subtractExact(rHeadTime, lt))) cand
               else if (fwdOk) rHead
               else null
             } else { if (backOk) cand else null }

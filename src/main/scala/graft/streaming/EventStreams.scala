@@ -239,20 +239,24 @@ object EventStreams {
    * build). Path-cached like [[lshIdxPath]] so cloned streaming sessions
    * re-read one materialization. */
   private val incrIdxPath =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
   /** The pre-capped standing key index (key, corpus_id) for `dir`. */
   def incrementalCorpusIndex(spark: SparkSession, dir: String,
                              attrsOf: DataFrame => DataFrame,
                              maxBlockSize: Long = 1000L): DataFrame = {
-    val path = incrIdxPath.getOrElseUpdate(dir, {
+    // computeIfAbsent, not getOrElseUpdate: TrieMap's getOrElseUpdate may
+    // run the side-effecting build twice under concurrent first drains.
+    val path = incrIdxPath.computeIfAbsent(dir, _ => {
       val keys = graft.er.Blocking.tokenKeys(
         attrsOf(spark.read.parquet(s"$dir/part.parquet")
           .filter(col("p_partkey") % 10 =!= 0)))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      // per-key size via aggregation + join-back, not a window (map-side
+      // partials + AQE-skew-splittable join; see Dedup.jaccardPairs)
+      val base = keys.select("key", "profile_id")
+      val blockSizes = base.groupBy("key").agg(count(lit(1)).as("_n"))
       val capped = graft.util.CapMetrics.observeDrops(
-          keys.select("key", "profile_id")
-            .withColumn("_n", count(lit(1)).over(w)),
+          base.join(blockSizes, Seq("key")),
           "incremental_stream_cap", col("_n") > maxBlockSize)
         .filter(col("_n") <= maxBlockSize)
         .select(col("key"), col("profile_id").as("corpus_id"))
@@ -335,13 +339,13 @@ object EventStreams {
    * from the current clone is the clean way to share one materialization
    * across sessions. */
   private val lshIdxPath =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
   /** The standing corpus band index (band, band_val, corpus_id) for `dir`,
    * materialized on first use. [[graft.queries.Warmup]] calls this so the
    * first benched ingest doesn't pay index construction. */
   def lshCorpusIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = lshIdxPath.getOrElseUpdate(dir,
+    val path = lshIdxPath.computeIfAbsent(dir, _ =>
       graft.util.Snapshot.materialize(
         graft.dedup.Dedup.minhashBandKeys(
             spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") % 10 =!= 0))
@@ -377,13 +381,13 @@ object EventStreams {
   }
 
   private val deconIdxPath =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
   /** Standing benchmark gram index (distinct 10-token window texts of the
    * doc_id % 50 == 0 held-out docs), materialized once per dir — the
    * static side of the streaming span-decontamination gate. */
   def deconGramIndex(spark: SparkSession, dir: String, L: Int = 10): DataFrame = {
-    val path = deconIdxPath.getOrElseUpdate(dir,
+    val path = deconIdxPath.computeIfAbsent(dir, _ =>
       graft.util.Snapshot.materialize(
         graft.text.Curation.slidingGrams(
             graft.text.Curation.tokenArr(
@@ -433,7 +437,7 @@ object EventStreams {
    * ([[graft.text.Curation.qualityGate]]), which is the DuckDB twin.
    */
   private val qgateThresholdPath =
-    scala.collection.concurrent.TrieMap.empty[(String, Double), String]
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), String]
 
   def qualityGateStreaming(spark0: SparkSession, dir: String,
                            p: Double = 0.25): DataFrame = {
@@ -442,7 +446,7 @@ object EventStreams {
     // the trained artifact is a property of the STANDING corpus — train
     // once per (dir, p) and path-cache the snapshot (the dedup_lsh_stream
     // pattern), so each drain pays scoring + join, not re-training
-    val thPath = qgateThresholdPath.getOrElseUpdate((dir, p),
+    val thPath = qgateThresholdPath.computeIfAbsent((dir, p), _ =>
       graft.util.Snapshot.materialize(
         graft.text.Curation.qualityThresholds(standing, p))._1)
     val th = spark.read.parquet(thPath)
