@@ -369,7 +369,21 @@ object ErQueries {
       val bins = graft.operators.Stats.quantileBins(
           edges.select(lit(1).as("g"), col("cbs")), "g", "cbs", 5)
         .select(col("cbs"), col("bin"))
-      edges.join(bins, Seq("cbs"))
+      // The per-distinct-cbs bin table collapses to FOUR scalar bounds
+      // (bin is monotone in cbs), broadcast into a row-local CASE — the
+      // old join-back on cbs shuffled the whole edge set by a handful of
+      // distinct integer weights, maximal skew by construction. The bin
+      // values are identical: bin(x) = #{i : x >= min cbs with bin >= i}.
+      val bounds = bins.groupBy().agg(
+        min(when(col("bin") >= 1, col("cbs"))).as("t1"),
+        min(when(col("bin") >= 2, col("cbs"))).as("t2"),
+        min(when(col("bin") >= 3, col("cbs"))).as("t3"),
+        min(when(col("bin") >= 4, col("cbs"))).as("t4"))
+      val binExpr = (Seq("t1", "t2", "t3", "t4").map(t =>
+          when(col("cbs") >= col(t), 1L).otherwise(0L))
+        .reduce(_ + _)).as("bin")
+      edges.crossJoin(broadcast(bounds))
+        .select(col("p1"), col("p2"), col("cbs"), binExpr)
         .withColumn("hk", graft.functions.PolyHash31(
           concat_ws(":", col("p1"), col("p2"))))
         .withColumn("rn", row_number().over(

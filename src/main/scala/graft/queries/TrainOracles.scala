@@ -1673,6 +1673,36 @@ object TrainOracles {
         |SELECT doc_id, span_start, span_end, span_tokens, n_windows
         |FROM sp""".stripMargin),
 
+    // char-level ExactSubstr twin: sliding 30-char windows over the RAW
+    // text, canonical first copy elected by the fused BIGINT key
+    // (doc_id*1e6 + pos, the chunk-dedup idiom), non-canonical repeated
+    // positions merge on gap > 30 — same island rule as the token spans
+    "txt_substr_dedup" -> ErOracles.materializeCtes(
+      """WITH oc AS MATERIALIZED (
+        |  SELECT doc_id, CAST(x.i AS BIGINT) AS pos,
+        |         substr(text, CAST(x.i + 1 AS BIGINT), 30) AS s
+        |  FROM documents, unnest(generate_series(0, CAST(length(text) - 30 AS BIGINT))) AS x(i)
+        |  WHERE length(text) >= 30),
+        |fr AS MATERIALIZED (
+        |  SELECT s, COUNT(*) AS cnt, MIN(doc_id * 1000000 + pos) AS mk
+        |  FROM oc GROUP BY s),
+        |mk AS (SELECT oc.doc_id, oc.pos FROM oc JOIN fr ON oc.s = fr.s
+        |       WHERE fr.cnt >= 2 AND oc.doc_id * 1000000 + oc.pos <> fr.mk),
+        |g1 AS (SELECT doc_id, pos,
+        |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+        |              THEN 0 ELSE 1 END AS gap
+        |       FROM mk),
+        |g2 AS (SELECT doc_id, pos, SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS UNBOUNDED PRECEDING) AS island
+        |       FROM g1),
+        |sp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |              CAST(MAX(pos) + 30 AS BIGINT) AS span_end,
+        |              CAST(COUNT(*) AS BIGINT) AS n_windows
+        |       FROM g2 GROUP BY doc_id, island)
+        |SELECT doc_id, span_start, span_end,
+        |       span_end - span_start AS span_chars, n_windows
+        |FROM sp""".stripMargin),
+
     // apply twin: per distinct span text the (doc_id, span_start)-first
     // copy survives; other copies' token ranges are removed, documents
     // reassemble from the remaining positions

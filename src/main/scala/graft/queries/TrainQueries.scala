@@ -1184,6 +1184,13 @@ object TrainQueries {
     "txt_span_apply" -> ((s, d) =>
       graft.text.Curation.dupSpansRemove(docs(s, d), L = 10)),
 
+    // CHARACTER-level ExactSubstr (arbitrary byte boundaries — catches
+    // duplicates that start mid-token, which every token-aligned window
+    // misses): repeated 30-char windows minus the corpus-global first
+    // copy, merged into maximal char spans
+    "txt_substr_dedup" -> ((s, d) =>
+      graft.text.Curation.substrDupSpans(docs(s, d), L = 30)),
+
     // the same span decontamination as a STREAM: stateless gram tagging
     // against the standing benchmark index, island merge in compaction —
     // must equal the batch twin bit-for-bit (same oracle)

@@ -673,6 +673,58 @@ object Curation {
           s => s.getField("tok"))).as("text_clean"))
   }
 
+  /**
+   * CHARACTER-level ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better"): repeated substrings at
+   * ARBITRARY byte boundaries, the case the token-window family
+   * ([[dupSpans]] / [[chunkDedup]] / boilerplate) structurally misses —
+   * a duplicate that starts mid-token never lands on a token-aligned
+   * window. Every occurrence of an `L`-char window that appears >= 2
+   * times anywhere in the corpus is marked EXCEPT the corpus-global
+   * first copy (smallest (doc_id, pos) — the keep-one rule, so the
+   * canonical occurrence survives removal); marked positions merge into
+   * maximal per-document char spans.
+   *
+   * Shape at scale: the suffix array the paper builds is replaced by the
+   * engine's distinct-window machinery — one partial-agg'd groupBy over
+   * the sliding windows (a window repeated 10^8 times shrinks to one row
+   * per input partition before the shuffle) and one join-back that AQE
+   * can skew-split; there is no pair blowup anywhere, so no frequency
+   * cap is needed — hot windows cost rows, not row PAIRS. The island
+   * merge is a per-document window, bounded by document length. The
+   * canonical-occurrence election fuses (doc_id, pos) into one BIGINT
+   * min (doc_id*1e6 + pos, the [[chunkDedup]] idiom); documents of 1e6+
+   * chars would alias the key, so the fusion FAILS LOUDLY on them
+   * (raise_error) rather than silently electing a wrong keeper.
+   *
+   * Returns (doc_id, span_start, span_end, span_chars, n_windows), char
+   * positions 0-based, span_end exclusive, over the RAW text (no
+   * normalization — byte-exactness is the point).
+   */
+  def substrDupSpans(docs: DataFrame, L: Int, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(L >= 2)
+    val occ = graft.util.Snapshot(
+      docs.filter(length(col(textCol)) >= L)
+        .select(col(idCol).as("doc_id"),
+          posexplode(transform(sequence(lit(0), length(col(textCol)) - L),
+            i => col(textCol).substr(i + 1, lit(L)))))
+        .toDF("doc_id", "pos", "s")
+        .withColumn("pos", when(col("pos") >= 1000000,
+            raise_error(lit("substrDupSpans: document over 1e6 chars aliases " +
+              "the fused (doc_id, pos) keeper key — split the document first")))
+          .otherwise(col("pos").cast("long"))))
+    val freq = occ.groupBy("s").agg(count(lit(1)).as("cnt"),
+      min(col("doc_id") * 1000000L + col("pos")).as("mk"))
+    val marked = graft.util.CapMetrics.observeDrops(
+        occ.join(freq, Seq("s")),
+        "substr_dedup_marks",
+        col("cnt") >= 2 && col("doc_id") * 1000000L + col("pos") =!= col("mk"))
+      .filter(col("cnt") >= 2 && col("doc_id") * 1000000L + col("pos") =!= col("mk"))
+      .select("doc_id", "pos")
+    mergeIslands(marked, L).withColumnRenamed("span_tokens", "span_chars")
+  }
+
   /** Email/URL patterns shared by the operator and its spec. Conservative
    * character-class-only regexes: identical semantics in Java regex
    * (Spark) and RE2 (the DuckDB oracle) — no backreferences, no

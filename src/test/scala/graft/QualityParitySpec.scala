@@ -255,6 +255,168 @@ class QualityParitySpec extends AnyFunSuite {
     }
   }
 
+  test("Amazon-GoogleProducts CSV clean-clean: WNP parity across weight schemes") {
+    val dir = "/root/reference/python/datasets/clean/Amazon-GoogleProducts"
+    assume(new java.io.File(s"$dir/Amazon.csv").canRead, "reference datasets not present")
+    // The one bundled CLEAN-CLEAN dataset shipped as CSV — exercises the
+    // CSV loader end-to-end (quoted multi-comma fields, empty cells)
+    // where cora/restaurant cover the dirty CSV path. Expected values
+    // from executing the reference implementation (python/sparker,
+    // pyspark local[8]): CSVWrapper.load_profiles on both files, token
+    // blocking, purging smooth=1.025, filtering r=0.8, AVG-threshold WNP.
+    // ChiSquare's chi2 rule replaces OR/AND (identical results), so one
+    // row covers it. ARCS is omitted: its weights depend on the
+    // reference's arbitrary id file-order (sequential division order),
+    // which string ids ("b000jz4hqo", URLs) give no way to replicate.
+    val p1 = Wrappers.loadProfilesCsv(spark, s"$dir/Amazon.csv",
+      realIdField = "id", sourceId = 0).persist()
+    val n1 = p1.count()
+    assert(n1 == 1363L)
+    val p2 = Wrappers.loadProfilesCsv(spark, s"$dir/GoogleProducts.csv",
+      startIdFrom = n1, realIdField = "id", sourceId = 1).persist()
+    assert(p2.count() == 3226L)
+    val attrs = Wrappers.toLongLayout(p1.unionByName(p2))
+    val cb = Pipeline.cleanBlocks(Blocking.tokenKeys(attrs), clean = true,
+      smoothFactor = 1.025, filterFactor = 0.8)
+    assert(cb.stats0.count() == 6834L)
+    assert(cb.stats1.count() == 6818L)
+    assert(cb.stats2.count() == 6806L)
+
+    val gt = Wrappers.loadGroundTruthCsv(spark,
+      s"$dir/Amzon_GoogleProducts_perfectMapping.csv",
+      id1 = "idAmazon", id2 = "idGoogleBase")
+    val gtc = Evaluation.convertGroundTruth(gt,
+      p1.select("original_id", "profile_id"),
+      p2.select("original_id", "profile_id")).persist()
+    assert(gtc.count() == 1300L)
+
+    val pairs = graft.util.Snapshot(cb.pairs())
+    assert(pairs.count() == 1391858L)
+    assert(pairs.join(gtc, Seq("p1", "p2"), "left_semi").count() == 1298L)
+
+    val profStats = graft.util.Snapshot(cb.profileStats)
+    for ((wt, ct, refEdges, refMatches) <- Seq(
+        (WeightType.CBS, ComparisonType.OR, 539517L, 1290L),
+        (WeightType.CBS, ComparisonType.AND, 403244L, 1271L),
+        (WeightType.JS, ComparisonType.OR, 686131L, 1284L),
+        (WeightType.JS, ComparisonType.AND, 300547L, 1226L),
+        (WeightType.ECBS, ComparisonType.OR, 515731L, 1282L),
+        (WeightType.ECBS, ComparisonType.AND, 427571L, 1278L),
+        (WeightType.ChiSquare, ComparisonType.OR, 399105L, 1269L))) {
+      val w = graft.util.Snapshot(
+        MetaBlocking.weightedPairs(pairs, profStats, cb.numberOfBlocks, wt))
+      val kept = graft.util.Snapshot(
+        MetaBlocking.wnp(w, ThresholdType.AVG, ct, wt))
+      val n = kept.count()
+      assert(n == refEdges, s"WNP $wt $ct edges $n vs $refEdges")
+      val m = kept.join(gtc, Seq("p1", "p2"), "left_semi").count()
+      assert(m == refMatches, s"WNP $wt $ct matches $m vs $refMatches")
+    }
+  }
+
+  test("DblpAcm BLAST end-to-end: LSH clustering -> chi2+entropy WNP parity") {
+    val dblpDir = "/root/reference/python/datasets/clean/DblpAcm"
+    assume(new java.io.File(s"$dblpDir/dataset1.json").canRead, "reference datasets not present")
+    import org.apache.spark.sql.functions._
+    // The full BLAST pipeline of python/examples/BLAST.ipynb on a bundled
+    // dataset: cluster_similar_attributes(num_hashes=128, threshold=0.5,
+    // compute_entropy=True) -> create_blocks_clusters -> purging 1.005 ->
+    // filtering 0.8 -> WNP CHI_SQUARE + entropy, AVG/OR, chi2divider 2.0.
+    // Expected values from executing the reference implementation itself
+    // (python/sparker, pyspark local[8], fixed LSH seed 1234):
+    //   clusters {year,year} {authors,authors} {title,title} {venue,venue}
+    //   with entropies 3.309290823680249 / 10.717932082433506 /
+    //   9.280896484656079 / 3.3225607247542883
+    //   blocks 7120 / purged 7010 / after-filtering 6998
+    //   candidate pairs 73484, recall 1.0 (matches 2224)
+    //   WNP chi2+entropy: edges 6957, matches 2221
+    // The LSH hash family differs (deterministic polynomial hashes vs the
+    // reference's seeded random affine family), but 128 hashes estimate
+    // signature similarity within a few percent, so both sides agree on
+    // this schema's alignment — asserted explicitly below before any
+    // count that depends on it: THREE real clusters {year} {title}
+    // {authors} plus the venues in the DEFAULT cluster. (The notebook's
+    // printed output lists four clusters, but the fourth IS the default:
+    // instrumenting the reference's own LSH stage shows exactly three
+    // band buckets / candidate edges — venue's cross-source token Jaccard
+    // is 0.214, which 32 bands of 4 rows collide with probability ~0.065,
+    // and neither hash family finds it. Both sides then key venue tokens
+    // with the default-cluster id, so the block structure is identical.)
+    // Entropies are hash-free exact quantities (token distributions); the
+    // cluster MEAN matches because every cluster here has exactly 2
+    // attributes — the reference divides by len((key, iterable)) == 2, a
+    // fixed 2 regardless of cluster size (attribute_clustering.py:313),
+    // we divide by the true size.
+    val p1 = Wrappers.loadProfilesJson(spark, s"$dblpDir/dataset1.json",
+      realIdField = "realProfileID", sourceId = 0).persist()
+    val n1 = p1.count()
+    val p2 = Wrappers.loadProfilesJson(spark, s"$dblpDir/dataset2.json",
+      startIdFrom = n1, realIdField = "realProfileID", sourceId = 1).persist()
+    val attrs = Wrappers.toLongLayout(p1.unionByName(p2))
+
+    // 128 hashes at threshold 0.5: the reference's row count is 4
+    // (get_num_rows(0.5, 128)), i.e. 32 bands of 4 rows
+    val clusters = graft.util.Snapshot(AttributeClustering.clusterAttributes(
+      attrs, k = 128, bands = 32, maxFactor = 1.0, computeEntropy = true))
+
+    // the partition must be exactly the reference's: each attribute
+    // paired with its cross-source twin, nothing in the default cluster
+    val grouped = clusters.groupBy("cluster_id")
+      .agg(sort_array(collect_list("qattr")).as("members"),
+        min("entropy").as("ent"), max("is_default").as("dflt"))
+      .collect().map(r => (r.getSeq[String](1).toList,
+        r.getDouble(2), r.getBoolean(3)))
+    assert(grouped.count(!_._3) == 3, s"expected 3 real clusters: ${grouped.toList}")
+    // each cluster (incl. the default holding the venues) =
+    // {0_<attr>, 1_<attr>} for one base attribute
+    val entByAttr = grouped.map { case (m, e, dflt) =>
+      val bases = m.map(_.drop(2)).distinct
+      assert(m.size == 2 && bases.size == 1, s"cluster mixes attributes: $m")
+      assert(dflt == (bases.head == "venue"),
+        s"only the venues belong in the default cluster: $m default=$dflt")
+      bases.head -> e
+    }.toMap
+    assert(entByAttr.keySet == Set("authors", "title", "venue", "year"),
+      s"unexpected cluster attributes: ${entByAttr.keySet}")
+    // entropy parity (hash-free): reference values, fp-order tolerance
+    val refEnt = Map("year" -> 3.309290823680249, "authors" -> 10.717932082433506,
+      "title" -> 9.280896484656079, "venue" -> 3.3225607247542883)
+    refEnt.foreach { case (a, e) =>
+      assert(entByAttr.contains(a), s"no cluster for $a: $entByAttr")
+      assert(math.abs(entByAttr(a) - e) < 1e-9, s"entropy($a) ${entByAttr(a)} vs $e")
+    }
+
+    val keysEnt = graft.util.Snapshot(
+      AttributeClustering.clusterKeys(attrs, clusters))
+    val cb = Pipeline.cleanBlocks(
+      keysEnt.select("profile_id", "source_id", "key"), clean = true,
+      smoothFactor = 1.005, filterFactor = 0.8)
+    assert(cb.stats0.count() == 7120L)
+    assert(cb.stats1.count() == 7010L)
+    assert(cb.stats2.count() == 6998L)
+
+    val gt = Wrappers.loadGroundTruthJson(spark, s"$dblpDir/groundtruth.json")
+    val gtc = Evaluation.convertGroundTruth(gt,
+      p1.select("original_id", "profile_id"),
+      p2.select("original_id", "profile_id")).persist()
+    assert(gtc.count() == 2224L)
+
+    val blockEnt = keysEnt.select("key", "entropy").distinct()
+      .groupBy("key").agg(max(col("entropy")).as("entropy"))
+    val pairs = graft.util.Snapshot(cb.pairs(Some(blockEnt)))
+    assert(pairs.count() == 73484L)
+    assert(pairs.join(gtc, Seq("p1", "p2"), "left_semi").count() == 2224L)
+
+    val profStats = graft.util.Snapshot(cb.profileStats)
+    val weighted = graft.util.Snapshot(MetaBlocking.weightedPairs(
+      pairs, profStats, cb.numberOfBlocks, WeightType.ChiSquare, useEntropy = true))
+    val kept = graft.util.Snapshot(MetaBlocking.wnp(
+      weighted, ThresholdType.AVG, ComparisonType.OR, WeightType.ChiSquare,
+      chi2divider = 2.0))
+    assert(kept.count() == 6957L)
+    assert(kept.join(gtc, Seq("p1", "p2"), "left_semi").count() == 2221L)
+  }
+
   test("DblpAcm clean-clean pipeline: exact PC/PQ parity with the reference") {
     val dblpDir = "/root/reference/python/datasets/clean/DblpAcm"
     assume(new java.io.File(s"$dblpDir/dataset1.json").canRead, "reference datasets not present")

@@ -955,6 +955,29 @@ class TrainSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, 10L)))
   }
 
+  test("substrDupSpans: char-level spans, canonical first copy survives") {
+    val df = docs(
+      (1L, "abcdefghijKLMNO"),    // "abcdefghij" at pos 0 — the canonical copy
+      (2L, "xxabcdefghijyy"),     // same substring mid-"word" at pos 2
+      (3L, "012345678901234567890123456789"), // d*3: pos 10..20 all repeat
+      (4L, "short"),              // < L chars: no windows
+      (5L, "abcdefghijzz"))       // third copy of the shared substring
+    val got = graft.text.Curation.substrDupSpans(df, L = 10)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(rows == Set(
+      // doc 1 keeps the canonical copy: NO span there
+      (2L, 2L, 12L, 10L, 1L),     // arbitrary-boundary duplicate marked
+      // consecutive repeated positions 10..20 merge into one span
+      (3L, 10L, 30L, 20L, 11L),
+      (5L, 0L, 10L, 10L, 1L)))
+    // drop metrics observable: 13 non-canonical repeated positions out of
+    // 35 sliding windows (6 + 5 + 21 + 0 + 3)
+    assert(graft.util.CapMetrics.lastDrops(got, "substr_dedup_marks")
+      .contains((13L, 35L)))
+  }
+
   test("dupSpansRemove keeps the globally first copy of each span text") {
     val df = docs(
       (1L, "a b c d e f g h i j k l"),       // span [0,10) — the keeper
