@@ -70,6 +70,36 @@ object TrainOracles {
       |""".stripMargin + spanTail
 
   /** Sequential double fold of a list expression (0.0-prepended). */
+  /** Char-level ExactSubstr CTE chain shared by txt_substr_dedup and
+   * txt_substr_apply (twin of Curation.substrDupSpans at L=30): sliding
+   * windows `oc`, window frequencies + canonical keeper `fr`, marked
+   * positions `mk`, island merge to `sp(doc_id, span_start, span_end,
+   * n_windows)`. Ends with a trailing comma (append `x AS (SELECT 1)` or
+   * further CTEs). */
+  private lazy val substrCtes: String =
+    """WITH oc AS MATERIALIZED (
+      |  SELECT doc_id, CAST(x.i AS BIGINT) AS pos,
+      |         substr(text, CAST(x.i + 1 AS BIGINT), 30) AS s
+      |  FROM documents, unnest(generate_series(0, CAST(length(text) - 30 AS BIGINT))) AS x(i)
+      |  WHERE length(text) >= 30),
+      |fr AS MATERIALIZED (
+      |  SELECT s, COUNT(*) AS cnt, MIN(doc_id * 1000000 + pos) AS mk
+      |  FROM oc GROUP BY s),
+      |mk AS (SELECT oc.doc_id, oc.pos FROM oc JOIN fr ON oc.s = fr.s
+      |       WHERE fr.cnt >= 2 AND oc.doc_id * 1000000 + oc.pos <> fr.mk),
+      |g1 AS (SELECT doc_id, pos,
+      |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+      |              THEN 0 ELSE 1 END AS gap
+      |       FROM mk),
+      |g2 AS (SELECT doc_id, pos, SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS UNBOUNDED PRECEDING) AS island
+      |       FROM g1),
+      |sp AS MATERIALIZED (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |              CAST(MAX(pos) + 30 AS BIGINT) AS span_end,
+      |              CAST(COUNT(*) AS BIGINT) AS n_windows
+      |       FROM g2 GROUP BY doc_id, island),
+      |""".stripMargin
+
   private def dsum(listExpr: String): String =
     s"list_reduce(list_prepend(0.0, $listExpr), (acc, v) -> acc + v)"
 
@@ -1678,30 +1708,30 @@ object TrainOracles {
     // (doc_id*1e6 + pos, the chunk-dedup idiom), non-canonical repeated
     // positions merge on gap > 30 — same island rule as the token spans
     "txt_substr_dedup" -> ErOracles.materializeCtes(
-      """WITH oc AS MATERIALIZED (
-        |  SELECT doc_id, CAST(x.i AS BIGINT) AS pos,
-        |         substr(text, CAST(x.i + 1 AS BIGINT), 30) AS s
-        |  FROM documents, unnest(generate_series(0, CAST(length(text) - 30 AS BIGINT))) AS x(i)
-        |  WHERE length(text) >= 30),
-        |fr AS MATERIALIZED (
-        |  SELECT s, COUNT(*) AS cnt, MIN(doc_id * 1000000 + pos) AS mk
-        |  FROM oc GROUP BY s),
-        |mk AS (SELECT oc.doc_id, oc.pos FROM oc JOIN fr ON oc.s = fr.s
-        |       WHERE fr.cnt >= 2 AND oc.doc_id * 1000000 + oc.pos <> fr.mk),
-        |g1 AS (SELECT doc_id, pos,
-        |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
-        |              THEN 0 ELSE 1 END AS gap
-        |       FROM mk),
-        |g2 AS (SELECT doc_id, pos, SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
-        |                ROWS UNBOUNDED PRECEDING) AS island
-        |       FROM g1),
-        |sp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-        |              CAST(MAX(pos) + 30 AS BIGINT) AS span_end,
-        |              CAST(COUNT(*) AS BIGINT) AS n_windows
-        |       FROM g2 GROUP BY doc_id, island)
+      substrCtes +
+      """x AS (SELECT 1)
         |SELECT doc_id, span_start, span_end,
         |       span_end - span_start AS span_chars, n_windows
         |FROM sp""".stripMargin),
+
+    // apply twin: between-span segments (lag of span_end) concatenated in
+    // span order plus the tail after the last span; docs without spans
+    // pass through with removed_chars = 0
+    "txt_substr_apply" -> ErOracles.materializeCtes(
+      substrCtes +
+      """pieces AS (SELECT doc_id, span_start, span_end,
+        |     coalesce(LAG(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS seg_start
+        |   FROM sp),
+        |ag AS (SELECT p.doc_id,
+        |     string_agg(substr(d.text, CAST(seg_start + 1 AS BIGINT),
+        |                       CAST(span_start - seg_start AS BIGINT)), '' ORDER BY span_start) AS head,
+        |     MAX(span_end) AS last_end,
+        |     CAST(SUM(span_end - span_start) AS BIGINT) AS removed_chars
+        |   FROM pieces p JOIN documents d USING (doc_id) GROUP BY p.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.removed_chars, 0) AS BIGINT) AS removed_chars,
+        |       CASE WHEN a.last_end IS NULL THEN d.text
+        |            ELSE a.head || substr(d.text, CAST(a.last_end + 1 AS BIGINT)) END AS text_clean
+        |FROM documents d LEFT JOIN ag a USING (doc_id)""".stripMargin),
 
     // apply twin: per distinct span text the (doc_id, span_start)-first
     // copy survives; other copies' token ranges are removed, documents

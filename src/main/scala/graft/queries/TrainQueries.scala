@@ -76,6 +76,15 @@ object TrainQueries {
     kmeansCache.getOrElseUpdate(d,
       graft.similarity.KMeans.centroids(embs(s, d), k = 8, iters = 2))
 
+  /** Char-level ExactSubstr duplicate spans (L=30), snapshot once per
+   * dir — shared by the span dump and the apply stage (the spans ARE the
+   * product; the apply must not re-elect canonicals). */
+  private val substrSpansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private def substrSpans(s: SparkSession, d: String): DataFrame =
+    substrSpansCache.computeIfAbsent(d, _ =>
+      graft.util.Snapshot(graft.text.Curation.substrDupSpans(docs(s, d), L = 30)))
+
   /** Exact Jaccard>=0.5 pairs and MinHash-LSH candidate pairs, snapshot
    * once per dir — shared by their dump queries, the recall metric, and
    * the cluster chain (the pair graphs are the product; consumers must
@@ -1188,8 +1197,13 @@ object TrainQueries {
     // duplicates that start mid-token, which every token-aligned window
     // misses): repeated 30-char windows minus the corpus-global first
     // copy, merged into maximal char spans
-    "txt_substr_dedup" -> ((s, d) =>
-      graft.text.Curation.substrDupSpans(docs(s, d), L = 30)),
+    "txt_substr_dedup" -> ((s, d) => substrSpans(s, d)),
+
+    // apply stage: cut the duplicate char spans, reassemble — exactly one
+    // copy of each repeated substring survives corpus-wide
+    "txt_substr_apply" -> ((s, d) =>
+      graft.text.Curation.substrApplySpans(
+        docs(s, d), substrSpans(s, d), L = 30)),
 
     // the same span decontamination as a STREAM: stateless gram tagging
     // against the standing benchmark index, island merge in compaction —

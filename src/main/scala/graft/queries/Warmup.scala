@@ -134,6 +134,14 @@ object Warmup {
         task("first/er_tokens_stream")(ErQueries.all("er_tokens_stream")(s, d).count()),
         task("first/txt_decon_bloom")(TrainQueries.all("txt_decon_bloom")(s, d).count()),
         task("first/txt_boilerplate")(TrainQueries.all("txt_boilerplate")(s, d).count()),
+        // char-level ExactSubstr: builds the memoized span snapshot
+        // (window generation + canonical election), then the apply
+        // stage's own reassembly plan over it
+        task("first/txt_substr") {
+          TrainQueries.all("txt_substr_dedup")(s, d).count()
+          step("first/txt_substr_apply")(
+            TrainQueries.all("txt_substr_apply")(s, d).count())
+        },
         task("first/txt_vocab")(TrainQueries.all("txt_vocab")(s, d).count()),
         task("first/ann_brute")(TrainQueries.all("ann_brute_topk")(s, d).count()),
         task("first/snb")(ErQueries.all("er_snb_pairs")(s, d).count()),

@@ -714,15 +714,67 @@ object Curation {
             raise_error(lit("substrDupSpans: document over 1e6 chars aliases " +
               "the fused (doc_id, pos) keeper key — split the document first")))
           .otherwise(col("pos").cast("long"))))
+    // only REPEATED windows reach the join: the build side shrinks from
+    // every distinct window to the duplicated ones (typically a few % of
+    // the corpus), so AQE broadcasts it and the occurrence stream never
+    // shuffles; at boilerplate-heavy scale where the repeated set is
+    // genuinely large, AQE falls back to a (skew-splittable) shuffle join
     val freq = occ.groupBy("s").agg(count(lit(1)).as("cnt"),
-      min(col("doc_id") * 1000000L + col("pos")).as("mk"))
+        min(col("doc_id") * 1000000L + col("pos")).as("mk"))
+      .filter(col("cnt") >= 2)
     val marked = graft.util.CapMetrics.observeDrops(
         occ.join(freq, Seq("s")),
         "substr_dedup_marks",
-        col("cnt") >= 2 && col("doc_id") * 1000000L + col("pos") =!= col("mk"))
-      .filter(col("cnt") >= 2 && col("doc_id") * 1000000L + col("pos") =!= col("mk"))
+        col("doc_id") * 1000000L + col("pos") =!= col("mk"))
+      .filter(col("doc_id") * 1000000L + col("pos") =!= col("mk"))
       .select("doc_id", "pos")
     mergeIslands(marked, L).withColumnRenamed("span_tokens", "span_chars")
+  }
+
+  /**
+   * Apply stage of [[substrDupSpans]]: cut every duplicate char span out
+   * of its document and reassemble the survivors — the canonical first
+   * copy of each repeated substring is (by construction of the spans)
+   * never cut, so exactly one copy survives corpus-wide. Spans from the
+   * island merge are disjoint and non-adjacent, so the reassembly is a
+   * per-document ordered concatenation of the between-span segments plus
+   * the tail — one bounded per-doc window (segment starts via lag) and
+   * one per-doc aggregate; documents without duplicate spans pass
+   * through unchanged (removed_chars = 0).
+   *
+   * Returns (doc_id, removed_chars, text_clean) for EVERY input document.
+   */
+  def substrDedupApply(docs: DataFrame, L: Int, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    substrApplySpans(docs, substrDupSpans(docs, L, textCol, idCol), L,
+      textCol, idCol)
+
+  /** The reassembly half of [[substrDedupApply]], taking pre-computed
+   * (possibly memoized) spans — callers that also publish the span dump
+   * pass one materialization to both consumers. */
+  def substrApplySpans(docs: DataFrame, spans: DataFrame, L: Int,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text0"))
+    val w = Window.partitionBy("doc_id").orderBy("span_start")
+    val pieces = spans.join(d, Seq("doc_id"))
+      .withColumn("seg_start", coalesce(lag("span_end", 1).over(w), lit(0L)))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("text0").substr((col("seg_start") + 1).cast("int"),
+          (col("span_start") - col("seg_start")).cast("int")).as("piece"))
+    val agg = pieces.groupBy("doc_id").agg(
+      concat_ws("", transform(
+        array_sort(collect_list(struct(col("span_start"), col("piece")))),
+        s => s.getField("piece"))).as("head"),
+      max("span_end").as("last_end"),
+      sum(col("span_end") - col("span_start")).as("removed_chars"))
+    d.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        when(col("last_end").isNull, col("text0"))
+          .otherwise(concat(col("head"),
+            col("text0").substr((col("last_end") + 1).cast("int"),
+              length(col("text0"))))).as("text_clean"))
   }
 
   /** Email/URL patterns shared by the operator and its spec. Conservative

@@ -972,10 +972,28 @@ class TrainSpec extends AnyFunSuite {
       // consecutive repeated positions 10..20 merge into one span
       (3L, 10L, 30L, 20L, 11L),
       (5L, 0L, 10L, 10L, 1L)))
-    // drop metrics observable: 13 non-canonical repeated positions out of
-    // 35 sliding windows (6 + 5 + 21 + 0 + 3)
+    // drop metrics observable: 13 non-canonical positions out of the 24
+    // occurrences of repeated windows (3 copies of "abcdefghij" + doc 3's
+    // 21 self-repeating windows; unique windows never reach the join)
     assert(graft.util.CapMetrics.lastDrops(got, "substr_dedup_marks")
-      .contains((13L, 35L)))
+      .contains((13L, 24L)))
+  }
+
+  test("substrDedupApply cuts duplicate spans, keeps exactly one copy") {
+    val df = docs(
+      (1L, "abcdefghijKLMNO"),
+      (2L, "xxabcdefghijyy"),
+      (3L, "012345678901234567890123456789"),
+      (4L, "short"),
+      (5L, "abcdefghijzz"))
+    val got = graft.text.Curation.substrDedupApply(df, L = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 0L, "abcdefghijKLMNO"),  // canonical copy untouched
+      (2L, 10L, "xxyy"),            // mid-word duplicate cut
+      (3L, 20L, "0123456789"),      // self-repeat collapsed to one period
+      (4L, 0L, "short"),            // too short for windows: unchanged
+      (5L, 10L, "zz")))
   }
 
   test("dupSpansRemove keeps the globally first copy of each span text") {
