@@ -467,29 +467,45 @@ object MetaBlocking {
    * (O(edges) levels), and no O(edges) driver structure.
    */
   def cep(weighted: DataFrame, validStats: DataFrame): DataFrame = {
-    val k = validStats.agg(floor(sum(col("size")) / 2.0).cast("double").as("k"))
+    // The threshold level and its tie quota are TWO SCALARS derived from
+    // the weight histogram; resolve them eagerly (the cnp-k precedent)
+    // instead of crossJoining 1-row subplans — each crossJoin re-executed
+    // the whole histogram + distributed-prefix chain per consumer (3
+    // executions), and a literal threshold lets the two retained-edge
+    // scans push `w1 > thr` / `w1 = thr` into the parquet scan's
+    // row-group pruning. The cumulative histogram is snapshot once: one
+    // row per DISTINCT weight level (bounded for integer schemes,
+    // <= edges for fractional ones — never wider than the input).
+    val kRow = validStats.agg(floor(sum(col("size")) / 2.0).cast("double").as("k")).first()
+    if (kRow.isNullAt(0))
+      return weighted.filter(lit(false))
+        .select(col("p1"), col("p2"), col("w1").as("w"))
+    val k = kRow.getDouble(0)
     val hist = weighted.groupBy(col("w1").as("wl")).agg(count(lit(1)).cast("double").as("freq"))
-    val cum = graft.util.Prefix.runningSum(hist, Seq(col("wl").desc), col("freq"), "cum")
+    val cum = graft.util.Snapshot(
+      graft.util.Prefix.runningSum(hist, Seq(col("wl").desc), col("freq"), "cum"))
     // first level (walking desc) whose cumulative count reaches K; if the
     // total never reaches K, the lowest level.
-    val thrRow = cum.crossJoin(k).agg(
-      max(when(col("cum") >= col("k"), col("wl"))).as("thr_hit"),
-      min(col("wl")).as("thr_min"),
-      max(col("k")).as("k")
-    ).select(coalesce(col("thr_hit"), col("thr_min")).as("thr"), col("k"))
-    val withThr = cum.crossJoin(thrRow).filter(col("wl") === col("thr"))
-      .select(col("thr"), (col("freq") - (col("cum") - col("k"))).as("remaining"))
-    val above = weighted.crossJoin(thrRow.select("thr")).filter(col("w1") > col("thr"))
+    val thrRow = cum.agg(
+      max(when(col("cum") >= k, col("wl"))).as("thr_hit"),
+      min(col("wl")).as("thr_min")).first()
+    if (thrRow.isNullAt(1)) // empty edge set
+      return weighted.filter(lit(false))
+        .select(col("p1"), col("p2"), col("w1").as("w"))
+    val thr = if (thrRow.isNullAt(0)) thrRow.get(1) else thrRow.get(0)
+    val remaining = cum.filter(col("wl") === lit(thr))
+      .select((col("freq") - (col("cum") - k)).as("remaining")).first().getDouble(0)
+    val above = weighted.filter(col("w1") > lit(thr))
       .select(col("p1"), col("p2"), col("w1").as("w"))
     // ties: per-profile quotas consumed in ascending (p1, p2) order
-    val ties = weighted.crossJoin(withThr).filter(col("w1") === col("thr"))
+    val ties = weighted.filter(col("w1") === lit(thr))
     val perProf = graft.util.Prefix.runningSum(
         ties.groupBy("p1").agg(count(lit(1)).as("cnt")),
         Seq(col("p1").asc), col("cnt").cast("double"), "cumc")
       .withColumn("prev", col("cumc") - col("cnt"))
     val tiesKept = ties
       .join(perProf, Seq("p1"))
-      .withColumn("quota", greatest(least(col("remaining") - col("prev"), col("cnt").cast("double")), lit(0.0)))
+      .withColumn("quota", greatest(least(lit(remaining) - col("prev"), col("cnt").cast("double")), lit(0.0)))
       .withColumn("rn", row_number().over(Window.partitionBy("p1").orderBy("p2")))
       .filter(col("rn") <= col("quota"))
       .select(col("p1"), col("p2"), col("w1").as("w"))

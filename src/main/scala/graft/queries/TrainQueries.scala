@@ -85,6 +85,14 @@ object TrainQueries {
     substrSpansCache.computeIfAbsent(d, _ =>
       graft.util.Snapshot(graft.text.Curation.substrDupSpans(docs(s, d), L = 30)))
 
+  /** Token-level ExactSubstr duplicate spans (L=10), snapshot once per
+   * dir — same sharing as [[substrSpans]] for the token-window twin. */
+  private val tokSpansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private def tokSpans(s: SparkSession, d: String): DataFrame =
+    tokSpansCache.computeIfAbsent(d, _ =>
+      graft.util.Snapshot(graft.text.Curation.dupSpans(docs(s, d), L = 10)))
+
   /** Exact Jaccard>=0.5 pairs and MinHash-LSH candidate pairs, snapshot
    * once per dir — shared by their dump queries, the recall metric, and
    * the cluster chain (the pair graphs are the product; consumers must
@@ -1185,13 +1193,12 @@ object TrainQueries {
 
     // ExactSubstr spans (Lee et al. 2022): maximal merged spans of sliding
     // 10-token windows that occur more than once anywhere in the corpus
-    "txt_span_dedup" -> ((s, d) =>
-      graft.text.Curation.dupSpans(docs(s, d), L = 10)),
+    "txt_span_dedup" -> ((s, d) => tokSpans(s, d)),
 
     // apply stage: drop every duplicated span but the globally first copy
     // of its text, reassemble the cleaned documents
     "txt_span_apply" -> ((s, d) =>
-      graft.text.Curation.dupSpansRemove(docs(s, d), L = 10)),
+      graft.text.Curation.dupSpansRemoveWith(docs(s, d), tokSpans(s, d), L = 10)),
 
     // CHARACTER-level ExactSubstr (arbitrary byte boundaries — catches
     // duplicates that start mid-token, which every token-aligned window

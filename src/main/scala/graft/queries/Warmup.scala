@@ -142,6 +142,13 @@ object Warmup {
           step("first/txt_substr_apply")(
             TrainQueries.all("txt_substr_apply")(s, d).count())
         },
+        // token-level span family: builds the memoized L=10 span snapshot,
+        // then the apply stage's reassembly plan over it
+        task("first/txt_spans") {
+          TrainQueries.all("txt_span_dedup")(s, d).count()
+          step("first/txt_span_apply")(
+            TrainQueries.all("txt_span_apply")(s, d).count())
+        },
         task("first/txt_vocab")(TrainQueries.all("txt_vocab")(s, d).count()),
         task("first/ann_brute")(TrainQueries.all("ann_brute_topk")(s, d).count()),
         task("first/snb")(ErQueries.all("er_snb_pairs")(s, d).count()),

@@ -649,9 +649,18 @@ object Curation {
    * Returns (doc_id, kept_tokens, text_clean).
    */
   def dupSpansRemove(docs: DataFrame, L: Int, textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
+                     idCol: String = "doc_id"): DataFrame =
+    dupSpansRemoveWith(docs, dupSpans(docs, L, textCol, idCol), L,
+      textCol, idCol)
+
+  /** The removal half of [[dupSpansRemove]], taking pre-computed
+   * (possibly memoized) spans — callers that also publish the span dump
+   * pass one materialization to both consumers. */
+  def dupSpansRemoveWith(docs: DataFrame, spans: DataFrame, L: Int,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
     val toksDf = graft.util.Snapshot(tokenArr(docs, textCol, idCol))
-    val spansT = dupSpans(docs, L, textCol, idCol)
+    val spansT = spans
       .join(toksDf, Seq("doc_id"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         array_join(slice(col("toks"), (col("span_start") + 1).cast("int"),
