@@ -100,6 +100,35 @@ object TrainOracles {
       |       FROM g2 GROUP BY doc_id, island),
       |""".stripMargin
 
+  /** DSIR CTE chain (twin of Curation.dsirWeights, target = src1,
+   * B = 256): candidate/target token buckets, the full bucket spine with
+   * +1 smoothing, grained single-ln log ratios, per-doc exact BIGINT
+   * sums -> dw(doc_id, n_tokens, w). Ends with a trailing comma. */
+  private lazy val dsirCtes: String = {
+    def tokCte(name: String, where: String): String =
+      s"""${name}0 AS (SELECT doc_id,
+         |    list_filter(string_split(${norm("text")}, ' '), t -> length(t) > 0) AS toks
+         |  FROM documents WHERE $where),
+         |$name AS (SELECT doc_id, ${strHash("t.tok")} % 256 AS bucket
+         |  FROM ${name}0, unnest(toks) AS t(tok)),
+         |""".stripMargin
+    "WITH " + tokCte("cb", "source <> 'src1'") + tokCte("tb", "source = 'src1'") +
+    """tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tcnt FROM tb GROUP BY bucket),
+      |qc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS qcnt FROM cb GROUP BY bucket),
+      |sp AS (SELECT r.b AS bucket, coalesce(tcnt, 0) AS tcnt, coalesce(qcnt, 0) AS qcnt
+      |       FROM range(256) r(b) LEFT JOIN tc ON tc.bucket = r.b
+      |                            LEFT JOIN qc ON qc.bucket = r.b),
+      |tot AS (SELECT CAST(SUM(tcnt) AS BIGINT) AS tt, CAST(SUM(qcnt) AS BIGINT) AS qt FROM sp),
+      |lr AS (SELECT bucket, CAST(round(ln(
+      |           (CAST(tcnt + 1 AS DOUBLE) * CAST(qt + 256 AS DOUBLE))
+      |         / (CAST(qcnt + 1 AS DOUBLE) * CAST(tt + 256 AS DOUBLE))) * 1000000000.0) AS BIGINT) AS lr_g
+      |       FROM sp CROSS JOIN tot),
+      |dw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |          CAST(SUM(lr_g) AS DOUBLE) / 1000000000.0 AS w
+      |       FROM cb JOIN lr USING (bucket) GROUP BY doc_id),
+      |""".stripMargin
+  }
+
   private def dsum(listExpr: String): String =
     s"list_reduce(list_prepend(0.0, $listExpr), (acc, v) -> acc + v)"
 
@@ -1702,6 +1731,22 @@ object TrainOracles {
       """x AS (SELECT 1)
         |SELECT doc_id, span_start, span_end, span_tokens, n_windows
         |FROM sp""".stripMargin),
+
+    // DSIR twins: per-token hashed bucket (shared polynomial hash % 256),
+    // Laplace-smoothed target/raw bucket models over the full 256-bucket
+    // spine, single-ln log ratio grained to 1e-9 BIGINT per token (the
+    // txt_mi idiom), exact integer sum per doc
+    "txt_dsir_weights" -> ErOracles.materializeCtes(dsirCtes +
+      """x AS (SELECT 1)
+        |SELECT doc_id, n_tokens, w FROM dw""".stripMargin),
+
+    "txt_dsir_select" -> ErOracles.materializeCtes(dsirCtes +
+      s"""ky AS (SELECT doc_id, n_tokens, w,
+         |         round(w - ln(-ln(CAST(${strHash("'dsir:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+         |                           / 2147483648.0)), 9) AS key9
+         |       FROM dw)
+         |SELECT doc_id, n_tokens, w, key9 FROM ky
+         |ORDER BY key9 DESC, doc_id LIMIT 100""".stripMargin),
 
     // char-level ExactSubstr twin: sliding 30-char windows over the RAW
     // text, canonical first copy elected by the fused BIGINT key

@@ -1191,6 +1191,25 @@ object TrainQueries {
         .crossJoin(broadcast(hl)).crossJoin(broadcast(hs)).crossJoin(broadcast(mi))
     }),
 
+    // DSIR (Xie et al. 2023): hashed-unigram importance weight of every
+    // candidate doc against the src1 target domain — log p_t/p_q under
+    // two 256-bucket bag models, exact 1e-9-grain integer sums
+    "txt_dsir_weights" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.Curation.dsirWeights(
+        all.filter(col("source") =!= "src1"),
+        all.filter(col("source") === "src1"), buckets = 256)
+    }),
+
+    // DSIR's sampling step, deterministic: Gumbel noise from the shared
+    // polynomial hash of the doc id, top-100 by (weight + gumbel)
+    "txt_dsir_select" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.Curation.dsirSelect(
+        all.filter(col("source") =!= "src1"),
+        all.filter(col("source") === "src1"), buckets = 256, k = 100)
+    }),
+
     // ExactSubstr spans (Lee et al. 2022): maximal merged spans of sliding
     // 10-token windows that occur more than once anywhere in the corpus
     "txt_span_dedup" -> ((s, d) => tokSpans(s, d)),

@@ -149,6 +149,13 @@ object Warmup {
           step("first/txt_span_apply")(
             TrainQueries.all("txt_span_apply")(s, d).count())
         },
+        // DSIR: the bucket-model/grained-ratio plan compiles apart from
+        // the other token consumers; the select adds the Gumbel ranking
+        task("first/txt_dsir") {
+          TrainQueries.all("txt_dsir_weights")(s, d).count()
+          step("first/txt_dsir_select")(
+            TrainQueries.all("txt_dsir_select")(s, d).count())
+        },
         task("first/txt_vocab")(TrainQueries.all("txt_vocab")(s, d).count()),
         task("first/ann_brute")(TrainQueries.all("ann_brute_topk")(s, d).count()),
         task("first/snb")(ErQueries.all("er_snb_pairs")(s, d).count()),

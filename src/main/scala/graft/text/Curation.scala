@@ -786,6 +786,81 @@ object Curation {
               length(col("text0"))))).as("text_clean"))
   }
 
+  /**
+   * DSIR-style data selection (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every candidate
+   * document by how target-domain-like its hashed-unigram bag is —
+   * log p_target(doc)/p_raw(doc) under bucketed bag-of-words models —
+   * then Gumbel-top-k resample. The distribution models are two
+   * B-bucket count tables (one aggregate over each corpus' tokens,
+   * Laplace +1 smoothing), so the "model" broadcast to every executor
+   * is B rows regardless of corpus size; scoring is one broadcast
+   * hash-join at scan speed plus a per-doc aggregate. Per-token log
+   * ratios are fixed to 1e-9 grains (BIGINT) before summing — the
+   * per-doc score is an exact integer sum, bit-stable under any
+   * partitioning (the txt_mi idiom).
+   *
+   * Returns (doc_id, n_tokens, w): w = sum of the doc's per-token
+   * grained log ratios / 1e9. Documents with no tokens have no model
+   * evidence and are omitted.
+   */
+  def dsirWeights(candidates: DataFrame, target: DataFrame, buckets: Int,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2)
+    def toks(df: DataFrame): DataFrame =
+      tokenArr(df, textCol, idCol)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .withColumn("bucket", pmod(graft.dedup.Dedup.strHash(col("tok")),
+          lit(buckets.toLong)))
+    val cand = toks(candidates)
+    val tCounts = toks(target).groupBy("bucket").agg(count(lit(1)).as("tcnt"))
+    val qCounts = cand.groupBy("bucket").agg(count(lit(1)).as("qcnt"))
+    val spine = candidates.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+      .join(tCounts, Seq("bucket"), "left").na.fill(Map("tcnt" -> 0L))
+      .join(qCounts, Seq("bucket"), "left").na.fill(Map("qcnt" -> 0L))
+    val totals = spine.agg(sum("tcnt").as("tt"), sum("qcnt").as("qt"))
+    // single-ln form so both engines evaluate the identical double
+    // expression; grained to 1e-9 BIGINT immediately
+    val lr = spine.crossJoin(broadcast(totals))
+      .select(col("bucket"), graft.functions.FastRound.round(
+        log(((col("tcnt") + 1L).cast("double")
+            * (col("qt") + buckets).cast("double"))
+          / ((col("qcnt") + 1L).cast("double")
+            * (col("tt") + buckets).cast("double"))) * 1e9, 0)
+        .cast("long").as("lr_g"))
+    cand.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("lr_g")).cast("double") / 1e9).as("w"))
+  }
+
+  /**
+   * Gumbel-top-k resampling over [[dsirWeights]] — DSIR's sampling step
+   * made deterministic: the Gumbel noise comes from the shared
+   * polynomial hash of the doc id (u in (0,1), g = -ln(-ln(u))), so the
+   * draw is reproducible on any engine and any partitioning. The final
+   * key is rounded to 9 decimals before ranking (cross-engine ulp
+   * hygiene); ties break by doc_id. A global top-k plans as
+   * TakeOrderedAndProject — per-partition heaps, no global sort.
+   *
+   * Returns the k selected (doc_id, n_tokens, w, key9).
+   */
+  def dsirSelect(candidates: DataFrame, target: DataFrame, buckets: Int,
+                 k: Int, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val mod = graft.functions.PolyHash31.Mod
+    val w = dsirWeights(candidates, target, buckets, textCol, idCol)
+    val u = (graft.dedup.Dedup.strHash(
+        concat(lit("dsir:"), col("doc_id").cast("string"))) + 1L)
+      .cast("double") / (mod + 1L).toDouble
+    w.withColumn("key9",
+        graft.functions.FastRound.round(col("w") - log(-log(u)), 9))
+      .orderBy(col("key9").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Email/URL patterns shared by the operator and its spec. Conservative
    * character-class-only regexes: identical semantics in Java regex
    * (Spark) and RE2 (the DuckDB oracle) — no backreferences, no

@@ -395,6 +395,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("CEP: literal threshold reaches the weighted scan as a pushed filter") {
+    // The r8 rewrite resolves the threshold level eagerly so the
+    // retained-edge scans filter on a LITERAL — which must reach the
+    // weighted snapshot's parquet scan (row-group pruning at 100 TB). A
+    // crossJoin/BroadcastNestedLoopJoin here means the 1-row subplan
+    // pattern (which re-executed the histogram chain per consumer) is
+    // back.
+    val p = plan(graft.queries.ErQueries.all("er_cep_cbs_dirty")(spark, sf))
+    assert(p.contains("GreaterThan(w1") && p.contains("PushedFilters: [IsNotNull(w1"),
+      s"threshold not pushed into the weighted scan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"1-row crossJoin subplan back in CEP:\n$p")
+  }
+
   test("frequency caps are aggregations joined back, never a per-key window") {
     // VERDICT r7 #1: count(1).over(Window.partitionBy(key)) streams every
     // occurrence of a hot key through ONE window task — no map-side

@@ -201,6 +201,53 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("substrDupSpans == brute force on random low-alphabet strings") {
+    // exhaustive in-memory reference: every L-window, global canonical
+    // election by the fused key, island merge on gap <= L — any
+    // distributed shortcut (the broadcastable repeat-window join, the
+    // memoized prefix) must be invisible in the result
+    val L = 6
+    def brute(rows: Seq[(Long, String)]): Set[(Long, Long, Long, Long, Long)] = {
+      val occ = for {
+        (id, t) <- rows if t.length >= L
+        p <- 0 to t.length - L
+      } yield (id, p.toLong, t.substring(p, p + L))
+      val byS = occ.groupBy(_._3)
+      val marked = occ.filter { case (id, p, s) =>
+        val g = byS(s)
+        g.size >= 2 && id * 1000000L + p != g.map(o => o._1 * 1000000L + o._2).min
+      }.map(o => (o._1, o._2))
+      marked.groupBy(_._1).flatMap { case (id, ps) =>
+        val islands = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        for (p <- ps.map(_._2).sorted) {
+          if (islands.nonEmpty && p - islands.last.last <= L) islands.last += p
+          else islands += scala.collection.mutable.ArrayBuffer(p)
+        }
+        islands.map(i => (id, i.head, i.last + L, i.last + L - i.head, i.size.toLong))
+      }.toSet
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // 2-letter alphabet forces plenty of repeats and self-overlaps
+      val rows = (0L until 14L).map(id =>
+        id -> Array.fill(5 + rnd.nextInt(55))("ab" (rnd.nextInt(2))).mkString)
+      val got = graft.text.Curation.substrDupSpans(rows.toDF("doc_id", "text"), L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == brute(rows), s"seed $seed")
+      // apply conservation: cleaned length == original - removed, and the
+      // canonical (globally first) copy of every repeated window survives
+      val applied = graft.text.Curation.substrDedupApply(rows.toDF("doc_id", "text"), L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val lens = rows.toMap
+      applied.foreach { case (id, rm, clean) =>
+        assert(clean.length == lens(id).length - rm, s"seed $seed doc $id")
+      }
+    }
+  }
+
   test("dupSpansRemove conservation: kept + removed spans cover every token once") {
     for (seed <- 4 to 6) {
       val rows = genDocs(seed)

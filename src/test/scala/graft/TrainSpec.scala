@@ -955,6 +955,36 @@ class TrainSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, 10L)))
   }
 
+  test("dsirWeights: target-like docs rank higher, per-token additivity") {
+    val target = docs((100L, "aurora aurora aurora aurora"),
+      (101L, "aurora borealis aurora"))
+    val cand = docs((1L, "aurora aurora"), (2L, "zzz zzz"), (3L, "aurora zzz"))
+    val w = graft.text.Curation.dsirWeights(cand, target, buckets = 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L))
+    assert(w(1L)._1 == 2L && w(3L)._1 == 2L)
+    // all-target tokens > mixed > no-target tokens
+    assert(w(1L)._2 > w(3L)._2 && w(3L)._2 > w(2L)._2, s"ordering: $w")
+    // the score is a per-token sum: mixed doc = half of each pure doc
+    assert(math.abs(2 * w(3L)._2 - (w(1L)._2 + w(2L)._2)) < 1e-9, s"additivity: $w")
+  }
+
+  test("dsirSelect: exactly k survivors, keys reproduce the hash-Gumbel draw") {
+    val target = docs((100L, "aurora aurora"))
+    val cand = docs((1 to 30).map(i =>
+      i.toLong -> (if (i % 3 == 0) "aurora aurora" else "zzz yyy xxx")): _*)
+    val sel = graft.text.Curation.dsirSelect(cand, target, buckets = 256, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(sel.length == 5)
+    val mod = graft.functions.PolyHash31.Mod
+    sel.foreach { case (id, w, key9) =>
+      val u = (graft.functions.PolyHash31.hash(s"dsir:$id") + 1L).toDouble / (mod + 1L).toDouble
+      val expect = BigDecimal(w - math.log(-math.log(u)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(key9 - expect) < 1e-9, s"doc $id key $key9 vs $expect")
+    }
+  }
+
   test("substrDupSpans: char-level spans, canonical first copy survives") {
     val df = docs(
       (1L, "abcdefghijKLMNO"),    // "abcdefghij" at pos 0 — the canonical copy
