@@ -9,24 +9,7 @@ object Verify {
     // (tools/compare.py takes the same subset) — the driver passes none
     val Array(sfDir, outDir, rest @ _*) = args
     val only = rest.toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // driver testdata writes naive parquet timestamps (isAdjustedToUTC =
-      // false); read them as TIMESTAMP (not NTZ) so event-time semantics —
-      // watermarks, windows — work, identical to DuckDB under UTC session tz
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
-      // bit-stable double sums (sorted sequential folds) so results
-      // hash-match the DuckDB oracle; production/bench use plain sums
-      .config("spark.graft.exactSums", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.util.LocalSession.create(exactSums = true)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

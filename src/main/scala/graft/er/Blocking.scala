@@ -366,7 +366,7 @@ object Blocking {
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("block_id", org.apache.spark.sql.types.LongType, nullable = false) +:
         sorted.schema.fields)
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       org.apache.spark.sql.Row.fromSeq(idx +: row.toSeq)
     }
     spark.createDataFrame(rdd, schema)

@@ -123,7 +123,7 @@ object Progressive {
       StructField("pos", LongType, nullable = false),
       StructField("profile_id", LongType, nullable = false),
       StructField("source_id", IntegerType, nullable = false)))
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       Row(idx, row.getLong(row.fieldIndex("profile_id")),
         row.getInt(row.fieldIndex("source_id")))
     }

@@ -258,6 +258,14 @@ case class AsOfJoinExec(
         }
       }
 
+      /** hi - lo saturated to Long.MaxValue on positive overflow (hi and
+       * lo of opposite signs whose true difference exceeds Long range —
+       * e.g. a Long.MinValue "missing" sentinel vs a real epoch time). */
+      def gapSat(hi: Long, lo: Long): Long = {
+        val d = hi - lo
+        if (((hi ^ lo) & (hi ^ d)) < 0) Long.MaxValue else d
+      }
+
       val lk = new Array[Long](nKeys)
       def candMatches(): Boolean = {
         if (cand == null) return false
@@ -276,24 +284,27 @@ case class AsOfJoinExec(
           while (i < nKeys) { lk(i) = lGet(i)(k); i += 1 }
           val lt = lGet(nKeys)(k)
           advanceTo(lk, lt)
-          // Gap arithmetic via subtractExact: the exec accepts arbitrary
-          // int/long time columns, and a Long.MinValue-style sentinel
-          // would overflow plain subtraction, flipping the sign and
-          // silently choosing the wrong side — fail loudly instead.
-          // (Gaps are non-negative by the merge invariant, so overflow
-          // means a > 2^63 spread — garbage input, not a real timeline.)
+          // Gap arithmetic saturates instead of overflowing: the exec
+          // accepts arbitrary int/long time columns, and a
+          // Long.MinValue-style "missing" sentinel joined against normal
+          // epoch times makes the gap exceed Long range. Plain
+          // subtraction would flip the sign and silently choose the
+          // wrong side; saturating to Long.MaxValue yields the
+          // mathematically correct answer — a > 2^63 spread is farther
+          // than any tolerance — without aborting the job. (Gaps are
+          // non-negative by the merge invariant, so only positive
+          // overflow can occur.)
           // backward candidate: last consumed same-key row within tol
           val backOk = !isForward && candMatches() &&
-            Math.subtractExact(lt, candTime) <= tol
+            gapSat(lt, candTime) <= tol
           // forward candidate: the un-consumed head, same key, within tol
           val fwdOk = (isForward || isNearest) && loadRightHead() &&
-            cmpKeys(lk) == 0 && Math.subtractExact(rHeadTime, lt) <= tol
+            cmpKeys(lk) == 0 && gapSat(rHeadTime, lt) <= tol
           val chosen =
             if (isForward) { if (fwdOk) rHead else null }
             else if (isNearest) {
               if (backOk && (!fwdOk ||
-                  Math.subtractExact(lt, candTime) <=
-                    Math.subtractExact(rHeadTime, lt))) cand
+                  gapSat(lt, candTime) <= gapSat(rHeadTime, lt))) cand
               else if (fwdOk) rHead
               else null
             } else { if (backOk) cand else null }

@@ -34,7 +34,9 @@ import graft.functions.{FastRound, JaroWinkler, PolyHash31, TopKLongs, VecDot}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(clazz: Class[_], name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(clazz.getName, null, name, usage, "")
+    // the 11-arg constructor is the only non-deprecated one carrying usage
+    new ExpressionInfo(clazz.getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

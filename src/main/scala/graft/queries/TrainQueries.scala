@@ -1228,8 +1228,7 @@ object TrainQueries {
     // apply stage: cut the duplicate char spans, reassemble — exactly one
     // copy of each repeated substring survives corpus-wide
     "txt_substr_apply" -> ((s, d) =>
-      graft.text.Curation.substrApplySpans(
-        docs(s, d), substrSpans(s, d), L = 30)),
+      graft.text.Curation.substrApplySpans(docs(s, d), substrSpans(s, d))),
 
     // the same span decontamination as a STREAM: stateless gram tagging
     // against the standing benchmark index, island merge in compaction —

@@ -44,7 +44,7 @@ object Wrappers {
     val schema = StructType(
       org.apache.spark.sql.types.StructField("profile_id",
         org.apache.spark.sql.types.LongType, nullable = false) +: sorted.schema.fields)
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       org.apache.spark.sql.Row.fromSeq((startIdFrom + idx) +: row.toSeq)
     }
     spark.createDataFrame(rdd, schema)
@@ -125,7 +125,7 @@ object Wrappers {
             col(f.name).cast(StringType).as("value")))
       }
     }
-    val allAttrs = filter(concat(kvArrays: _*),
+    val allAttrs = filter(concat(scala.collection.immutable.ArraySeq.unsafeWrapArray(kvArrays): _*),
       kv => kv.getField("value").isNotNull && length(kv.getField("value")) > 0)
     val originalId =
       if (realIdField.nonEmpty && raw.columns.contains(realIdField))

@@ -248,9 +248,12 @@ object EventStreams {
     // computeIfAbsent, not getOrElseUpdate: TrieMap's getOrElseUpdate may
     // run the side-effecting build twice under concurrent first drains.
     val path = incrIdxPath.computeIfAbsent(dir, _ => {
-      val keys = graft.er.Blocking.tokenKeys(
+      // snapshot: the count aggregate and the join probe are two
+      // independent subtrees — unmaterialized, each would re-run the
+      // scan + tokenization (the Dedup.jaccardPairs discipline)
+      val keys = graft.util.Snapshot(graft.er.Blocking.tokenKeys(
         attrsOf(spark.read.parquet(s"$dir/part.parquet")
-          .filter(col("p_partkey") % 10 =!= 0)))
+          .filter(col("p_partkey") % 10 =!= 0))))
       // per-key size via aggregation + join-back, not a window (map-side
       // partials + AQE-skew-splittable join; see Dedup.jaccardPairs)
       val base = keys.select("key", "profile_id")
@@ -562,7 +565,7 @@ object EventStreams {
     val maxRow = {
       val raw = spark.read.parquet(s"$dir/events.parquet")
       val tsUs = if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts"))
-      raw.select(max(tsUs)).head
+      raw.select(max(tsUs)).head()
     }
     if (maxRow.isNullAt(0))
       // zero events: no sessions — the batch twin's (empty) result, same schema

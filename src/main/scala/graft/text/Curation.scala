@@ -755,13 +755,14 @@ object Curation {
    */
   def substrDedupApply(docs: DataFrame, L: Int, textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame =
-    substrApplySpans(docs, substrDupSpans(docs, L, textCol, idCol), L,
+    substrApplySpans(docs, substrDupSpans(docs, L, textCol, idCol),
       textCol, idCol)
 
   /** The reassembly half of [[substrDedupApply]], taking pre-computed
    * (possibly memoized) spans — callers that also publish the span dump
-   * pass one materialization to both consumers. */
-  def substrApplySpans(docs: DataFrame, spans: DataFrame, L: Int,
+   * pass one materialization to both consumers. The cut is driven purely
+   * by the span bounds, so no window length is needed here. */
+  def substrApplySpans(docs: DataFrame, spans: DataFrame,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text0"))

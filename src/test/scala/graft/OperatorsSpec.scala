@@ -407,6 +407,23 @@ class OperatorsSpec extends AnyFunSuite {
       .contains(101L)) // only forward within tol
   }
 
+  test("asof: Long.MinValue sentinel times saturate to no-match, never overflow") {
+    // a "missing" sentinel reference time makes the true gap exceed Long
+    // range; the mathematically right answer is "farther than any
+    // tolerance" — the join must return the other candidate (or null),
+    // not flip the sign or abort the job
+    val ref = Seq((1L, Long.MinValue, 100L), (1L, 20L, 101L))
+    assert(asofDir(Seq((1L, 15L, 900L)), ref, "nearest")(900L)
+      .contains(101L)) // sentinel backward gap saturates; forward (gap 5) wins
+    assert(asofDir(Seq((1L, 15L, 900L)), ref, "backward", tolerance = 100L)(900L)
+      .isEmpty)        // only the sentinel is at-or-before: beyond any tol
+    // an UN-toleranced backward join still matches the sentinel — it is
+    // simply the latest at-or-before row (merge_asof semantics); the
+    // saturation only keeps tolerance and nearest comparisons correct
+    assert(asofDir(Seq((1L, 15L, 900L)), Seq((1L, Long.MinValue, 100L)),
+      "backward")(900L).contains(100L))
+  }
+
   test("asof backward tolerance: candidate beyond the gap is discarded") {
     val out = asofDir(
       probe = Seq((1L, 15L, 900L), (1L, 30L, 901L)),
