@@ -1740,6 +1740,12 @@ object TrainOracles {
       """x AS (SELECT 1)
         |SELECT doc_id, n_tokens, w FROM dw""".stripMargin),
 
+    // the streaming gate must equal the batch operator bit-for-bit: the
+    // per-token grains are the same exact BIGINTs, summed row-locally
+    "txt_dsir_stream" -> ErOracles.materializeCtes(dsirCtes +
+      """x AS (SELECT 1)
+        |SELECT doc_id, n_tokens, w FROM dw""".stripMargin),
+
     "txt_dsir_select" -> ErOracles.materializeCtes(dsirCtes +
       s"""ky AS (SELECT doc_id, n_tokens, w,
          |         round(w - ln(-ln(CAST(${strHash("'dsir:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)

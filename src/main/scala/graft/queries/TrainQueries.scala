@@ -1210,6 +1210,13 @@ object TrainQueries {
         all.filter(col("source") === "src1"), buckets = 256, k = 100)
     }),
 
+    // DSIR as a STREAM: model trained once per dir, folded into a one-row
+    // map; incoming docs score row-locally (aggregate over the broadcast
+    // map — no token explode, no per-doc shuffle, no state store). Must
+    // equal the batch operator bit-for-bit (same oracle)
+    "txt_dsir_stream" -> ((s, d) =>
+      graft.streaming.EventStreams.dsirGateStreaming(s, d)),
+
     // ExactSubstr spans (Lee et al. 2022): maximal merged spans of sliding
     // 10-token windows that occur more than once anywhere in the corpus
     "txt_span_dedup" -> ((s, d) => tokSpans(s, d)),

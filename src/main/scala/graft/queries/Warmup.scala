@@ -155,6 +155,11 @@ object Warmup {
           TrainQueries.all("txt_dsir_weights")(s, d).count()
           step("first/txt_dsir_select")(
             TrainQueries.all("txt_dsir_select")(s, d).count())
+          // the streaming gate AFTER the batch pass: its model snapshot
+          // is its own (per-dir path cache) but the checkpoint + stream
+          // codegen is the usual first-drain cost
+          step("first/txt_dsir_stream")(
+            TrainQueries.all("txt_dsir_stream")(s, d).count())
         },
         task("first/txt_vocab")(TrainQueries.all("txt_vocab")(s, d).count()),
         task("first/ann_brute")(TrainQueries.all("ann_brute_topk")(s, d).count()),

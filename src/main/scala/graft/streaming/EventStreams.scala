@@ -460,6 +460,48 @@ object EventStreams {
       "txt_quality_filter_stream", "append")
   }
 
+  /**
+   * Deployment shape of DSIR selection: the 256-bucket log-ratio model
+   * is TRAINED once on the standing corpus
+   * ([[graft.text.Curation.dsirLogRatios]], path-cached like the quality
+   * gate), then folded into a ONE-ROW map column so incoming documents
+   * score STATELESSLY — the per-doc weight is a row-local
+   * `aggregate(toks, ...)` over the broadcast map, no token explode, no
+   * per-doc shuffle, no state store: a 100 TB/day ingest scores at scan
+   * speed. The per-token grains are the same exact BIGINTs the batch
+   * operator sums, so draining the whole candidate table in one
+   * AvailableNow pass equals [[graft.text.Curation.dsirWeights]] — the
+   * DuckDB twin.
+   */
+  private val dsirModelPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  def dsirGateStreaming(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val standing = spark.read.parquet(s"$dir/documents.parquet")
+    val lrPath = dsirModelPath.computeIfAbsent(dir, _ =>
+      graft.util.Snapshot.materialize(graft.text.Curation.dsirLogRatios(
+        standing.filter(col("source") =!= "src1"),
+        standing.filter(col("source") === "src1"), buckets = 256))._1)
+    val model = spark.read.parquet(lrPath)
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("lr_g")))).as("lr_m"))
+    val stream = reader(spark, standing.schema)
+      .parquet(streamDirFor(dir, "docs_dsir_", "documents.parquet"))
+      .filter(col("source") =!= "src1")
+      .withColumn("toks", filter(
+        split(graft.dedup.Dedup.normalize(col("text")), " "),
+        t => length(t) > 0))
+      .filter(size(col("toks")) > 0)
+    val grain = (acc: Column, t: Column) => acc +
+      element_at(col("lr_m"),
+        pmod(graft.functions.PolyHash31(t), lit(256L)))
+    val scored = stream.crossJoin(model)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        (aggregate(col("toks"), lit(0L), grain).cast("double") / 1e9).as("w"))
+    drainAvailableNow(scored, "txt_dsir_stream", "append")
+  }
+
   def lshIngestStreaming(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema

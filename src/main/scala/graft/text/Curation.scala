@@ -805,18 +805,26 @@ object Curation {
    * grained log ratios / 1e9. Documents with no tokens have no model
    * evidence and are omitted.
    */
-  def dsirWeights(candidates: DataFrame, target: DataFrame, buckets: Int,
-                  textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame = {
+  private def dsirTokens(df: DataFrame, buckets: Int, textCol: String,
+                         idCol: String): DataFrame =
+    tokenArr(df, textCol, idCol)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("bucket", pmod(graft.dedup.Dedup.strHash(col("tok")),
+        lit(buckets.toLong)))
+
+  /** The trained DSIR model: (bucket, lr_g) — one grained log ratio per
+   * hash bucket over the FULL bucket spine (every bucket present, so
+   * scorers can index it without null handling). `buckets` rows total:
+   * the whole model broadcasts to executors (or rides in a one-row map
+   * for stateless streaming scorers) regardless of corpus size. */
+  def dsirLogRatios(candidates: DataFrame, target: DataFrame, buckets: Int,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
     require(buckets >= 2)
-    def toks(df: DataFrame): DataFrame =
-      tokenArr(df, textCol, idCol)
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-        .withColumn("bucket", pmod(graft.dedup.Dedup.strHash(col("tok")),
-          lit(buckets.toLong)))
-    val cand = toks(candidates)
-    val tCounts = toks(target).groupBy("bucket").agg(count(lit(1)).as("tcnt"))
-    val qCounts = cand.groupBy("bucket").agg(count(lit(1)).as("qcnt"))
+    val tCounts = dsirTokens(target, buckets, textCol, idCol)
+      .groupBy("bucket").agg(count(lit(1)).as("tcnt"))
+    val qCounts = dsirTokens(candidates, buckets, textCol, idCol)
+      .groupBy("bucket").agg(count(lit(1)).as("qcnt"))
     val spine = candidates.sparkSession.range(buckets)
       .select(col("id").as("bucket"))
       .join(tCounts, Seq("bucket"), "left").na.fill(Map("tcnt" -> 0L))
@@ -824,14 +832,21 @@ object Curation {
     val totals = spine.agg(sum("tcnt").as("tt"), sum("qcnt").as("qt"))
     // single-ln form so both engines evaluate the identical double
     // expression; grained to 1e-9 BIGINT immediately
-    val lr = spine.crossJoin(broadcast(totals))
+    spine.crossJoin(broadcast(totals))
       .select(col("bucket"), graft.functions.FastRound.round(
         log(((col("tcnt") + 1L).cast("double")
             * (col("qt") + buckets).cast("double"))
           / ((col("qcnt") + 1L).cast("double")
             * (col("tt") + buckets).cast("double"))) * 1e9, 0)
         .cast("long").as("lr_g"))
-    cand.join(broadcast(lr), Seq("bucket"))
+  }
+
+  def dsirWeights(candidates: DataFrame, target: DataFrame, buckets: Int,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val lr = dsirLogRatios(candidates, target, buckets, textCol, idCol)
+    dsirTokens(candidates, buckets, textCol, idCol)
+      .join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("lr_g")).cast("double") / 1e9).as("w"))

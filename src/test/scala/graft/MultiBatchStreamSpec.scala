@@ -160,6 +160,19 @@ class MultiBatchStreamSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("streaming DSIR gate over 4 micro-batches equals the batch weights") {
+    // stateless row-local scoring against the corpus-trained one-row map
+    // model: the per-token grains are exact BIGINTs, so any batch split
+    // must reproduce the batch operator bit for bit
+    val docs = spark.read.parquet(s"$docsSplitDir/documents.parquet")
+    val expect = sortedRows(graft.text.Curation.dsirWeights(
+      docs.filter(col("source") =!= "src1"),
+      docs.filter(col("source") === "src1"), buckets = 256))
+    val got = withOneFilePerTrigger(
+      sortedRows(EventStreams.dsirGateStreaming(spark, docsSplitDir)))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("streaming as-of enrichment over 4 micro-batches equals the batch custom exec") {
     // the foreachBatch drive of AsOfJoinExec is stateless per probe row,
     // so a 4-way batch split must reproduce the single-batch answer bit
