@@ -100,16 +100,17 @@ object Stats {
     val vc = base.groupBy("g", "x").agg(sum(col("_w")).as("cnt"))
     val cum = graft.util.Prefix.runningSum(vc,
       Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
-    // per-group offsets through the SAME distributed prefix (one row per
-    // group, unique order) — no single-partition window, no forced
-    // broadcast: unlike the bounded-group callers of quantileBins, this
-    // operator must survive millions of groups (per-user percentiles),
-    // so AQE picks broadcast vs shuffle join from the actual group count
-    val off = graft.util.Prefix.runningSum(
-        vc.groupBy("g").agg(sum("cnt").as("n_g")),
-        Seq(col("g").asc), col("n_g").cast("double"), "cumN")
-      .select(col("g"), col("n_g"),
-        (col("cumN") - col("n_g").cast("double")).as("off"))
+    // per-group offsets DERIVED from the same prefix instead of a second
+    // runningSum: within a group, cum - cnt is nondecreasing and its
+    // minimum is the group's first row's predecessor total — exactly the
+    // offset. The subtraction is exact because every cnt is an integer
+    // weight (< 2^53) carried in doubles, so (off + cnt) - cnt == off.
+    // One partial-agg'd groupBy + an AQE-sized join replaces a whole
+    // second distributed prefix (sample job + range exchange + window);
+    // still no single-partition window and no forced broadcast — this
+    // operator must survive millions of groups (per-user percentiles)
+    val off = cum.groupBy("g").agg(sum("cnt").as("n_g"),
+      min(col("cum") - col("cnt").cast("double")).as("off"))
     cum.join(off, Seq("g"))
       .select(col("g"), col("x"),
         (col("cum") - col("off")).cast("long").as("cumg"), col("n_g"))
