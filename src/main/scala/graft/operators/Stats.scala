@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -19,7 +18,8 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   /** Doubled average rank of `expr` within each `group`: one count
-   * aggregate + the distributed prefix + a broadcast per-group offset.
+   * aggregate + the distributed prefix, with per-group offsets derived
+   * from the prefix itself.
    * Returns (group, x, out) where out = 2*(rows before the tie block)
    * + tie count + 1 — an exact BIGINT. */
   private def rank2(df: DataFrame, group: Column, expr: Column,
@@ -28,11 +28,12 @@ object Stats {
       .agg(count(lit(1)).as("cnt"))
     val cum = graft.util.Prefix.runningSum(vc,
       Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
-    val off = vc.groupBy("g").agg(sum("cnt").cast("double").as("n_g"))
-      .withColumn("off", coalesce(sum(col("n_g")).over(
-        Window.orderBy("g") // one row per GROUP: bounded window
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
-    cum.join(broadcast(off), Seq("g"))
+    // group offsets derived from the prefix itself (min(cum - cnt) per
+    // group — exact for integer counts in doubles; see rankedPrefix):
+    // no second pass, no single-partition window, unbounded groups OK
+    val off = cum.groupBy("g").agg(
+      min(col("cum") - col("cnt").cast("double")).as("off"))
+    cum.join(off, Seq("g"))
       .select(col("g"), col("x"),
         (lit(2L) * (col("cum") - col("off") - col("cnt")).cast("long")
           + col("cnt") + 1L).as(out))
@@ -51,11 +52,12 @@ object Stats {
     val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
     val cum = graft.util.Prefix.runningSum(vc,
       Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
-    val off = vc.groupBy("g").agg(sum("cnt").cast("double").as("n_g"))
-      .withColumn("off", coalesce(sum(col("n_g")).over(
-        Window.orderBy("g") // one row per GROUP: bounded window
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
-    cum.join(broadcast(off), Seq("g"))
+    // group offsets derived from the prefix itself (min(cum - cnt) per
+    // group — exact for integer counts in doubles; see rankedPrefix):
+    // no second pass, no single-partition window, unbounded groups OK
+    val off = cum.groupBy("g").agg(sum("cnt").cast("double").as("n_g"),
+      min(col("cum") - col("cnt").cast("double")).as("off"))
+    cum.join(off, Seq("g"))
       .select(col("g").as(groupCol), col("x").as(valueCol),
         least(lit(n - 1).cast("long"),
           floor((col("cum") - col("off") - col("cnt")) * n / col("n_g"))
