@@ -1689,10 +1689,12 @@ object TrainQueries {
       val cum = graft.util.Prefix.runningSum(vc,
         Seq(col("event_type").asc, col("value").asc),
         col("cnt").cast("double"), "cum")
-      val totals = vc.groupBy("event_type").agg(sum("cnt").cast("double").as("n_type"))
-        .withColumn("off", coalesce(sum(col("n_type")).over(
-          Window.orderBy("event_type") // one row per TYPE: bounded window
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      // per-type offsets derived from the prefix itself (min(cum - cnt),
+      // exact for integer counts in doubles — the Stats.rankedPrefix
+      // fusion): no single-partition window, unbounded type domains OK
+      val totals = cum.groupBy("event_type")
+        .agg(sum("cnt").cast("double").as("n_type"),
+          min(col("cum") - col("cnt").cast("double")).as("off"))
       val ranked = cum.join(broadcast(totals), Seq("event_type"))
         .select(col("event_type"), col("value"),
           graft.functions.FastRound.round(
