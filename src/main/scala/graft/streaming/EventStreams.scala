@@ -471,8 +471,13 @@ object EventStreams {
    * speed. The per-token grains are the same exact BIGINTs the batch
    * operator sums, so draining the whole candidate table in one
    * AvailableNow pass equals [[graft.text.Curation.dsirWeights]] — the
-   * DuckDB twin.
+   * DuckDB twin. Precondition shared with that equality: `doc_id` is
+   * unique in the corpus (the batch operator merges duplicate ids into
+   * one row; this stateless gate scores each arriving row — exactly the
+   * right ingest semantics, but a corpus with duplicate ids would make
+   * the two differ by that grouping).
    */
+  private val DsirBuckets = 256
   private val dsirModelPath =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -482,7 +487,7 @@ object EventStreams {
     val lrPath = dsirModelPath.computeIfAbsent(dir, _ =>
       graft.util.Snapshot.materialize(graft.text.Curation.dsirLogRatios(
         standing.filter(col("source") =!= "src1"),
-        standing.filter(col("source") === "src1"), buckets = 256))._1)
+        standing.filter(col("source") === "src1"), buckets = DsirBuckets))._1)
     val model = spark.read.parquet(lrPath)
       .agg(map_from_entries(collect_list(
         struct(col("bucket"), col("lr_g")))).as("lr_m"))
@@ -495,7 +500,7 @@ object EventStreams {
       .filter(size(col("toks")) > 0)
     val grain = (acc: Column, t: Column) => acc +
       element_at(col("lr_m"),
-        pmod(graft.functions.PolyHash31(t), lit(256L)))
+        pmod(graft.functions.PolyHash31(t), lit(DsirBuckets.toLong)))
     val scored = stream.crossJoin(model)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         (aggregate(col("toks"), lit(0L), grain).cast("double") / 1e9).as("w"))
