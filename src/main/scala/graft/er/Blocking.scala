@@ -340,12 +340,10 @@ object Blocking {
   def sortedNeighborhood(keyed: DataFrame, window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val width = (window - 1).toLong
-    // snapshot: probe and build both consume the rank table — without
-    // materialization each side re-executes the whole distributed prefix
-    val ranked = graft.util.Snapshot(graft.util.Prefix.runningSum(
+    val ranked = graft.util.Prefix.runningSum(
         keyed.select(col("profile_id"), col("sort_key")),
         Seq(col("sort_key"), col("profile_id")), lit(1L), "rank")
-      .select(col("profile_id"), col("rank").cast("long").as("rank")))
+      .select(col("profile_id"), col("rank").cast("long").as("rank"))
     val bucketed = ranked.withColumn("b", expr(s"(rank - 1) div $width"))
     val probe = bucketed
       .withColumn("b", explode(array(col("b"), col("b") + 1)))

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   /** Doubled average rank of `expr` within each `group`: one count
-   * aggregate + the distributed prefix, with per-group offsets derived
-   * from the prefix itself.
+   * aggregate + the distributed prefix, per-group offsets derived from
+   * the prefix itself.
    * Returns (group, x, out) where out = 2*(rows before the tie block)
    * + tie count + 1 — an exact BIGINT. */
   private def rank2(df: DataFrame, group: Column, expr: Column,
@@ -29,8 +29,8 @@ object Stats {
     val cum = graft.util.Prefix.runningSum(vc,
       Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
     // group offsets derived from the prefix itself (min(cum - cnt) per
-    // group — exact for integer counts in doubles; see rankedPrefix):
-    // no second pass, no single-partition window, unbounded groups OK
+    // group — exact for integer counts in doubles): no single-partition
+    // window, so the group domain is unbounded
     val off = cum.groupBy("g").agg(
       min(col("cum") - col("cnt").cast("double")).as("off"))
     cum.join(off, Seq("g"))
@@ -52,9 +52,8 @@ object Stats {
     val vc = base.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
     val cum = graft.util.Prefix.runningSum(vc,
       Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
-    // group offsets derived from the prefix itself (min(cum - cnt) per
-    // group — exact for integer counts in doubles; see rankedPrefix):
-    // no second pass, no single-partition window, unbounded groups OK
+    // same derived-offset shape as [[rank2]]: min(cum - cnt) per group,
+    // no single-partition window, unbounded group domains OK
     val off = cum.groupBy("g").agg(sum("cnt").cast("double").as("n_g"),
       min(col("cum") - col("cnt").cast("double")).as("off"))
     cum.join(off, Seq("g"))
@@ -102,17 +101,19 @@ object Stats {
     val vc = base.groupBy("g", "x").agg(sum(col("_w")).as("cnt"))
     val cum = graft.util.Prefix.runningSum(vc,
       Seq(col("g").asc, col("x").asc), col("cnt").cast("double"), "cum")
-    // per-group offsets DERIVED from the same prefix instead of a second
-    // runningSum: within a group, cum - cnt is nondecreasing and its
-    // minimum is the group's first row's predecessor total — exactly the
-    // offset. The subtraction is exact because every cnt is an integer
-    // weight (< 2^53) carried in doubles, so (off + cnt) - cnt == off.
-    // One partial-agg'd groupBy + an AQE-sized join replaces a whole
-    // second distributed prefix (sample job + range exchange + window);
-    // still no single-partition window and no forced broadcast — this
-    // operator must survive millions of groups (per-user percentiles)
-    val off = cum.groupBy("g").agg(sum("cnt").as("n_g"),
-      min(col("cum") - col("cnt").cast("double")).as("off"))
+    // per-group offsets through a SECOND distributed prefix over the
+    // one-row-per-group totals — tiny input, already scale-correct (no
+    // single-partition window, no forced broadcast: AQE picks broadcast
+    // vs shuffle join from the actual group count, so millions of groups
+    // survive). Deliberately NOT the min(cum - cnt) fusion the bounded
+    // siblings use: deriving offsets from `cum` makes its whole
+    // distinct-value window execute twice (measured neutral-to-worse),
+    // while this second prefix runs over one row per group.
+    val off = graft.util.Prefix.runningSum(
+        vc.groupBy("g").agg(sum("cnt").as("n_g")),
+        Seq(col("g").asc), col("n_g").cast("double"), "cumN")
+      .select(col("g"), col("n_g"),
+        (col("cumN") - col("n_g").cast("double")).as("off"))
     cum.join(off, Seq("g"))
       .select(col("g"), col("x"),
         (col("cum") - col("off")).cast("long").as("cumg"), col("n_g"))

@@ -1690,7 +1690,7 @@ object TrainQueries {
         Seq(col("event_type").asc, col("value").asc),
         col("cnt").cast("double"), "cum")
       // per-type offsets derived from the prefix itself (min(cum - cnt),
-      // exact for integer counts in doubles — the Stats.rankedPrefix
+      // exact for integer counts in doubles — the Stats.quantileBins
       // fusion): no single-partition window, unbounded type domains OK
       val totals = cum.groupBy("event_type")
         .agg(sum("cnt").cast("double").as("n_type"),
