@@ -44,6 +44,13 @@ object Bench {
     val steadyMedian = SparkEntry.queries.keys.map { name =>
       name -> steadyRuns.map(_(name)).sorted.apply(1)
     }
+    // per-query MIN of the same three runs (zero extra cost): makes the
+    // artifact self-adjudicating — an apparent run1 cliff with
+    // steady_min ≪ steady_median is host noise in the capture, a cliff
+    // with min ≈ median is real first-touch cost, no re-run needed
+    val steadyMin = SparkEntry.queries.keys.map { name =>
+      name -> steadyRuns.map(_(name)).min
+    }
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val queriesJson = jmap(run1 ++ Map("warmup_caches" -> warmupSec))
@@ -54,7 +61,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = run1.values.sum + warmupSec
     val rc = if (failed.isEmpty) 0 else 1
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson,"queries_steady":$steadyJson,"warmup_steps":$warmupJson,"failed":$failedJson,"rc":$rc,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson,"queries_steady":$steadyJson,"queries_steady_min":${jmap(steadyMin)},"warmup_steps":$warmupJson,"failed":$failedJson,"rc":$rc,"sf":"$sfDir"}"""
     println(json)
     // ALSO persist to files: the driver captures only the tail of sbt
     // output, and 236 per-query entries overflow it (BENCH_r06.json came

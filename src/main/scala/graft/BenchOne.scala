@@ -13,6 +13,12 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nowarm = args.contains("-nowarm")
     val names = args.filterNot(_.startsWith("-"))
+    // fail fast on typos BEFORE paying the (minutes-long) warmup, and
+    // list every unknown name instead of aborting at the first
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — known: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val spark = graft.util.LocalSession.create()
     if (!nowarm) {
       val t0 = System.nanoTime()

@@ -42,12 +42,20 @@ object Dedup {
   /**
    * Exact dedup: group by the normalized-text hash, keep the smallest id as
    * the cluster representative. Returns (doc_id, rep_id); doc_id == rep_id
-   * marks the survivor. One shuffle, map-side combinable.
+   * marks the survivor.
+   *
+   * The representative election is an AGGREGATION joined back, not a
+   * window: a web crawl guarantees degenerate hashes (hundreds of millions
+   * of empty/boilerplate documents share one h), and `min().over(
+   * partitionBy(h))` would stream every one of them through a single
+   * window task — no map-side partials, and AQE skew-splits joins, not
+   * windows. The groupBy collapses the hot hash to one row per input
+   * partition before the shuffle, and the join-back is skew-splittable.
    */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val h = docs.select(col(idCol).as("doc_id"), strHash(normalize(col(textCol))).as("h"))
-    h.withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy("h")))
-      .select("doc_id", "rep_id")
+    val reps = h.groupBy("h").agg(min(col("doc_id")).as("rep_id"))
+    h.join(reps, Seq("h")).select("doc_id", "rep_id")
   }
 
   /** Distinct word n-gram shingles per document: (doc_id, shingle). */
@@ -80,18 +88,7 @@ object Dedup {
   def jaccardPairs(sh0: DataFrame, threshold: Double,
                    maxShingleFreq: Int = 1000): DataFrame = {
     val sh = graft.util.Snapshot(sh0) // read by the index (twice, self-join) + sizes; parquet snapshot, not MemoryStore (lock contention at local[32])
-    // Per-shingle frequency as an AGGREGATION joined back, not a window:
-    // groupBy gets map-side partial aggregation (a 10^8-occurrence
-    // boilerplate shingle shrinks to one row per input partition before
-    // the shuffle) and the join-back is AQE skew-splittable — a window
-    // over partitionBy(shingle) would stream every occurrence of the hot
-    // key through ONE task, a straggler in exactly the operator meant to
-    // defuse skew.
-    val shingleFreqs = sh.groupBy("shingle").agg(count(lit(1)).as("_f"))
-    val freqOk = graft.util.CapMetrics.observeDrops(
-        sh.join(shingleFreqs, Seq("shingle")),
-        "jaccard_pairs_cap", col("_f") > maxShingleFreq)
-      .filter(col("_f") <= maxShingleFreq).drop("_f")
+    val freqOk = graft.util.CapMetrics.dropHotKeys(sh, "shingle", maxShingleFreq, "jaccard_pairs_cap")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = freqOk.select(col("shingle"), col("doc_id").as("d1"))
     val b = freqOk.select(col("shingle"), col("doc_id").as("d2"))
@@ -120,12 +117,7 @@ object Dedup {
   def containmentPairs(sh0: DataFrame, threshold: Double,
                        maxShingleFreq: Int = 1000): DataFrame = {
     val sh = graft.util.Snapshot(sh0)
-    // Aggregation + join-back, not a window — see jaccardPairs.
-    val shingleFreqs = sh.groupBy("shingle").agg(count(lit(1)).as("_f"))
-    val freqOk = graft.util.CapMetrics.observeDrops(
-        sh.join(shingleFreqs, Seq("shingle")),
-        "containment_pairs_cap", col("_f") > maxShingleFreq)
-      .filter(col("_f") <= maxShingleFreq).drop("_f")
+    val freqOk = graft.util.CapMetrics.dropHotKeys(sh, "shingle", maxShingleFreq, "containment_pairs_cap")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = freqOk.select(col("shingle"), col("doc_id").as("d1"))
     val b = freqOk.select(col("shingle"), col("doc_id").as("d2"))

@@ -131,19 +131,25 @@ object Blocking {
   /**
    * Restrict a key collection to valid blocks: >= 2 profiles, and for
    * clean(-clean) ER at least two distinct sources
-   * (python/sparker/blockers.py:106-110). Single window pass over `key`
-   * instead of aggregate + self-join: one shuffle.
+   * (python/sparker/blockers.py:106-110).
+   *
+   * The per-key count/min-source/max-source is an AGGREGATION joined back,
+   * not a window: this runs BEFORE purging, i.e. on the hottest unpurged
+   * tokens in the corpus, exactly where `count().over(partitionBy(key))`
+   * would stream every member of a stopword block through ONE task (no
+   * map-side partials; AQE skew-splits joins, not windows). The groupBy
+   * collapses hot keys map-side and the semi-join back is skew-splittable.
    */
   def validBlocks(keys: DataFrame, clean: Boolean): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
-    val withCounts = keys
-      .withColumn("_n", count(lit(1)).over(w))
-      .withColumn("_smin", min(col("source_id")).over(w))
-      .withColumn("_smax", max(col("source_id")).over(w))
+    val stats = keys.groupBy("key").agg(
+      count(lit(1)).as("_n"),
+      min(col("source_id")).as("_smin"),
+      max(col("source_id")).as("_smax"))
     val valid =
-      if (clean) withCounts.filter(col("_n") > 1 && col("_smin") =!= col("_smax"))
-      else withCounts.filter(col("_n") > 1)
-    valid.select(col("key"), col("profile_id"), col("source_id"))
+      if (clean) stats.filter(col("_n") > 1 && col("_smin") =!= col("_smax"))
+      else stats.filter(col("_n") > 1)
+    keys.join(valid.select("key"), Seq("key"), "left_semi")
+      .select(col("key"), col("profile_id"), col("source_id"))
   }
 
   /**
@@ -196,11 +202,9 @@ object Blocking {
       .withColumn("is_new", lit(0))
       .unionByName(newKeys.select(col("key"), col("profile_id"))
         .withColumn("is_new", lit(1)))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
-    graft.util.CapMetrics.observeDrops(
-        all.withColumn("_n", count(lit(1)).over(w)),
-        metricName, col("_n") > maxBlockSize)
-      .filter(col("_n") <= maxBlockSize).drop("_n")
+    // hot-key purge via aggregation + broadcast-sized join-back, never a
+    // per-key window — graft.util.CapMetrics.dropHotKeys documents why
+    graft.util.CapMetrics.dropHotKeys(all, "key", maxBlockSize, metricName)
   }
 
   /**

@@ -102,6 +102,21 @@ object Multimodal {
    * mean intensity (half-up to 1e-6, the same rounding as [[fakeDecode]]).
    */
   def decodePpm(docId: Long, payload: Array[Byte]): Row = {
+    val (w, h, off) = parsePpmHeader(docId, payload)
+    val n = w * h * 3
+    var sum = 0L; var chk = 0L; var j = 0
+    while (j < n) {
+      val v = payload(off + j) & 0xff
+      sum += v; chk += (j + 1).toLong * v; j += 1
+    }
+    val mean = if (n == 0) 0.0 else math.floor(sum.toDouble / n * 1e6 + 0.5) / 1e6
+    Row(docId, w, h, chk, mean)
+  }
+
+  /** P6 header parse shared by [[decodePpm]] and [[decodePpmDhash]]:
+   * (width, height, pixel-plane offset), validated (magic, maxval 255,
+   * plane length). */
+  private def parsePpmHeader(docId: Long, payload: Array[Byte]): (Int, Int, Int) = {
     var pos = 0
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
     def skipWsAndComments(): Unit = {
@@ -129,16 +144,90 @@ object Multimodal {
     val w = intToken(); val h = intToken(); val maxval = intToken()
     require(maxval == 255, s"PPM: unsupported maxval $maxval (doc $docId)")
     pos += 1 // the format's single whitespace byte between maxval and plane
-    val n = w * h * 3
-    require(payload.length - pos >= n, s"PPM: truncated pixel plane (doc $docId)")
-    var sum = 0L; var chk = 0L; var j = 0
-    while (j < n) {
-      val v = payload(pos + j) & 0xff
-      sum += v; chk += (j + 1).toLong * v; j += 1
-    }
-    val mean = if (n == 0) 0.0 else math.floor(sum.toDouble / n * 1e6 + 0.5) / 1e6
-    Row(docId, w, h, chk, mean)
+    require(payload.length - pos >= w * h * 3,
+      s"PPM: truncated pixel plane (doc $docId)")
+    (w, h, pos)
   }
+
+  /** Perceptual-hash row: (doc_id, dhash). */
+  val DhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /**
+   * dHash — the standard 64-bit perceptual difference hash (Krawetz,
+   * "Kind of Like That", hackerfactor 2013): sample the decoded image to
+   * a 9x8 luminance grid, set bit (gy*8+gx) when the cell is brighter
+   * than its right neighbor. Gradient DIRECTIONS survive re-encoding,
+   * mild noise, and brightness shifts, so visually-identical images land
+   * within a few Hamming bits — the visual twin of SimHash over tokens.
+   *
+   * Sampling is nearest-neighbor (x = gx*w/9, y = gy*h/8, integer
+   * arithmetic — exactly reproducible in the SQL oracle; a production
+   * decoder would area-average, which only changes this kernel). The
+   * luminance is the integer ITU-R 601 weighting (299r + 587g + 114b)
+   * / 1000. Runs behind the same batched [[decodeFeatures]] contract as
+   * the codecs.
+   */
+  def decodePpmDhash(docId: Long, payload: Array[Byte]): Row = {
+    val (w, h, off) = parsePpmHeader(docId, payload)
+    def lum(gx: Int, gy: Int): Int = {
+      val p = off + ((gy * h / 8) * w + (gx * w / 9)) * 3
+      (299 * (payload(p) & 0xff) + 587 * (payload(p + 1) & 0xff)
+        + 114 * (payload(p + 2) & 0xff)) / 1000
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      var cur = lum(0, gy)
+      while (gx < 8) {
+        val next = lum(gx + 1, gy)
+        if (cur > next) hash |= 1L << (gy * 8 + gx)
+        cur = next; gx += 1
+      }
+      gy += 1
+    }
+    Row(docId, hash)
+  }
+
+  /** Deterministic dHash-corpus fixture (and, with `perturb`, its
+   * planted near-duplicate twin: +1 (mod 256) on every 9th flattened RGB
+   * byte — the "re-encoded copy with slight noise" every image near-dup
+   * pass must catch). 16-24 × 12-18 px, LARGER than [[ppmFixture]] on
+   * purpose: the 9x8 dHash grid must sample DISTINCT pixels — tiny
+   * upsampled images share repeated gradient columns and near-duplicate
+   * each other en masse (18% of all pairs at the first attempt),
+   * drowning the planted twins in accidental pairs and blowing the pair
+   * table up quadratically with corpus size. The pixel formula is
+   * deliberately NONLINEAR in (id, position) — a squared mix,
+   * v = ((id·131 + i·17 + 251)² / 7) % 256: dHash is brightness-invariant
+   * by design, so any fixture family whose members differ by a constant
+   * (or linearly-structured) shift mod 256 collapses to near-identical
+   * fingerprints (measured: 0.16% of ALL pairs within Hamming 6 for the
+   * linear v = (id·31 + i·7) % 256). Still closed-form, so the SQL
+   * oracle recomputes every pixel (and thus the dHash) exactly. */
+  def ppmDhashFixture(docId: Long, perturb: Boolean = false): Array[Byte] = {
+    val w = 16 + (docId % 9).toInt
+    val h = 12 + (docId % 7).toInt
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val t = docId * 131 + i.toLong * 17 + 251
+      ((t * t / 7 + (if (perturb && i % 9 == 0) 1 else 0)) % 256).toByte
+    }
+    encodePpm(w, h, rgb)
+  }
+
+  /**
+   * Image near-duplicate pairs over [[decodePpmDhash]] fingerprints:
+   * Hamming distance <= maxDist, candidates generated by the exact
+   * banding idiom of [[graft.dedup.Dedup.simhashPairs]] (four 16-bit
+   * bands, equi-join on (band, band_val), xor/bit_count verification
+   * before the distinct) — the banded self-join stays equi-join-shaped
+   * at any corpus size; no all-pairs anywhere. Returns (d1, d2, hamming).
+   */
+  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame =
+    graft.dedup.Dedup.simhashPairs(
+      hashes.select(col("doc_id"), col("dhash").as("simhash")), maxDist)
 
   /** Decoded-WAV row: header-derived rate/length, a position-weighted
    * amplitude checksum and the mean-square energy over the PCM stream. */

@@ -100,6 +100,32 @@ object TrainOracles {
       |       FROM g2 GROUP BY doc_id, island),
       |""".stripMargin
 
+  /** Keep-nothing variant of [[substrCtes]] for the STREAMING ExactSubstr
+   * gate: every occurrence of a corpus-repeated 30-char window is marked
+   * (a stateless gate cannot elect a corpus-global first copy — it keeps
+   * the standing copy and gates arrivals), same island merge. */
+  private lazy val substrStreamCtes: String =
+    """WITH oc AS MATERIALIZED (
+      |  SELECT doc_id, CAST(x.i AS BIGINT) AS pos,
+      |         substr(text, CAST(x.i + 1 AS BIGINT), 30) AS s
+      |  FROM documents, unnest(generate_series(0, CAST(length(text) - 30 AS BIGINT))) AS x(i)
+      |  WHERE length(text) >= 30),
+      |fr AS MATERIALIZED (
+      |  SELECT s FROM oc GROUP BY s HAVING COUNT(*) >= 2),
+      |mk AS (SELECT oc.doc_id, oc.pos FROM oc JOIN fr ON oc.s = fr.s),
+      |g1 AS (SELECT doc_id, pos,
+      |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+      |              THEN 0 ELSE 1 END AS gap
+      |       FROM mk),
+      |g2 AS (SELECT doc_id, pos, SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS UNBOUNDED PRECEDING) AS island
+      |       FROM g1),
+      |sp AS MATERIALIZED (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |              CAST(MAX(pos) + 30 AS BIGINT) AS span_end,
+      |              CAST(COUNT(*) AS BIGINT) AS n_windows
+      |       FROM g2 GROUP BY doc_id, island),
+      |""".stripMargin
+
   /** DSIR CTE chain (twin of Curation.dsirWeights, target = src1,
    * B = 256): candidate/target token buckets, the full bucket spine with
    * +1 smoothing, grained single-ln log ratios, per-doc exact BIGINT
@@ -190,6 +216,65 @@ object TrainOracles {
     """CAST(SUM(CASE WHEN v <= 0 THEN 0
       |              WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
       |              ELSE (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) END) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** dHash fingerprint CTE chain over the PPM corpus + planted twins:
+   * 9x8 nearest-neighbor luminance grid (integer ITU-R 601 weights),
+   * bit (gy*8+gx) set when the cell out-brightens its right neighbor —
+   * the exact twin of Multimodal.decodePpmDhash, recomputed from the
+   * closed-form Multimodal.ppmDhashFixture pixels (the squared mix
+   * v = ((src·131 + i·17 + 251)² / 7 [+ 1 on every 9th twin byte])
+   * % 256) without parsing PPM. Ends at `fp(doc_id, dhash)`; bit 63
+   * uses the Long.MinValue literal (DuckDB raises on 1 << 63). */
+  private lazy val dhashCtes: String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS img_id, doc_id AS src, 0 AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 0),
+       |dims AS (SELECT img_id, src, pert, CAST(16 + src % 9 AS BIGINT) AS w,
+       |                CAST(12 + src % 7 AS BIGINT) AS h FROM imgs),
+       |cells AS (
+       |  SELECT img_id, src, pert, w, h, gy.gy AS gy, gx.gx AS gx,
+       |         ((gy.gy * h) // 8 * w + (gx.gx * w) // 9) * 3 AS ib
+       |  FROM dims, unnest(generate_series(0, 7)) AS gy(gy),
+       |       unnest(generate_series(0, 8)) AS gx(gx)),
+       |chv AS (
+       |  SELECT img_id, gy, gx, c.c AS c,
+       |         src * 131 + (ib + c.c) * 17 + 251 AS t,
+       |         CASE WHEN pert = 1 AND (ib + c.c) % 9 = 0 THEN 1 ELSE 0 END AS dp
+       |  FROM cells, unnest(generate_series(0, 2)) AS c(c)),
+       |pxv AS (
+       |  SELECT img_id, gy, gx, c, ((t * t) // 7 + dp) % 256 AS v FROM chv),
+       |lum AS MATERIALIZED (
+       |  SELECT img_id, gy, gx,
+       |         SUM(CASE c WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v
+       |                    ELSE 114 * v END) // 1000 AS l
+       |  FROM pxv GROUP BY img_id, gy, gx),
+       |bits AS (
+       |  SELECT a.img_id, a.gy * 8 + a.gx AS k,
+       |         CASE WHEN a.l > b.l THEN 1 ELSE 0 END AS bit
+       |  FROM lum a JOIN lum b ON a.img_id = b.img_id AND a.gy = b.gy
+       |    AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8),
+       |fp AS MATERIALIZED (
+       |  SELECT img_id AS doc_id,
+       |         CAST(SUM(CASE WHEN bit = 0 THEN 0
+       |                       WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |                       ELSE (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) END) AS BIGINT) AS dhash
+       |  FROM bits GROUP BY img_id)""".stripMargin
+
+  /** Banded Hamming pair CTE over [[dhashCtes]]' `fp` (4x16-bit bands,
+   * dist <= 6) — the simhash-pairs idiom on the image fingerprints. */
+  private lazy val dhashPairsCte: String =
+    """banded AS (
+      |  SELECT doc_id, dhash, b.b AS band,
+      |         (dhash >> CAST(b.b * 16 AS INTEGER)) & 65535 AS band_val
+      |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b),
+      |pairs AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |         bit_count(xor(a.dhash, b.dhash)) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6)""".stripMargin
 
   /** Shared doc-shingle prelude: normalized tokens and distinct 3-gram
    * shingles with their hashes. */
@@ -1423,6 +1508,30 @@ object TrainOracles {
         |       floor(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_intensity
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
 
+    // dHash twins: every pixel, grid sample, and gradient bit of the
+    // image corpus (+ planted perturbed twins) recomputed closed-form
+    "mm_dhash" ->
+      s"""$dhashCtes
+         |SELECT doc_id, dhash FROM fp""".stripMargin,
+
+    "mm_neardup" ->
+      s"""$dhashCtes,
+         |$dhashPairsCte
+         |SELECT d1, d2, hamming FROM pairs""".stripMargin,
+
+    "mm_neardup_recall" ->
+      s"""$dhashCtes,
+         |$dhashPairsCte,
+         |planted AS MATERIALIZED (
+         |  SELECT doc_id AS d1, doc_id + 10000000 AS d2
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+         |        FROM planted p JOIN pairs q ON p.d1 = q.d1 AND p.d2 = q.d2),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM planted)
+         |SELECT n_planted, n_found,
+         |       round(CAST(n_found AS DOUBLE) / CAST(n_planted AS DOUBLE), 9) AS recall
+         |FROM tot, hit""".stripMargin,
+
     // JL-recall twin: 16 projected components via the same LCG-parity
     // sign matrix and sequential fold; both rankings re-derived, recall
     // joined per query
@@ -1760,6 +1869,16 @@ object TrainOracles {
     // positions merge on gap > 30 — same island rule as the token spans
     "txt_substr_dedup" -> ErOracles.materializeCtes(
       substrCtes +
+      """x AS (SELECT 1)
+        |SELECT doc_id, span_start, span_end,
+        |       span_end - span_start AS span_chars, n_windows
+        |FROM sp""".stripMargin),
+
+    // the streaming gate's batch twin: every occurrence of every
+    // corpus-repeated window (keep-nothing — the gate keeps the standing
+    // copy, not a corpus-global election), same island merge
+    "txt_substr_stream" -> ErOracles.materializeCtes(
+      substrStreamCtes +
       """x AS (SELECT 1)
         |SELECT doc_id, span_start, span_end,
         |       span_end - span_start AS span_chars, n_windows

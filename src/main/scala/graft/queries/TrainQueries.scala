@@ -78,20 +78,54 @@ object TrainQueries {
 
   /** Char-level ExactSubstr duplicate spans (L=30), snapshot once per
    * dir — shared by the span dump and the apply stage (the spans ARE the
-   * product; the apply must not re-elect canonicals). */
+   * product; the apply must not re-elect canonicals). The cache holds the
+   * materialized PATH, not a DataFrame: a DataFrame is bound to the
+   * session that planned it, so a second/restarted session reusing the
+   * dir would get a plan over a possibly-stopped session — re-reading the
+   * path through the CURRENT session is the EventStreams pattern. */
   private val substrSpansCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[String, String]
   private def substrSpans(s: SparkSession, d: String): DataFrame =
-    substrSpansCache.computeIfAbsent(d, _ =>
-      graft.util.Snapshot(graft.text.Curation.substrDupSpans(docs(s, d), L = 30)))
+    s.read.parquet(substrSpansCache.computeIfAbsent(d, _ =>
+      graft.util.Snapshot.materialize(
+        graft.text.Curation.substrDupSpans(docs(s, d), L = 30))._1))
 
-  /** Token-level ExactSubstr duplicate spans (L=10), snapshot once per
-   * dir — same sharing as [[substrSpans]] for the token-window twin. */
+  /** Token-level ExactSubstr duplicate spans (L=10), path-cached once per
+   * dir — same sharing (and same session-safety) as [[substrSpans]] for
+   * the token-window twin. */
   private val tokSpansCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[String, String]
   private def tokSpans(s: SparkSession, d: String): DataFrame =
-    tokSpansCache.computeIfAbsent(d, _ =>
-      graft.util.Snapshot(graft.text.Curation.dupSpans(docs(s, d), L = 10)))
+    s.read.parquet(tokSpansCache.computeIfAbsent(d, _ =>
+      graft.util.Snapshot.materialize(
+        graft.text.Curation.dupSpans(docs(s, d), L = 10))._1))
+
+  /** dHash fingerprints of the PPM image corpus (real P6 fixtures +
+   * planted perturbed twins at doc_id + 1e7), decoded by the REAL PPM
+   * parser; and the banded Hamming near-dup pairs over them. Both are
+   * path-cached per dir (the EventStreams pattern — a DataFrame is bound
+   * to the session that planned it): the dump, pair, and recall queries
+   * all consume them. */
+  private val dhashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def dhashes(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(dhashCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val ids = docs(s, d).select("doc_id").as[Long]
+      val base = ids.map(id => (id, Multimodal.ppmDhashFixture(id)))
+      val twins = ids.filter(_ % 20 == 0)
+        .map(id => (id + 10000000L, Multimodal.ppmDhashFixture(id, perturb = true)))
+      graft.util.Snapshot.materialize(Multimodal.decodeFeatures(
+        base.union(twins).toDF("doc_id", "payload"), parallelism = 8,
+        decoder = Multimodal.decodePpmDhash,
+        schema = Multimodal.DhashSchema))._1
+    }))
+  private val mmPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def mmNeardup(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(mmPairsCache.computeIfAbsent(d, _ =>
+      graft.util.Snapshot.materialize(
+        Multimodal.dhashNearDupPairs(dhashes(s, d), maxDist = 6))._1))
 
   /** Exact Jaccard>=0.5 pairs and MinHash-LSH candidate pairs, snapshot
    * once per dir — shared by their dump queries, the recall metric, and
@@ -164,7 +198,7 @@ object TrainQueries {
     shingles3(s, d); clusters3(s, d); ()
   }
   def warmFingerprints(s: SparkSession, d: String): Unit = {
-    simhashFp(s, d); winnowFp(s, d); ()
+    simhashFp(s, d); winnowFp(s, d); mmNeardup(s, d); ()
   }
   def warmEmbeddings(s: SparkSession, d: String): Unit = {
     kmeansCentroids(s, d); semCentroids(s, d); pqIndex(s, d); ()
@@ -1035,6 +1069,32 @@ object TrainQueries {
         decoder = Multimodal.decodeWav, schema = Multimodal.WavFeatureSchema)
     }),
 
+    // image near-dup across documents: dHash (9x8 luminance-gradient
+    // perceptual hash) through the REAL PPM decoder over a corpus of
+    // genuine P6 fixtures + planted perturbed twins (doc_id + 1e7, +1 on
+    // every 9th byte); the oracle recomputes every pixel, grid sample,
+    // and gradient bit closed-form from doc_id
+    "mm_dhash" -> ((s, d) => dhashes(s, d)),
+
+    // banded Hamming pairs over the dHashes — the visual twin of
+    // dedup_simhash_pairs (same 4x16-bit banding, xor/bit_count verify)
+    "mm_neardup" -> ((s, d) => mmNeardup(s, d)),
+
+    // index-quality grade: fraction of the planted perturbed twins the
+    // banded pass recovers (a twin with > 3 flipped bits can miss all
+    // four bands — the report makes the banding's recall observable,
+    // the same contract as dedup_lsh_recall / ann_pq_recall)
+    "mm_neardup_recall" -> ((s, d) => {
+      val planted = docs(s, d).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("d1"), (col("doc_id") + 10000000L).as("d2"))
+      val found = planted.join(mmNeardup(s, d), Seq("d1", "d2"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+      planted.agg(count(lit(1)).as("n_planted")).crossJoin(found)
+        .select(col("n_planted"), col("n_found"),
+          graft.functions.FastRound.round(col("n_found").cast("double") /
+            col("n_planted").cast("double"), 9).as("recall"))
+    }),
+
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.decodeFeatures(Multimodal.asMultimodal(docs(s, d)), parallelism = 8),
@@ -1236,6 +1296,14 @@ object TrainQueries {
     // copy of each repeated substring survives corpus-wide
     "txt_substr_apply" -> ((s, d) =>
       graft.text.Curation.substrApplySpans(docs(s, d), substrSpans(s, d))),
+
+    // ExactSubstr as a STREAM: arriving docs' window digests probe the
+    // standing repeated-window index (stateless broadcast semi-join,
+    // row-local exact verify), island merge in compaction — the
+    // keep-nothing gate variant (a stateless stream can't elect a
+    // corpus-global first copy); the oracle recomputes it batch-wise
+    "txt_substr_stream" -> ((s, d) =>
+      graft.streaming.EventStreams.substrGateStreaming(s, d, L = 30)),
 
     // the same span decontamination as a STREAM: stateless gram tagging
     // against the standing benchmark index, island merge in compaction —

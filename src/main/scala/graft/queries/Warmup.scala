@@ -141,6 +141,11 @@ object Warmup {
           TrainQueries.all("txt_substr_dedup")(s, d).count()
           step("first/txt_substr_apply")(
             TrainQueries.all("txt_substr_apply")(s, d).count())
+          // the streaming gate AFTER the batch family: its standing
+          // repeated-window index is its own per-dir path cache, plus the
+          // usual checkpoint + stream codegen first-drain cost
+          step("first/txt_substr_stream")(
+            TrainQueries.all("txt_substr_stream")(s, d).count())
         },
         // token-level span family: builds the memoized L=10 span snapshot,
         // then the apply stage's reassembly plan over it

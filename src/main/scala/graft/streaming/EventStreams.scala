@@ -429,6 +429,78 @@ object EventStreams {
       drainAvailableNow(marked, "txt_decon_spans_stream", "append"), L)
   }
 
+  private val substrIdxPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Standing repeated-window index for the streaming ExactSubstr gate:
+   * the DISTINCT L-char window strings occurring >= 2 times anywhere in
+   * the standing corpus, stored WITH their 64-bit digests and
+   * materialized once per dir (computeIfAbsent path cache — the
+   * deconGramIndex pattern). The digests drive the scan-speed probe; the
+   * strings make the gate EXACT (a digest collision nominates, never
+   * marks). Index volume is bounded by the corpus' repeated content —
+   * the few-% duplicated tail, never the corpus itself — and the build
+   * is the batch operator's own hash-first shape: the full occurrence
+   * stream carries (doc_id, pos, h) only. */
+  def substrRepeatedIndex(spark: SparkSession, dir: String, L: Int = 30): DataFrame = {
+    val path = substrIdxPath.computeIfAbsent(dir, _ => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val occ = graft.text.Curation.substrOcc(docs, L, "text", "doc_id")._2
+      val dupH = occ.groupBy("h").agg(count(lit(1)).as("_hc"))
+        .filter(col("_hc") >= 2).select("h")
+      val cand = occ.join(dupH, Seq("h"))
+        .join(docs.select(col("doc_id"), col("text").as("_t")), Seq("doc_id"))
+        .select(col("h"),
+          col("_t").substr((col("pos") + 1).cast("int"), lit(L)).as("s"))
+      val idx = cand.groupBy("h", "s").agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= 2).select("h", "s")
+      graft.util.Snapshot.materialize(idx)._1
+    })
+    spark.read.parquet(path)
+  }
+
+  /**
+   * Streaming ExactSubstr gate — the char-level twin of
+   * [[deconSpansStreaming]]: arriving documents' sliding L-char window
+   * digests (a stateless row-local explode, no window strings built)
+   * probe the STANDING repeated-window index via a broadcast semi-join
+   * on the 8-byte digest; the rare hits re-slice their true window
+   * row-locally from the arriving document's own text and verify against
+   * the index's strings — exact, stateless, no state store, no
+   * watermark. The bounded per-doc island merge runs over the drained
+   * sink (tag at wire speed, merge in the compaction pass). Draining the
+   * whole table in one AvailableNow batch marks every occurrence of
+   * every corpus-repeated window — the keep-nothing variant of
+   * [[graft.text.Curation.substrDupSpans]] (a stateless gate cannot
+   * elect a corpus-global first copy; production keeps the standing
+   * copy and gates the arriving one), which is what the DuckDB twin
+   * recomputes.
+   *
+   * Returns (doc_id, span_start, span_end, span_chars, n_windows).
+   */
+  def substrGateStreaming(spark0: SparkSession, dir: String,
+                          L: Int = 30): DataFrame = {
+    val spark = streamSession(spark0)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val idx = substrRepeatedIndex(spark, dir, L)
+    val stream = reader(spark, schema)
+      .parquet(streamDirFor(dir, "docs_substr_", "documents.parquet"))
+    val hashes = stream.filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        posexplode(transform(sequence(lit(0), length(col("text")) - L),
+          i => xxhash64(col("text").substr(i + 1, lit(L))))))
+      .toDF("doc_id", "text", "pos", "h")
+    val marked = hashes
+      .join(broadcast(idx.select("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("text").substr((col("pos") + 1).cast("int"), lit(L)).as("s"))
+      .join(broadcast(idx.select("s")), Seq("s"), "left_semi")
+      .select("doc_id", "pos")
+    graft.text.Curation.mergeIslands(
+        drainAvailableNow(marked, "txt_substr_stream", "append"), L)
+      .withColumnRenamed("span_tokens", "span_chars")
+  }
+
   /**
    * Deployment shape of the per-language quality gate: thresholds
    * TRAINED on the standing corpus

@@ -577,6 +577,27 @@ object Curation {
             i => array_join(slice(col("toks"), i + 1, lit(L)), " ")))))
       .toDF("doc_id", "pos", "gram")
 
+  /** HASH-FIRST sliding windows: (doc_id, pos, gh) with gh a 64-bit digest
+   * of the L-token gram — 20 fixed-width bytes per position instead of an
+   * L-token STRING, so nothing downstream snapshots or shuffles ~L× the
+   * corpus text. The gram string exists only transiently inside the
+   * projection. Consumers that need exactness re-slice the real gram
+   * row-locally from `toks` by (doc_id, pos) for the (rare) digest-matched
+   * candidates — see [[dupSpans]] / [[contaminatedSpans]]. */
+  private[graft] def slidingGramHashes(toks: DataFrame, L: Int): DataFrame =
+    toks.select(col("doc_id"), posexplode(
+        when(size(col("toks")) < L, array().cast("array<long>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - L),
+            i => xxhash64(array_join(slice(col("toks"), i + 1, lit(L)), " "))))))
+      .toDF("doc_id", "pos", "gh")
+
+  /** Re-slice the true L-token gram for candidate positions, row-locally
+   * from the per-doc token array: (doc_id, pos, gram). */
+  private def resliceGrams(cand: DataFrame, toks: DataFrame, L: Int): DataFrame =
+    cand.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("toks"), col("pos") + 1, lit(L)), " ").as("gram"))
+
   /** Merge marked equal-length window positions into maximal spans. All
    * windows span exactly L tokens, so no running max is needed: a new
    * island starts exactly when pos - lag(pos) > L. The window partition
@@ -598,11 +619,20 @@ object Curation {
   def dupSpans(docs: DataFrame, L: Int, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
     require(L >= 2)
+    // hash-first: the snapshot and both shuffles carry (doc_id, pos, gh)
+    // at 20 bytes/row, never the L-token gram string; digest-matched
+    // candidates (the duplicated few %) are then verified EXACTLY on the
+    // re-sliced true gram, so a 64-bit collision costs a candidate row,
+    // never a wrong span
     val grams = graft.util.Snapshot(
-      slidingGrams(tokenArr(docs, textCol, idCol), L))
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      slidingGramHashes(tokenArr(docs, textCol, idCol), L))
+    val dupH = grams.groupBy("gh").agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") > 1).select("gh")
+    val cand = resliceGrams(grams.join(dupH, Seq("gh")).select("doc_id", "pos"),
+      tokenArr(docs, textCol, idCol), L)
+    val dup = cand.groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("gram")
-    mergeIslands(grams.join(dup, Seq("gram")).select("doc_id", "pos"), L)
+    mergeIslands(cand.join(dup, Seq("gram")).select("doc_id", "pos"), L)
   }
 
   /**
@@ -615,7 +645,12 @@ object Curation {
    * should). Same island merge as [[dupSpans]]; the mark rule is a
    * broadcast semi-join against the benchmark's distinct grams —
    * benchmarks are MBs against a corpus of TBs, so the corpus grams never
-   * shuffle: mark at scan speed, then the bounded per-doc merge.
+   * shuffle: mark at scan speed, then the bounded per-doc merge. The hot
+   * probe runs HASH-FIRST: the corpus side carries a 64-bit gram digest
+   * and probes a digest set (8 bytes/entry broadcast, 8-byte equality at
+   * scan speed); the rare digest hits are then verified exactly against
+   * the benchmark's true gram set, so a collision costs one candidate
+   * row, never a false contamination mark.
    *
    * Returns (doc_id, span_start, span_end, span_tokens, n_windows) over
    * corpus documents.
@@ -624,11 +659,15 @@ object Curation {
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     require(L >= 2)
-    val cg = slidingGrams(tokenArr(corpus, textCol, idCol), L)
+    val cg = slidingGramHashes(tokenArr(corpus, textCol, idCol), L)
     val bg = slidingGrams(tokenArr(benchmark, textCol, idCol), L)
       .select("gram").distinct()
+    val bh = bg.select(xxhash64(col("gram")).as("gh")).distinct()
+    val cand = resliceGrams(
+      cg.join(broadcast(bh), Seq("gh"), "left_semi").select("doc_id", "pos"),
+      tokenArr(corpus, textCol, idCol), L)
     mergeIslands(
-      cg.join(broadcast(bg), Seq("gram"), "left_semi").select("doc_id", "pos"), L)
+      cand.join(broadcast(bg), Seq("gram"), "left_semi").select("doc_id", "pos"), L)
   }
 
   /**
@@ -665,10 +704,20 @@ object Curation {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         array_join(slice(col("toks"), (col("span_start") + 1).cast("int"),
           (col("span_end") - col("span_start")).cast("int")), " ").as("span_text"))
-    val w = Window.partitionBy("span_text")
-      .orderBy(col("doc_id").asc, col("span_start").asc)
-    val removed = spansT.withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 1)
+      // 64-bit digest LEADS the grouping/join key: hashing and sort-merge
+      // comparisons on an L-token string key are byte-wise, the digest
+      // resolves almost every comparison in 8 bytes; the string stays IN
+      // the key, so equality (and thus the election) is exact regardless
+      .withColumn("_sh", xxhash64(col("span_text")))
+    // keeper election as an AGGREGATION joined back, not a
+    // row_number().over(partitionBy(span_text)) — a boilerplate span
+    // repeated 10^8 times would stream through ONE window task (no
+    // map-side partials; AQE skew-splits joins, not windows). min(struct)
+    // is the same (doc_id, span_start) lexicographic first-copy rule.
+    val keepers = spansT.groupBy("_sh", "span_text")
+      .agg(min(struct(col("doc_id"), col("span_start"))).as("_k"))
+    val removed = spansT.join(keepers, Seq("_sh", "span_text"))
+      .filter(struct(col("doc_id"), col("span_start")) =!= col("_k"))
       .select(col("doc_id").as("r_doc"), col("span_start"), col("span_end"))
     val pos = toksDf.filter(size(col("toks")) > 0)
       .select(col("doc_id"), posexplode(col("toks"))).toDF("doc_id", "pos", "tok")
@@ -695,44 +744,71 @@ object Curation {
    * maximal per-document char spans.
    *
    * Shape at scale: the suffix array the paper builds is replaced by the
-   * engine's distinct-window machinery — one partial-agg'd groupBy over
-   * the sliding windows (a window repeated 10^8 times shrinks to one row
-   * per input partition before the shuffle) and one join-back that AQE
-   * can skew-split; there is no pair blowup anywhere, so no frequency
-   * cap is needed — hot windows cost rows, not row PAIRS. The island
-   * merge is a per-document window, bounded by document length. The
-   * canonical-occurrence election fuses (doc_id, pos) into one BIGINT
-   * min (doc_id*1e6 + pos, the [[chunkDedup]] idiom); documents of 1e6+
-   * chars would alias the key, so the fusion FAILS LOUDLY on them
+   * engine's distinct-window machinery, HASH-FIRST — the occurrence table
+   * carries (doc_id, pos, h) with h a 64-bit digest of the L-char window,
+   * 24 fixed-width bytes per position instead of the L-char substring
+   * (~L× the corpus text) that a naive window explode would materialize
+   * into the snapshot and carry as the shuffle key. Repeated-hash groups
+   * are then verified EXACTLY: candidate occurrences (typically a few %
+   * of the corpus) re-slice their real substring row-locally from the
+   * document text by (doc_id, pos), and the keeper election + marking run
+   * on the true strings — a 64-bit digest alone is NOT exactness (at 10⁹
+   * windows collisions are certain), equal digests merely nominate.
+   * Both aggregates are partial-agg'd groupBys (a window repeated 10^8
+   * times shrinks to one row per input partition before the shuffle) and
+   * the join-backs are AQE-skew-splittable; there is no pair blowup
+   * anywhere, so no frequency cap is needed — hot windows cost rows, not
+   * row PAIRS. The island merge is a per-document window, bounded by
+   * document length. The canonical-occurrence election fuses
+   * (doc_id, pos) into one BIGINT min (doc_id*1e6 + pos, the
+   * [[chunkDedup]] idiom); documents of 1e6+ chars or negative ids would
+   * alias/invert the key, so the fusion FAILS LOUDLY on them
    * (raise_error) rather than silently electing a wrong keeper.
    *
    * Returns (doc_id, span_start, span_end, span_chars, n_windows), char
    * positions 0-based, span_end exclusive, over the RAW text (no
    * normalization — byte-exactness is the point).
    */
-  def substrDupSpans(docs: DataFrame, L: Int, textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
-    require(L >= 2)
-    val occ = graft.util.Snapshot(
+  /** The hashed window-occurrence snapshot of [[substrDupSpans]]:
+   * (doc_id, pos, h) — all fixed-width, no window STRINGS stored; exposed
+   * with its on-disk path so a spec can pin both properties. */
+  private[graft] def substrOcc(docs: DataFrame, L: Int, textCol: String,
+                               idCol: String): (String, DataFrame) =
+    graft.util.Snapshot.materialize(
       docs.filter(length(col(textCol)) >= L)
         .select(col(idCol).as("doc_id"),
           posexplode(transform(sequence(lit(0), length(col(textCol)) - L),
-            i => col(textCol).substr(i + 1, lit(L)))))
-        .toDF("doc_id", "pos", "s")
-        .withColumn("pos", when(col("pos") >= 1000000,
-            raise_error(lit("substrDupSpans: document over 1e6 chars aliases " +
-              "the fused (doc_id, pos) keeper key — split the document first")))
+            i => xxhash64(col(textCol).substr(i + 1, lit(L))))))
+        .toDF("doc_id", "pos", "h")
+        .withColumn("pos", when(col("pos") >= 1000000 || col("doc_id") < 0,
+            raise_error(lit("substrDupSpans: document over 1e6 chars or " +
+              "negative doc_id aliases the fused (doc_id, pos) keeper key " +
+              "— split the document / remap ids first")))
           .otherwise(col("pos").cast("long"))))
-    // only REPEATED windows reach the join: the build side shrinks from
+
+  def substrDupSpans(docs: DataFrame, L: Int, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(L >= 2)
+    val occ = substrOcc(docs, L, textCol, idCol)._2
+    // only REPEATED hashes reach the join: the build side shrinks from
     // every distinct window to the duplicated ones (typically a few % of
     // the corpus), so AQE broadcasts it and the occurrence stream never
     // shuffles; at boilerplate-heavy scale where the repeated set is
     // genuinely large, AQE falls back to a (skew-splittable) shuffle join
-    val freq = occ.groupBy("s").agg(count(lit(1)).as("cnt"),
+    val dupH = occ.groupBy("h").agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") >= 2).select("h")
+    // exact verification: nominated occurrences re-slice the REAL window
+    // row-locally from the document text — no stored strings anywhere
+    val cand = occ.join(dupH, Seq("h"))
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("_t")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        col("_t").substr((col("pos") + 1).cast("int"), lit(L)).as("s"))
+    val freq = cand.groupBy("s").agg(count(lit(1)).as("cnt"),
         min(col("doc_id") * 1000000L + col("pos")).as("mk"))
       .filter(col("cnt") >= 2)
     val marked = graft.util.CapMetrics.observeDrops(
-        occ.join(freq, Seq("s")),
+        cand.join(freq, Seq("s")),
         "substr_dedup_marks",
         col("doc_id") * 1000000L + col("pos") =!= col("mk"))
       .filter(col("doc_id") * 1000000L + col("pos") =!= col("mk"))

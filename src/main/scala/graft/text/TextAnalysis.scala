@@ -209,11 +209,10 @@ object TextAnalysis {
                   maxHashFreq: Int = 1000): DataFrame = {
     val hs = graft.util.Snapshot( // both sides of the self-join read it
       fps0.select("doc_id", "gram_hash").distinct())
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram_hash")
-    val freqOk = graft.util.CapMetrics.observeDrops(
-        hs.withColumn("_f", count(lit(1)).over(w)),
-        "winnow_pairs_cap", col("_f") > maxHashFreq)
-      .filter(col("_f") <= maxHashFreq).drop("_f")
+    // hot-key cap via aggregation + broadcast-sized join-back, never a
+    // per-key window — graft.util.CapMetrics.dropHotKeys documents why
+    val freqOk = graft.util.CapMetrics.dropHotKeys(
+      hs, "gram_hash", maxHashFreq, "winnow_pairs_cap")
     freqOk.select(col("gram_hash"), col("doc_id").as("d1"))
       .join(freqOk.select(col("gram_hash"), col("doc_id").as("d2")), Seq("gram_hash"))
       .filter(col("d1") < col("d2"))

@@ -43,6 +43,30 @@ object CapMetrics {
       sum(when(dropCond, 1L).otherwise(0L)).as("dropped_rows"),
       count(lit(1)).as("input_rows"))
 
+  /** Drop every row of `df` whose `keyCol` value occurs more than `maxFreq`
+   * times, with the drop count observable under `name` — the shared shape
+   * of every frequency cap here (winnowPairs / jaccardPairs /
+   * containmentPairs / incremental-ER block caps).
+   *
+   * Scale shape: the per-key frequency is an AGGREGATION (map-side partials
+   * collapse a 10^8-occurrence boilerplate key to one row per input
+   * partition), and the enforcement joins back only the HOT keys — by
+   * definition at most |rows|/maxFreq of them, in practice a handful — so
+   * AQE broadcasts the build side and the occurrence stream itself never
+   * shuffles. The alternatives both touch every row with shuffle-width
+   * state: `count().over(partitionBy(key))` streams each hot key through
+   * ONE window task (no partials, not skew-splittable), and joining the
+   * full frequency table back shuffles the whole stream for a value that
+   * only matters on the rare hot keys. */
+  def dropHotKeys(df: DataFrame, keyCol: String, maxFreq: Long,
+                  name: String): DataFrame = {
+    val hot = df.groupBy(keyCol).agg(count(lit(1)).as("_f"))
+      .filter(col("_f") > maxFreq)
+      .select(col(keyCol), lit(1).as("_hot"))
+    observeDrops(df.join(hot, Seq(keyCol), "left"), name, col("_hot").isNotNull)
+      .filter(col("_hot").isNull).drop("_hot")
+  }
+
   /** The observed drop metrics of the last action on `df`, if the plan
    * carried an [[observeDrops]] node named `name` and an action ran.
    * Plan-local: when the observed frame was materialized by an internal

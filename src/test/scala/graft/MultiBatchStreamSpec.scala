@@ -149,6 +149,29 @@ class MultiBatchStreamSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("streaming ExactSubstr gate over 4 micro-batches equals the batch keep-nothing pass") {
+    // stateless digest probe + row-local exact verify against the standing
+    // repeated-window index: any batch split must reproduce the batch
+    // keep-nothing marking (every occurrence of a corpus-repeated window)
+    val L = 30
+    val docs = spark.read.parquet(s"$docsSplitDir/documents.parquet")
+    val occ = graft.text.Curation.substrOcc(docs, L, "text", "doc_id")._2
+    val dupH = occ.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val cand = occ.join(dupH, Seq("h"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr((col("pos") + 1).cast("int"), lit(L)).as("s"))
+    val dupS = cand.groupBy("s").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("s")
+    val expect = sortedRows(graft.text.Curation.mergeIslands(
+        cand.join(dupS, Seq("s")).select("doc_id", "pos"), L)
+      .withColumnRenamed("span_tokens", "span_chars"))
+    val got = withOneFilePerTrigger(
+      sortedRows(EventStreams.substrGateStreaming(spark, docsSplitDir, L = 30)))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("streaming quality gate over 4 micro-batches equals the batch gate") {
     // stateless stream-static scoring against corpus-trained thresholds:
     // a 4-way split must reproduce the batch gate exactly (thresholds

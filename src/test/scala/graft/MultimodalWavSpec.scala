@@ -50,6 +50,44 @@ class MultimodalWavSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](feats(trunc))
   }
 
+  test("dHash: monotone gradients saturate / clear the fingerprint") {
+    // 9x8 grey ramp: grid sampling is the identity, luminance == the
+    // channel value (299+587+114 = 1000), so a strictly decreasing ramp
+    // sets every cur>next bit and an increasing one sets none
+    def ramp(desc: Boolean): Array[Byte] = {
+      val rgb = Array.tabulate(9 * 8 * 3) { i =>
+        val x = (i / 3) % 9
+        (if (desc) 240 - 20 * x else 20 * x).toByte
+      }
+      Multimodal.encodePpm(9, 8, rgb)
+    }
+    assert(Multimodal.decodePpmDhash(1L, ramp(desc = true)).getLong(1) == -1L)
+    assert(Multimodal.decodePpmDhash(2L, ramp(desc = false)).getLong(1) == 0L)
+  }
+
+  test("dHash: planted perturbed twins stay close; banded pairs recover every one") {
+    val hams = (0L until 500L).map { id =>
+      val a = Multimodal.decodePpmDhash(id,
+        Multimodal.ppmDhashFixture(id)).getLong(1)
+      val b = Multimodal.decodePpmDhash(id,
+        Multimodal.ppmDhashFixture(id, perturb = true)).getLong(1)
+      java.lang.Long.bitCount(a ^ b)
+    }
+    // measured: the +1-every-9th-byte twin flips 0-2 gradient bits; 6 is
+    // the operator's verify radius, so any drift past it is a real break
+    assert(hams.max <= 6, s"twin hamming drifted to ${hams.max}")
+    val rows = (0L until 50L).flatMap(id => Seq(
+      (id, Multimodal.decodePpmDhash(id,
+        Multimodal.ppmDhashFixture(id)).getLong(1)),
+      (id + 1000L, Multimodal.decodePpmDhash(id,
+        Multimodal.ppmDhashFixture(id, perturb = true)).getLong(1))))
+    val pairs = Multimodal.dhashNearDupPairs(
+        rows.toDF("doc_id", "dhash"), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 50L).foreach(id =>
+      assert(pairs.contains((id, id + 1000L)), s"planted twin $id missed"))
+  }
+
   test("jlProject is deterministic and pipeline-compatible") {
     val e = Seq(
       (1L, Array.tabulate(64)(i => (i + 1).toFloat)),

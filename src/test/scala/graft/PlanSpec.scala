@@ -416,14 +416,71 @@ class PlanSpec extends AnyFunSuite {
     // jaccardPairs / containmentPairs / supervised features must plan as
     // a (partial+final) aggregate plus a join-back; a physical Window
     // node in these plans is the straggler pattern coming back.
-    val three = Seq(
+    val five = Seq(
       "dedup_jaccard" -> graft.queries.TrainQueries.all("dedup_jaccard")(spark, sf),
       "dedup_containment" -> graft.queries.TrainQueries.all("dedup_containment")(spark, sf),
-      "sup_features" -> graft.queries.SupQueries.all("sup_features")(spark, sf))
-    three.foreach { case (name, df) =>
+      "sup_features" -> graft.queries.SupQueries.all("sup_features")(spark, sf),
+      "dedup_exact" -> graft.queries.TrainQueries.all("dedup_exact")(spark, sf),
+      "txt_winnow_pairs" -> graft.queries.TrainQueries.all("txt_winnow_pairs")(spark, sf))
+    five.foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("Window ["),
         s"per-key Window computing a cap frequency in $name:\n$p")
+    }
+  }
+
+  /** Partition keys of every logical Window node in `df`'s optimized plan
+   * — the r7/r9 straggler pin's currency: a window partitioned by a VALUE
+   * key (hash, token, shingle, span text) streams every occurrence of a
+   * hot value through one task; only per-document windows (bounded by doc
+   * length, never corpus size) are legitimate in these operators. */
+  private def windowPartitionKeys(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+    }.flatten.distinct
+
+  test("no operator elects representatives or counts frequencies via a value-key window") {
+    // VERDICT r8 #1: the r7 caps fix applied narrowly — the identical
+    // agg().over(Window.partitionBy(valueKey)) shape survived at five more
+    // sites (winnowPairs cap, validBlocks, cappedKeys, Dedup.exact's
+    // representative election, the span-keeper election). All five are now
+    // aggregation + join-back; this pin walks the OPERATORS' logical plans
+    // (the benched queries read memoized snapshots, hiding the internals)
+    // and fails if any Window partitioned by something other than doc_id
+    // reappears in these families.
+    val docs = viaParquet(Seq(
+      (1L, "a b c d e f g h i j k l"), (2L, "a b c d e f g h i j k l"),
+      (3L, "x y z w v u t s r q p o"), (4L, "m n o p a b c d e f g h")
+    ).toDF("doc_id", "text"))
+    val keys = viaParquet(Seq((1L, 0, "k1"), (2L, 1, "k1"), (3L, 0, "k2"))
+      .toDF("profile_id", "source_id", "key"))
+    val pk = viaParquet(Seq(("k1", 1L), ("k1", 2L), ("k2", 3L))
+      .toDF("key", "profile_id"))
+    val fps = viaParquet(Seq((1L, 11L, 0L), (2L, 11L, 3L), (2L, 12L, 5L))
+      .toDF("doc_id", "gram_hash", "pos"))
+
+    assert(windowPartitionKeys(graft.dedup.Dedup.exact(docs)).isEmpty,
+      "Dedup.exact elects representatives via a window again")
+    assert(windowPartitionKeys(Blocking.validBlocks(keys, clean = true)).isEmpty,
+      "validBlocks counts per-key stats via a window again")
+    assert(windowPartitionKeys(
+        Blocking.cappedKeys(pk, pk, 1000L, "plan_pin_cap")).isEmpty,
+      "cappedKeys counts block sizes via a window again")
+    assert(windowPartitionKeys(
+        graft.text.TextAnalysis.winnowPairs(fps, minShared = 1)).isEmpty,
+      "winnowPairs caps hash frequency via a window again")
+    // span family: mergeIslands/reassembly legitimately window per doc_id
+    Seq(
+      "dupSpans" -> graft.text.Curation.dupSpans(docs, L = 3),
+      "substrDupSpans" -> graft.text.Curation.substrDupSpans(docs, L = 5),
+      "dupSpansRemoveWith" -> graft.text.Curation.dupSpansRemove(docs, L = 3),
+      "contaminatedSpans" ->
+        graft.text.Curation.contaminatedSpans(docs, docs.limit(1), L = 3)
+    ).foreach { case (name, df) =>
+      val bad = windowPartitionKeys(df).filterNot(_ == "doc_id")
+      assert(bad.isEmpty,
+        s"$name has a window partitioned by value key(s) ${bad.mkString(",")}")
     }
   }
 

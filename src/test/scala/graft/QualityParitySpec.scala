@@ -147,6 +147,82 @@ class QualityParitySpec extends AnyFunSuite {
       s"CEP matches $cepMatches too far from the reference's 7940")
   }
 
+  test("census dirty pipeline: exact parity on blocks, candidates, WNP x5, WEP") {
+    // Second dirty-CSV dataset (r8 VERDICT stretch #7): locks the dirty
+    // loader + pipeline against reference counts the way cora does, on a
+    // corpus with a very different shape (841 short census records, 344
+    // GT pairs). Expected values produced by executing the reference's
+    // python/sparker with the Dirty-datasets.ipynb parameters
+    // (token blocking, purging 1.025, filtering 0.8):
+    //   blocks 549 / purged 519 / filtered 512; candidates 2551 / 243
+    //   WNP CBS OR 958/53, AND 758/45; WEP CBS 859/39
+    //   WNP OR: JS 791/45, ECBS 817/43, CHI2 1012/57, ARCS 1484/102
+    val dir = "/root/reference/python/datasets/dirty/census"
+    assume(new java.io.File(s"$dir/census.csv").canRead, "reference datasets not present")
+    import org.apache.spark.sql.functions.{col, lpad}
+    val raw = spark.read.option("header", "true").csv(s"$dir/census.csv")
+      .withColumn("id", lpad(col("id"), 6, "0"))
+    val profiles = Wrappers.fromDataFrame(raw, realIdField = "id").persist()
+    val attrs = Wrappers.toLongLayout(profiles)
+    val keys = Blocking.tokenKeys(attrs)
+    val cb = Pipeline.cleanBlocks(keys, clean = false,
+      smoothFactor = 1.025, filterFactor = 0.8)
+    assert(cb.stats0.count() == 549L)
+    assert(cb.stats1.count() == 519L)
+    assert(cb.stats2.count() == 512L)
+
+    val gt = Wrappers.loadGroundTruthCsv(spark, s"$dir/census_groundtruth.csv")
+      .select(lpad(col("id1"), 6, "0").as("id1"), lpad(col("id2"), 6, "0").as("id2"))
+    val prof = profiles.select("original_id", "profile_id")
+    val gtc = Evaluation.convertGroundTruth(gt, prof, prof).persist()
+    assert(gtc.count() == 344L)
+
+    val pairs = graft.util.Snapshot(cb.pairs())
+    assert(pairs.count() == 2551L)
+    assert(pairs.join(gtc, Seq("p1", "p2"), "left_semi").count() == 243L)
+
+    val profStats = graft.util.Snapshot(cb.profileStats)
+    val weighted = graft.util.Snapshot(
+      MetaBlocking.weightedPairs(pairs, profStats, cb.numberOfBlocks, WeightType.CBS))
+    val selfW = Some(graft.util.Snapshot(
+      MetaBlocking.selfWeights(profStats, cb.numberOfBlocks, WeightType.CBS)))
+
+    val wnpOr = graft.util.Snapshot(MetaBlocking.wnp(
+      weighted, ThresholdType.AVG, ComparisonType.OR, WeightType.CBS, selfW = selfW))
+    assert(wnpOr.count() == 958L)
+    assert(wnpOr.join(gtc, Seq("p1", "p2"), "left_semi").count() == 53L)
+
+    val wnpAnd = graft.util.Snapshot(MetaBlocking.wnp(
+      weighted, ThresholdType.AVG, ComparisonType.AND, WeightType.CBS, selfW = selfW))
+    assert(wnpAnd.count() == 758L)
+    assert(wnpAnd.join(gtc, Seq("p1", "p2"), "left_semi").count() == 45L)
+
+    val wep = graft.util.Snapshot(MetaBlocking.wep(weighted, selfW = selfW))
+    assert(wep.count() == 859L)
+    assert(wep.join(gtc, Seq("p1", "p2"), "left_semi").count() == 39L)
+
+    // fractional schemes, same ARCS ulp caveat as the cora test — census's
+    // short records put far more edges exactly ON the mean threshold, so
+    // the sequential-vs-sorted-product division order flips more of them
+    // (observed 12 of 1484; cora saw 9 of 99597); ~1% margin, ARCS only
+    for ((wt, refEdges, refMatches, ulpTol) <- Seq(
+        (WeightType.JS, 791L, 45L, 0L),
+        (WeightType.ECBS, 817L, 43L, 0L),
+        (WeightType.ChiSquare, 1012L, 57L, 0L),
+        (WeightType.ARCS, 1484L, 102L, 15L))) {
+      val w = graft.util.Snapshot(
+        MetaBlocking.weightedPairs(pairs, profStats, cb.numberOfBlocks, wt))
+      val sw = Some(graft.util.Snapshot(
+        MetaBlocking.selfWeights(profStats, cb.numberOfBlocks, wt)))
+      val kept = graft.util.Snapshot(MetaBlocking.wnp(
+        w, ThresholdType.AVG, ComparisonType.OR, wt, selfW = sw))
+      val n = kept.count()
+      assert(math.abs(n - refEdges) <= ulpTol, s"WNP $wt edges $n vs $refEdges")
+      val m = kept.join(gtc, Seq("p1", "p2"), "left_semi").count()
+      assert(math.abs(m - refMatches) <= ulpTol, s"WNP $wt matches $m vs $refMatches")
+    }
+  }
+
   test("restaurant dirty pipeline: WNP/WEP parity incl. the self-edge quirk") {
     val dir = "/root/reference/python/datasets/dirty/restaurant"
     assume(new java.io.File(s"$dir/restaurant.csv").canRead, "reference datasets not present")
