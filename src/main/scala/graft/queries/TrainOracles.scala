@@ -101,7 +101,8 @@ object TrainOracles {
       |""".stripMargin
 
   /** Keep-nothing variant of [[substrCtes]] for the STREAMING ExactSubstr
-   * gate: every occurrence of a corpus-repeated 30-char window is marked
+   * gate: every occurrence IN AN ARRIVING DOC (the doc_id % 10 == 0
+   * batch) of a 30-char window repeated anywhere in the corpus is marked
    * (a stateless gate cannot elect a corpus-global first copy — it keeps
    * the standing copy and gates arrivals), same island merge. */
   private lazy val substrStreamCtes: String =
@@ -112,7 +113,8 @@ object TrainOracles {
       |  WHERE length(text) >= 30),
       |fr AS MATERIALIZED (
       |  SELECT s FROM oc GROUP BY s HAVING COUNT(*) >= 2),
-      |mk AS (SELECT oc.doc_id, oc.pos FROM oc JOIN fr ON oc.s = fr.s),
+      |mk AS (SELECT oc.doc_id, oc.pos FROM oc JOIN fr ON oc.s = fr.s
+      |       WHERE oc.doc_id % 10 = 0),
       |g1 AS (SELECT doc_id, pos,
       |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
       |              THEN 0 ELSE 1 END AS gap

@@ -1297,10 +1297,10 @@ object TrainQueries {
     "txt_substr_apply" -> ((s, d) =>
       graft.text.Curation.substrApplySpans(docs(s, d), substrSpans(s, d))),
 
-    // ExactSubstr as a STREAM: arriving docs' window digests probe the
-    // standing repeated-window index (stateless broadcast semi-join,
-    // row-local exact verify), island merge in compaction — the
-    // keep-nothing gate variant (a stateless stream can't elect a
+    // ExactSubstr as a STREAM: the arriving 10% batch's window digests
+    // probe the standing repeated-window index (stateless broadcast
+    // semi-join, row-local exact verify), island merge in compaction —
+    // the keep-nothing gate variant (a stateless stream can't elect a
     // corpus-global first copy); the oracle recomputes it batch-wise
     "txt_substr_stream" -> ((s, d) =>
       graft.streaming.EventStreams.substrGateStreaming(s, d, L = 30)),

@@ -468,13 +468,15 @@ object EventStreams {
    * row-locally from the arriving document's own text and verify against
    * the index's strings — exact, stateless, no state store, no
    * watermark. The bounded per-doc island merge runs over the drained
-   * sink (tag at wire speed, merge in the compaction pass). Draining the
-   * whole table in one AvailableNow batch marks every occurrence of
-   * every corpus-repeated window — the keep-nothing variant of
-   * [[graft.text.Curation.substrDupSpans]] (a stateless gate cannot
-   * elect a corpus-global first copy; production keeps the standing
-   * copy and gates the arriving one), which is what the DuckDB twin
-   * recomputes.
+   * sink (tag at wire speed, merge in the compaction pass). The arriving
+   * side is the 10% batch (doc_id % 10 == 0, the [[lshIngestStreaming]]
+   * convention — production gates ARRIVING documents against the
+   * standing corpus, it does not re-stream the corpus through its own
+   * gate); each marked window is an occurrence in an arriving doc of a
+   * window repeated anywhere in the corpus — the keep-nothing variant
+   * of [[graft.text.Curation.substrDupSpans]] (a stateless gate cannot
+   * elect a corpus-global first copy; it keeps the standing copy and
+   * gates the arrival), which is what the DuckDB twin recomputes.
    *
    * Returns (doc_id, span_start, span_end, span_chars, n_windows).
    */
@@ -485,6 +487,7 @@ object EventStreams {
     val idx = substrRepeatedIndex(spark, dir, L)
     val stream = reader(spark, schema)
       .parquet(streamDirFor(dir, "docs_substr_", "documents.parquet"))
+      .filter(col("doc_id") % 10 === 0)
     val hashes = stream.filter(length(col("text")) >= L)
       .select(col("doc_id"), col("text"),
         posexplode(transform(sequence(lit(0), length(col("text")) - L),

@@ -164,8 +164,11 @@ class MultiBatchStreamSpec extends AnyFunSuite {
         col("text").substr((col("pos") + 1).cast("int"), lit(L)).as("s"))
     val dupS = cand.groupBy("s").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("s")
+    // arriving side = the doc_id % 10 == 0 batch (the gate's convention);
+    // the repeated-window index is over the FULL corpus
     val expect = sortedRows(graft.text.Curation.mergeIslands(
-        cand.join(dupS, Seq("s")).select("doc_id", "pos"), L)
+        cand.join(dupS, Seq("s")).filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "pos"), L)
       .withColumnRenamed("span_tokens", "span_chars"))
     val got = withOneFilePerTrigger(
       sortedRows(EventStreams.substrGateStreaming(spark, docsSplitDir, L = 30)))
