@@ -217,6 +217,103 @@ object Multimodal {
     encodePpm(w, h, rgb)
   }
 
+  /** Audio-fingerprint row: (doc_id, afp). */
+  val AudioFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("afp", LongType, nullable = false)))
+
+  /**
+   * 64-bit audio envelope fingerprint — the audio twin of
+   * [[decodePpmDhash]]: sample the decoded PCM stream's absolute
+   * amplitude at 65 evenly-spaced positions (nearest-neighbor,
+   * i = f·n/65 — the same integer sampling as the dHash grid), set bit f
+   * when sample f out-louds sample f+1. Envelope-gradient DIRECTIONS
+   * survive re-encoding and mild noise the way image gradients do; a
+   * production pipeline swaps this kernel for a spectral fingerprint
+   * (chromaprint-style) inside the same batched decode contract without
+   * touching the plan. Runs on the REAL RIFF/PCM16 parser.
+   */
+  def decodeWavAfp(docId: Long, payload: Array[Byte]): Row = {
+    val (_, samples) = wavPcm(docId, payload)
+    val n = samples.length
+    require(n >= 65, s"WAV fp: need >= 65 samples, got $n (doc $docId)")
+    def e(f: Int): Int = math.abs(samples(f * n / 65).toInt)
+    var hash = 0L
+    var f = 0
+    var cur = e(0)
+    while (f < 64) {
+      val next = e(f + 1)
+      if (cur > next) hash |= 1L << f
+      cur = next; f += 1
+    }
+    Row(docId, hash)
+  }
+
+  /** RIFF walk shared by the fingerprint decoder: (rate, PCM16 samples)
+   * materialized — [[decodeWav]] keeps its own streaming pass (its
+   * checksum never needs the array). Same chunk-list semantics. */
+  private def wavPcm(docId: Long, payload: Array[Byte]): (Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(payload.length >= 12 && fourCC() == "RIFF", s"WAV: no RIFF (doc $docId)")
+    bb.getInt
+    require(fourCC() == "WAVE", s"WAV: no WAVE form (doc $docId)")
+    var rate = -1
+    var out: Array[Short] = null
+    while (bb.remaining() >= 8) {
+      val id = fourCC(); val len = bb.getInt
+      if (id == "fmt ") {
+        require(len >= 16, s"WAV: short fmt chunk (doc $docId)")
+        val fmt = bb.getShort; val ch = bb.getShort
+        rate = bb.getInt; bb.getInt; bb.getShort
+        val bits = bb.getShort
+        require(fmt == 1 && ch == 1 && bits == 16,
+          s"WAV: need PCM16 mono, got fmt=$fmt ch=$ch bits=$bits (doc $docId)")
+        bb.position(bb.position() + (len - 16))
+      } else if (id == "data") {
+        require(rate > 0, s"WAV: data before fmt (doc $docId)")
+        require(bb.remaining() >= len, s"WAV: truncated data chunk (doc $docId)")
+        out = Array.fill(len / 2)(bb.getShort)
+      } else {
+        bb.position(bb.position() + len + (len & 1))
+      }
+    }
+    require(out != null, s"WAV: no data chunk (doc $docId)")
+    (rate, out)
+  }
+
+  /** Deterministic audio-fingerprint fixture (and, with `perturb`, its
+   * planted near-dup twin: every 5th sample shifted +1500 wrapping in
+   * 16-bit space — "the same recording re-encoded with noise"). 200-255
+   * samples so the 65-point envelope samples distinct positions; the
+   * sample formula is the NONLINEAR squared mix for the same reason as
+   * [[ppmDhashFixture]] (an envelope fingerprint is level-shift-tolerant,
+   * so linear fixture families would near-dup each other en masse).
+   * Real RIFF bytes via [[encodeWav]]; closed-form for the SQL oracle. */
+  def wavFpFixture(docId: Long, perturb: Boolean = false): Array[Byte] = {
+    val rate = 8000 + (docId % 4).toInt * 4000
+    val n = 200 + (docId % 56).toInt
+    val samples = Array.tabulate(n) { i =>
+      val t = docId * 131 + i.toLong * 17 + 251
+      val v = (t * t % 65536L - 32768L).toInt
+      (if (perturb && i % 5 == 0) ((v + 32768 + 1500) % 65536) - 32768
+       else v).toShort
+    }
+    encodeWav(rate, samples)
+  }
+
+  /**
+   * Audio near-duplicate pairs over [[decodeWavAfp]] fingerprints — the
+   * identical banded Hamming machinery as [[dhashNearDupPairs]].
+   * Returns (d1, d2, hamming).
+   */
+  def afpNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame =
+    graft.dedup.Dedup.simhashPairs(
+      hashes.select(col("doc_id"), col("afp").as("simhash")), maxDist)
+
   /**
    * Image near-duplicate pairs over [[decodePpmDhash]] fingerprints:
    * Hamming distance <= maxDist, candidates generated by the exact

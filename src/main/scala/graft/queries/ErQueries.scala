@@ -319,7 +319,11 @@ object ErQueries {
     // need >= 2 distinct sources; comparison counts sum the cross-source
     // products — the same code path as 2-source clean, no special casing
     "er_blocks_3src" -> ((s, d) => {
-      val keys3 = Blocking.tokenKeys(partAttrs(s, d, twoSources = true, numSources = 3))
+      // snapshot the keys: validBlocks consumes them twice (per-key stats
+      // + the member semi-join back), which would re-run the tokenize +
+      // explode lineage on both sides
+      val keys3 = graft.util.Snapshot(
+        Blocking.tokenKeys(partAttrs(s, d, twoSources = true, numSources = 3)))
       Blocking.blockStats(Blocking.validBlocks(keys3, clean = true), clean = true,
           numSources = 3)
         .select("key", "size", "comparisons")
@@ -558,7 +562,8 @@ object ErQueries {
 
     "er_ngram_blocks" -> ((s, d) => {
       val attrs = partAttrs(s, d, twoSources = false).filter(col("attribute") === "name")
-      val k = Blocking.ngramKeys(attrs, n = 4)
+      // snapshot: validBlocks reads the keys twice (stats + semi-join back)
+      val k = graft.util.Snapshot(Blocking.ngramKeys(attrs, n = 4))
       val m = Blocking.validBlocks(k, clean = false)
       Blocking.blockStats(m, clean = false).select("key", "size", "comparisons")
     }),
@@ -567,7 +572,8 @@ object ErQueries {
     // suffix of length >= 4 as a key, same valid-block + stats pipeline
     "er_suffix_blocks" -> ((s, d) => {
       val attrs = partAttrs(s, d, twoSources = false).filter(col("attribute") === "name")
-      val k = Blocking.suffixKeys(attrs, minLen = 4)
+      // snapshot: the suffix explode is the expensive lineage here
+      val k = graft.util.Snapshot(Blocking.suffixKeys(attrs, minLen = 4))
       val m = Blocking.validBlocks(k, clean = false)
       Blocking.blockStats(m, clean = false).select("key", "size", "comparisons")
     }),

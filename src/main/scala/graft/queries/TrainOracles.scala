@@ -264,6 +264,40 @@ object TrainOracles {
        |                       ELSE (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) END) AS BIGINT) AS dhash
        |  FROM bits GROUP BY img_id)""".stripMargin
 
+  /** Audio envelope-fingerprint CTE chain over the WAV corpus + planted
+   * noise twins: 65 nearest-neighbor |PCM| samples, bit f set when
+   * sample f out-louds sample f+1 — the exact twin of
+   * Multimodal.decodeWavAfp over the closed-form wavFpFixture samples
+   * (squared mix v = (t² % 65536) − 32768, t = src·131 + i·17 + 251;
+   * twins add +1500 wrapping on every 5th sample). Ends at
+   * `fp(doc_id, afp AS dhash)` so [[dhashPairsCte]] composes unchanged. */
+  private lazy val afpCtes: String =
+    """WITH auds AS (
+      |  SELECT doc_id AS aud_id, doc_id AS src, 0 AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 0),
+      |adim AS (SELECT aud_id, src, pert, CAST(200 + src % 56 AS BIGINT) AS n FROM auds),
+      |apt AS (
+      |  SELECT aud_id, src, pert, f.f AS f, (f.f * n) // 65 AS i
+      |  FROM adim, unnest(generate_series(0, 64)) AS f(f)),
+      |aval AS MATERIALIZED (
+      |  SELECT aud_id, f,
+      |         abs(CASE WHEN pert = 1 AND i % 5 = 0
+      |                  THEN (((t * t) % 65536 + 1500) % 65536) - 32768
+      |                  ELSE ((t * t) % 65536) - 32768 END) AS e
+      |  FROM (SELECT aud_id, f, pert, i, src * 131 + i * 17 + 251 AS t FROM apt)),
+      |abit AS (
+      |  SELECT a.aud_id, a.f AS k,
+      |         CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+      |  FROM aval a JOIN aval b ON a.aud_id = b.aud_id AND b.f = a.f + 1
+      |  WHERE a.f < 64),
+      |fp AS MATERIALIZED (
+      |  SELECT aud_id AS doc_id,
+      |         CAST(SUM(CASE WHEN bit = 0 THEN 0
+      |                       WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |                       ELSE (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) END) AS BIGINT) AS dhash
+      |  FROM abit GROUP BY aud_id)""".stripMargin
+
   /** Banded Hamming pair CTE over [[dhashCtes]]' `fp` (4x16-bit bands,
    * dist <= 6) — the simhash-pairs idiom on the image fingerprints. */
   private lazy val dhashPairsCte: String =
@@ -1523,6 +1557,30 @@ object TrainOracles {
 
     "mm_neardup_recall" ->
       s"""$dhashCtes,
+         |$dhashPairsCte,
+         |planted AS MATERIALIZED (
+         |  SELECT doc_id AS d1, doc_id + 10000000 AS d2
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+         |        FROM planted p JOIN pairs q ON p.d1 = q.d1 AND p.d2 = q.d2),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM planted)
+         |SELECT n_planted, n_found,
+         |       round(CAST(n_found AS DOUBLE) / CAST(n_planted AS DOUBLE), 9) AS recall
+         |FROM tot, hit""".stripMargin,
+
+    // audio twins: envelope fingerprint, banded pairs, planted-twin
+    // recall — the fp CTE aliases afp AS dhash so the pair CTE composes
+    "mm_wav_fp" ->
+      s"""$afpCtes
+         |SELECT doc_id, dhash AS afp FROM fp""".stripMargin,
+
+    "mm_wav_neardup" ->
+      s"""$afpCtes,
+         |$dhashPairsCte
+         |SELECT d1, d2, hamming FROM pairs""".stripMargin,
+
+    "mm_wav_neardup_recall" ->
+      s"""$afpCtes,
          |$dhashPairsCte,
          |planted AS MATERIALIZED (
          |  SELECT doc_id AS d1, doc_id + 10000000 AS d2

@@ -488,10 +488,12 @@ object EventStreams {
     val stream = reader(spark, schema)
       .parquet(streamDirFor(dir, "docs_substr_", "documents.parquet"))
       .filter(col("doc_id") % 10 === 0)
+    // the same codegen'd O(n) rolling hash the standing index was built
+    // with (graft.functions.WindowHashes64) — digests must agree across
+    // the index and the probe, and the stream pays this explode per drain
     val hashes = stream.filter(length(col("text")) >= L)
       .select(col("doc_id"), col("text"),
-        posexplode(transform(sequence(lit(0), length(col("text")) - L),
-          i => xxhash64(col("text").substr(i + 1, lit(L))))))
+        posexplode(graft.functions.WindowHashes64(col("text"), L)))
       .toDF("doc_id", "text", "pos", "h")
     val marked = hashes
       .join(broadcast(idx.select("h")), Seq("h"), "left_semi")

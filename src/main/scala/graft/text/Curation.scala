@@ -771,14 +771,17 @@ object Curation {
    */
   /** The hashed window-occurrence snapshot of [[substrDupSpans]]:
    * (doc_id, pos, h) — all fixed-width, no window STRINGS stored; exposed
-   * with its on-disk path so a spec can pin both properties. */
+   * with its on-disk path so a spec can pin both properties. The digests
+   * come from the codegen'd O(n) rolling hash
+   * ([[graft.functions.WindowHashes64]]) — the HOF
+   * transform/substr/xxhash64 form is O(n·L), interpreted, and allocates
+   * every window string transiently. */
   private[graft] def substrOcc(docs: DataFrame, L: Int, textCol: String,
                                idCol: String): (String, DataFrame) =
     graft.util.Snapshot.materialize(
       docs.filter(length(col(textCol)) >= L)
         .select(col(idCol).as("doc_id"),
-          posexplode(transform(sequence(lit(0), length(col(textCol)) - L),
-            i => xxhash64(col(textCol).substr(i + 1, lit(L))))))
+          posexplode(graft.functions.WindowHashes64(col(textCol), L)))
         .toDF("doc_id", "pos", "h")
         .withColumn("pos", when(col("pos") >= 1000000 || col("doc_id") < 0,
             raise_error(lit("substrDupSpans: document over 1e6 chars or " +

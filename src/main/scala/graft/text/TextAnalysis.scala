@@ -210,9 +210,12 @@ object TextAnalysis {
     val hs = graft.util.Snapshot( // both sides of the self-join read it
       fps0.select("doc_id", "gram_hash").distinct())
     // hot-key cap via aggregation + broadcast-sized join-back, never a
-    // per-key window — graft.util.CapMetrics.dropHotKeys documents why
-    val freqOk = graft.util.CapMetrics.dropHotKeys(
-      hs, "gram_hash", maxHashFreq, "winnow_pairs_cap")
+    // per-key window (graft.util.CapMetrics.dropHotKeys documents why);
+    // SNAPSHOT the capped postings — the self-join consumes them twice,
+    // and the cap subplan (freq agg + anti join) would otherwise run on
+    // both sides (measured 0.72s -> 1.15s at sf0.1 without this)
+    val freqOk = graft.util.Snapshot(graft.util.CapMetrics.dropHotKeys(
+      hs, "gram_hash", maxHashFreq, "winnow_pairs_cap"))
     freqOk.select(col("gram_hash"), col("doc_id").as("d1"))
       .join(freqOk.select(col("gram_hash"), col("doc_id").as("d2")), Seq("gram_hash"))
       .filter(col("d1") < col("d2"))

@@ -88,6 +88,40 @@ class MultimodalWavSpec extends AnyFunSuite {
       assert(pairs.contains((id, id + 1000L)), s"planted twin $id missed"))
   }
 
+  test("audio fingerprint: monotone envelopes saturate / clear the bits") {
+    // n = 130 -> envelope point f samples position 2f; a strictly
+    // decreasing |amplitude| ramp sets every louder-than-next bit, an
+    // increasing one sets none
+    val desc = Multimodal.encodeWav(8000,
+      Array.tabulate(130)(i => (2000 - 15 * i).toShort))
+    assert(Multimodal.decodeWavAfp(1L, desc).getLong(1) == -1L)
+    val asc = Multimodal.encodeWav(8000,
+      Array.tabulate(130)(i => (15 * i).toShort))
+    assert(Multimodal.decodeWavAfp(2L, asc).getLong(1) == 0L)
+  }
+
+  test("audio fingerprint: planted noise twins stay close; banded pairs recover them") {
+    val hams = (0L until 500L).map { id =>
+      val a = Multimodal.decodeWavAfp(id, Multimodal.wavFpFixture(id)).getLong(1)
+      val b = Multimodal.decodeWavAfp(id,
+        Multimodal.wavFpFixture(id, perturb = true)).getLong(1)
+      java.lang.Long.bitCount(a ^ b)
+    }
+    // measured: the +1500-every-5th-sample twin flips 0-5 envelope bits
+    assert(hams.max <= 6, s"twin hamming drifted to ${hams.max}")
+    val rows = (0L until 50L).flatMap(id => Seq(
+      (id, Multimodal.decodeWavAfp(id, Multimodal.wavFpFixture(id)).getLong(1)),
+      (id + 1000L, Multimodal.decodeWavAfp(id,
+        Multimodal.wavFpFixture(id, perturb = true)).getLong(1))))
+    val pairs = Multimodal.afpNearDupPairs(
+        rows.toDF("doc_id", "afp"), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a >3-bit twin can legitimately miss all four bands (pigeonhole);
+    // measured: 49 of these 50 recover
+    val hit = (0L until 50L).count(id => pairs.contains((id, id + 1000L)))
+    assert(hit >= 48, s"only $hit/50 planted twins recovered")
+  }
+
   test("jlProject is deterministic and pipeline-compatible") {
     val e = Seq(
       (1L, Array.tabulate(64)(i => (i + 1).toFloat)),

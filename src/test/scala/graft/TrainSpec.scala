@@ -239,13 +239,18 @@ class TrainSpec extends AnyFunSuite {
     // hash 100 in 3 docs > cap 2 -> 3 postings dropped; hash 200 kept
     val fps = Seq((1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 100L),
       (1L, 0L, 200L), (2L, 0L, 200L)).toDF("doc_id", "pos", "gram_hash")
-    val wp = TextAnalysis.winnowPairs(fps, minShared = 1, maxHashFreq = 2)
-    // collect wp ITSELF (not a derived .as Dataset): observed metrics
-    // attach to the executed QueryExecution instance
-    val wpRows = wp.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(wpRows == Set((1L, 2L, 1L)))
-    assert(graft.util.CapMetrics.lastDrops(wp, "winnow_pairs_cap")
-      .contains((3L, 5L)))
+    // the capped postings are materialized by an internal Snapshot (the
+    // self-join reads them twice), so the metric fires on the snapshot
+    // WRITE during construction — the session-wide Recorder is the
+    // documented way to read it (CapMetrics.lastDrops scaladoc)
+    val rec = new graft.util.CapMetrics.Recorder
+    spark.listenerManager.register(rec)
+    try {
+      val wp = TextAnalysis.winnowPairs(fps, minShared = 1, maxHashFreq = 2)
+      val wpRows = wp.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(wpRows == Set((1L, 2L, 1L)))
+      assert(rec.await("winnow_pairs_cap").contains((3L, 5L)))
+    } finally spark.listenerManager.unregister(rec)
     // shingle "s" in 3 docs > cap 2 -> its 3 postings dropped
     val sh = Seq((1L, "s"), (2L, "s"), (3L, "s"), (1L, "t"), (2L, "t"))
       .toDF("doc_id", "shingle")
