@@ -1568,6 +1568,15 @@ object TrainOracles {
          |       round(CAST(n_found AS DOUBLE) / CAST(n_planted AS DOUBLE), 9) AS recall
          |FROM tot, hit""".stripMargin,
 
+    // the streaming image-ingest gate equals the batch banded pairs
+    // restricted to (corpus, arriving) cross pairs — base ids < 1e7,
+    // arriving twin ids >= 1e7, so the d1 < d2 pair table splits cleanly
+    "mm_neardup_stream" ->
+      s"""$dhashCtes,
+         |$dhashPairsCte
+         |SELECT d2 AS new_id, d1 AS corpus_id, hamming FROM pairs
+         |WHERE d1 < 10000000 AND d2 >= 10000000""".stripMargin,
+
     // audio twins: envelope fingerprint, banded pairs, planted-twin
     // recall — the fp CTE aliases afp AS dhash so the pair CTE composes
     "mm_wav_fp" ->

@@ -1127,6 +1127,13 @@ object TrainQueries {
 
     "mm_wav_neardup" -> ((s, d) => afpNeardup(s, d)),
 
+    // image ingest as a STREAM: arriving re-encoded images dHash'd
+    // through the real decoder, probing the standing banded corpus index
+    // (the lshIngestStreaming shape on vision); equals the batch pairs
+    // restricted to (corpus, arriving) — the oracle recomputes that
+    "mm_neardup_stream" -> ((s, d) =>
+      graft.streaming.EventStreams.dhashIngestStreaming(s, d)),
+
     // the noise twins flip 0-4 envelope bits; >3 flips can miss all four
     // bands (pigeonhole), so this recall is genuinely < 1 sometimes —
     // the same honest index grade as mm_neardup_recall

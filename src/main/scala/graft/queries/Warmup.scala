@@ -88,7 +88,14 @@ object Warmup {
           step("train/first_qgate_stream")(
             TrainQueries.all("txt_quality_filter_stream")(s, d).count())
         },
-        task("train/fingerprints")(TrainQueries.warmFingerprints(s, d)),
+        task("train/fingerprints") {
+          TrainQueries.warmFingerprints(s, d)
+          // streaming image-ingest gate AFTER the dhash caches: its
+          // standing banded index is its own per-dir path cache, plus
+          // the usual checkpoint + stream codegen first-drain cost
+          step("train/first_mm_neardup_stream")(
+            TrainQueries.all("mm_neardup_stream")(s, d).count())
+        },
         task("train/embeddings") {
           TrainQueries.warmEmbeddings(s, d)
           // high-threshold cosine near-dup: its banded candidate join
@@ -131,6 +138,11 @@ object Warmup {
         // mm_chunks 8.3s, er_tokens_stream 5.9s vs 1.3/0.1/1.4s steady)
         task("first/txt_repetition")(TrainQueries.all("txt_repetition")(s, d).count()),
         task("first/mm_chunks")(TrainQueries.all("mm_chunks")(s, d).count()),
+        // the batched-decode RDD plan (asMultimodal -> mapPartitions)
+        // compiles apart from mm_chunks' pure-column path (r9: 1.07s run1
+        // vs 0.16s steady); one decode first-touch covers resize +
+        // frame_sample + decode_features, which share it
+        task("first/mm_resize")(TrainQueries.all("mm_resize")(s, d).count()),
         task("first/er_tokens_stream")(ErQueries.all("er_tokens_stream")(s, d).count()),
         task("first/txt_decon_bloom")(TrainQueries.all("txt_decon_bloom")(s, d).count()),
         task("first/txt_boilerplate")(TrainQueries.all("txt_boilerplate")(s, d).count()),

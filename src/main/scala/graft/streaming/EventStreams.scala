@@ -584,6 +584,76 @@ object EventStreams {
     drainAvailableNow(scored, "txt_dsir_stream", "append")
   }
 
+  private val dhashIdxPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Standing banded dHash index of the BASE image corpus (4×16-bit band
+   * keys per image, the simhash-banding layout), materialized once per
+   * dir — the static side of the streaming image-ingest gate. Built
+   * through the REAL PPM decoder over the fixture corpus. */
+  def dhashCorpusIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = dhashIdxPath.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val ids = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+      val fp = graft.multimodal.Multimodal.decodeFeatures(
+        ids.map(id => (id, graft.multimodal.Multimodal.ppmDhashFixture(id)))
+          .toDF("doc_id", "payload"),
+        parallelism = 8,
+        decoder = graft.multimodal.Multimodal.decodePpmDhash,
+        schema = graft.multimodal.Multimodal.DhashSchema)
+      val banded = fp.select(col("doc_id").as("corpus_id"),
+          col("dhash").as("corpus_hash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("band_val",
+          expr("shiftright(corpus_hash, cast(band * 16 as int)) & 65535"))
+      graft.util.Snapshot.materialize(banded)._1
+    })
+    spark.read.parquet(path)
+  }
+
+  /**
+   * Streaming image-ingest near-dup gate — the visual twin of
+   * [[lshIngestStreaming]]: arriving re-encoded images (the perturbed
+   * twins of the doc_id % 20 == 0 corpus rows, ids + 1e7) are dHash'd
+   * through the REAL PPM decoder and probe the STANDING banded corpus
+   * index via a broadcast join, with exact xor/bit_count verification —
+   * stateless except the pair dedup the LSH gate also carries. The
+   * decode runs as a per-row typed map here; a production deployment
+   * lifts it into foreachBatch for batched/native codecs — the gate
+   * shape (stream-static banded probe) is identical. Draining the whole
+   * arrival set equals the batch [[graft.multimodal.Multimodal.dhashNearDupPairs]]
+   * restricted to (corpus, arriving) cross pairs — the DuckDB twin.
+   *
+   * Returns (new_id, corpus_id, hamming).
+   */
+  def dhashIngestStreaming(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val idx = dhashCorpusIndex(spark, dir)
+    val fps = reader(spark, schema)
+      .parquet(streamDirFor(dir, "docs_mmdh_", "documents.parquet"))
+      .filter(col("doc_id") % 20 === 0)
+      .select("doc_id").as[Long]
+      .map { id =>
+        val r = graft.multimodal.Multimodal.decodePpmDhash(id + 10000000L,
+          graft.multimodal.Multimodal.ppmDhashFixture(id, perturb = true))
+        (r.getLong(0), r.getLong(1))
+      }.toDF("new_id", "dhash")
+    val banded = fps.select(col("new_id"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val",
+        expr("shiftright(dhash, cast(band * 16 as int)) & 65535"))
+    val pairs = banded.join(broadcast(idx), Seq("band", "band_val"))
+      .withColumn("hamming",
+        bit_count(col("dhash").bitwiseXOR(col("corpus_hash"))))
+      .filter(col("hamming") <= 6)
+      .select(col("new_id"), col("corpus_id"), col("hamming"))
+      .dropDuplicates("new_id", "corpus_id")
+    drainAvailableNow(pairs, "mm_neardup_stream", "append")
+  }
+
   def lshIngestStreaming(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
