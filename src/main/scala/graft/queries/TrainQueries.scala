@@ -20,161 +20,135 @@ object TrainQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
+  /** Path-keyed memo for per-dir materialized artifacts: caches the
+   * snapshot PATH, never a DataFrame — a DataFrame is bound to the
+   * session that planned it, so a second/restarted session in the same
+   * JVM reusing the dir would hold a plan over a possibly-stopped
+   * session (the EventStreams pattern; r8 ADVICE). Builders may call
+   * OTHER memos (computeIfAbsent re-entrance only deadlocks on the SAME
+   * map, and no builder touches its own). */
+  private final class PathMemo {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, String]
+    def apply(s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+      s.read.parquet(m.computeIfAbsent(d, _ =>
+        graft.util.Snapshot.materialize(build)._1))
+  }
+
   /** Shingle sets and simhash fingerprints are shared by several dedup
    * queries in one Verify/Bench session — memoize + persist (same pattern
    * as ErQueries.cleanedCache). */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val simhashCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val shingleMemo = new PathMemo
+  private val simhashMemo = new PathMemo
 
   private def shingles3(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate(d, graft.util.Snapshot(Dedup.shingles(docs(s, d), n = 3)))
+    shingleMemo(s, d)(Dedup.shingles(docs(s, d), n = 3))
 
   private def simhashFp(s: SparkSession, d: String): DataFrame =
-    simhashCache.getOrElseUpdate(d, graft.util.Snapshot(Dedup.simhash(docs(s, d))))
+    simhashMemo(s, d)(Dedup.simhash(docs(s, d)))
 
   /** The standing PPJoin index (rarest-first sorted shingle arrays +
    * prefix lengths at t=0.5): built once per dir so the join query
    * measures probing, not index construction — the same materialize-once
    * posture as the streaming LSH corpus index. */
-  private val ppjoinCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val ppjoinMemo = new PathMemo
   private def ppjoinIdx(s: SparkSession, d: String): DataFrame =
-    ppjoinCache.getOrElseUpdate(d, graft.util.Snapshot(
-      Dedup.ppjoinIndex(shingles3(s, d), threshold = 0.5)))
+    ppjoinMemo(s, d)(Dedup.ppjoinIndex(shingles3(s, d), threshold = 0.5))
 
   /** Learned BPE merge table (6 rounds), shared by the merge dump and the
    * tokenizer stats query — learning is the cost, so memoize per dir. */
-  private val bpeCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val bpeMemo = new PathMemo
   private def bpeMerges(s: SparkSession, d: String): DataFrame =
-    bpeCache.getOrElseUpdate(d, graft.util.Snapshot(
-      graft.text.Bpe.learn(docs(s, d), nMerges = 6)))
+    bpeMemo(s, d)(graft.text.Bpe.learn(docs(s, d), nMerges = 6))
 
   /** The banded-SRP eps-graph at threshold 0.4, shared by the near-dup
    * pair query and DBSCAN (same matchedPairs-style memo: the graph is
    * the product, its consumers shouldn't each rebuild it). */
-  private val neardupCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val neardupMemo = new PathMemo
   private def neardupPairs(s: SparkSession, d: String): DataFrame =
-    neardupCache.getOrElseUpdate(d, graft.util.Snapshot(
-      Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.4)))
+    neardupMemo(s, d)(Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.4))
 
   /** Winnowing fingerprints shared by the dump and the matching queries. */
-  private val winnowCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val winnowMemo = new PathMemo
   private def winnowFp(s: SparkSession, d: String): DataFrame =
-    winnowCache.getOrElseUpdate(d, graft.util.Snapshot(TextAnalysis.winnow(docs(s, d))))
+    winnowMemo(s, d)(TextAnalysis.winnow(docs(s, d)))
 
   /** Trained k-means centroids (k=8, 2 Lloyd iterations) shared by the
-   * assignment query and the IVF-with-kmeans query; the trainer already
-   * snapshots per iteration, so the memo just avoids re-running it. */
-  private val kmeansCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+   * assignment query and the IVF-with-kmeans query; k rows — the
+   * materialization is negligible next to the training it avoids. */
+  private val kmeansMemo = new PathMemo
   private def kmeansCentroids(s: SparkSession, d: String): DataFrame =
-    kmeansCache.getOrElseUpdate(d,
-      graft.similarity.KMeans.centroids(embs(s, d), k = 8, iters = 2))
+    kmeansMemo(s, d)(graft.similarity.KMeans.centroids(embs(s, d), k = 8, iters = 2))
 
-  /** Char-level ExactSubstr duplicate spans (L=30), snapshot once per
+  /** Char-level ExactSubstr duplicate spans (L=30), path-cached once per
    * dir — shared by the span dump and the apply stage (the spans ARE the
-   * product; the apply must not re-elect canonicals). The cache holds the
-   * materialized PATH, not a DataFrame: a DataFrame is bound to the
-   * session that planned it, so a second/restarted session reusing the
-   * dir would get a plan over a possibly-stopped session — re-reading the
-   * path through the CURRENT session is the EventStreams pattern. */
-  private val substrSpansCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+   * product; the apply must not re-elect canonicals). */
+  private val substrSpansMemo = new PathMemo
   private def substrSpans(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(substrSpansCache.computeIfAbsent(d, _ =>
-      graft.util.Snapshot.materialize(
-        graft.text.Curation.substrDupSpans(docs(s, d), L = 30))._1))
+    substrSpansMemo(s, d)(graft.text.Curation.substrDupSpans(docs(s, d), L = 30))
 
   /** Token-level ExactSubstr duplicate spans (L=10), path-cached once per
-   * dir — same sharing (and same session-safety) as [[substrSpans]] for
-   * the token-window twin. */
-  private val tokSpansCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+   * dir — same sharing as [[substrSpans]] for the token-window twin. */
+  private val tokSpansMemo = new PathMemo
   private def tokSpans(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(tokSpansCache.computeIfAbsent(d, _ =>
-      graft.util.Snapshot.materialize(
-        graft.text.Curation.dupSpans(docs(s, d), L = 10))._1))
+    tokSpansMemo(s, d)(graft.text.Curation.dupSpans(docs(s, d), L = 10))
 
   /** dHash fingerprints of the PPM image corpus (real P6 fixtures +
    * planted perturbed twins at doc_id + 1e7), decoded by the REAL PPM
-   * parser; and the banded Hamming near-dup pairs over them. Both are
-   * path-cached per dir (the EventStreams pattern — a DataFrame is bound
-   * to the session that planned it): the dump, pair, and recall queries
-   * all consume them. */
-  private val dhashCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+   * parser; and the banded Hamming near-dup pairs over them — the dump,
+   * pair, and recall queries all consume them. */
+  private val dhashMemo = new PathMemo
   private def dhashes(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(dhashCache.computeIfAbsent(d, _ => {
+    dhashMemo(s, d) {
       import s.implicits._
       val ids = docs(s, d).select("doc_id").as[Long]
       val base = ids.map(id => (id, Multimodal.ppmDhashFixture(id)))
       val twins = ids.filter(_ % 20 == 0)
         .map(id => (id + 10000000L, Multimodal.ppmDhashFixture(id, perturb = true)))
-      graft.util.Snapshot.materialize(Multimodal.decodeFeatures(
+      Multimodal.decodeFeatures(
         base.union(twins).toDF("doc_id", "payload"), parallelism = 8,
-        decoder = Multimodal.decodePpmDhash,
-        schema = Multimodal.DhashSchema))._1
-    }))
-  private val mmPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+        decoder = Multimodal.decodePpmDhash, schema = Multimodal.DhashSchema)
+    }
+  private val mmPairsMemo = new PathMemo
   private def mmNeardup(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(mmPairsCache.computeIfAbsent(d, _ =>
-      graft.util.Snapshot.materialize(
-        Multimodal.dhashNearDupPairs(dhashes(s, d), maxDist = 6))._1))
+    mmPairsMemo(s, d)(Multimodal.dhashNearDupPairs(dhashes(s, d), maxDist = 6))
 
   /** Audio envelope fingerprints of the WAV corpus (real RIFF fixtures +
    * planted noise twins at doc_id + 1e7) and their banded Hamming pairs —
-   * the audio siblings of [[dhashes]]/[[mmNeardup]], same path caches. */
-  private val afpCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+   * the audio siblings of [[dhashes]]/[[mmNeardup]]. */
+  private val afpMemo = new PathMemo
   private def afps(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(afpCache.computeIfAbsent(d, _ => {
+    afpMemo(s, d) {
       import s.implicits._
       val ids = docs(s, d).select("doc_id").as[Long]
       val base = ids.map(id => (id, Multimodal.wavFpFixture(id)))
       val twins = ids.filter(_ % 20 == 0)
         .map(id => (id + 10000000L, Multimodal.wavFpFixture(id, perturb = true)))
-      graft.util.Snapshot.materialize(Multimodal.decodeFeatures(
+      Multimodal.decodeFeatures(
         base.union(twins).toDF("doc_id", "payload"), parallelism = 8,
-        decoder = Multimodal.decodeWavAfp,
-        schema = Multimodal.AudioFpSchema))._1
-    }))
-  private val afpPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+        decoder = Multimodal.decodeWavAfp, schema = Multimodal.AudioFpSchema)
+    }
+  private val afpPairsMemo = new PathMemo
   private def afpNeardup(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(afpPairsCache.computeIfAbsent(d, _ =>
-      graft.util.Snapshot.materialize(
-        Multimodal.afpNearDupPairs(afps(s, d), maxDist = 6))._1))
+    afpPairsMemo(s, d)(Multimodal.afpNearDupPairs(afps(s, d), maxDist = 6))
 
   /** Exact Jaccard>=0.5 pairs and MinHash-LSH candidate pairs, snapshot
    * once per dir — shared by their dump queries, the recall metric, and
    * the cluster chain (the pair graphs are the product; consumers must
    * not each rebuild them). */
-  private val jacPairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val jacPairsMemo = new PathMemo
   private def jaccardPairs05(s: SparkSession, d: String): DataFrame =
-    jacPairsCache.getOrElseUpdate(d,
-      graft.util.Snapshot(Dedup.jaccardPairs(shingles3(s, d), threshold = 0.5)))
-  private val lshPairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    jacPairsMemo(s, d)(Dedup.jaccardPairs(shingles3(s, d), threshold = 0.5))
+  private val lshPairsMemo = new PathMemo
   private def lshPairs(s: SparkSession, d: String): DataFrame =
-    lshPairsCache.getOrElseUpdate(d,
-      graft.util.Snapshot(Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4)))
+    lshPairsMemo(s, d)(Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4))
 
   /** Dedup cluster assignment (MinHash-LSH near-dup graph -> hash-min CC),
    * snapshot ONCE per dir: both the clusters query and the cluster-aware
    * split consume it, and the CC iterations are the expensive part. */
-  private val clustersCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val clustersMemo = new PathMemo
   private def clusters3(s: SparkSession, d: String): DataFrame =
-    clustersCache.getOrElseUpdate(d,
-      graft.util.Snapshot(Dedup.clusters(docs(s, d),
-        lshPairs(s, d).select("d1", "d2"))))
+    clustersMemo(s, d)(Dedup.clusters(docs(s, d),
+      lshPairs(s, d).select("d1", "d2")))
 
   /** Planted-twin embedding union + its trained coarse quantizer for the
    * SemDeDup query (clustering must see the twins, so these centroids are
@@ -184,28 +158,23 @@ object TrainQueries {
     e.unionByName(Similarity.plantNearDups(e, every = 20,
       idOffset = 10000000L, eps = 0.01))
   }
-  private val semCentCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val semCentMemo = new PathMemo
   private def semCentroids(s: SparkSession, d: String): DataFrame =
-    semCentCache.getOrElseUpdate(d,
+    semCentMemo(s, d)(
       graft.similarity.KMeans.centroids(semUnion(s, d), k = 8, iters = 2))
 
   /** PQ codebooks (4 subspaces x 16 dims, k=8, 2 Lloyd iterations) and
    * the encoded code table, shared by the code-dump and ADC queries —
    * the code table is the PQ "index" a 100 TB deployment materializes
    * once and scans instead of the raw vectors. */
-  private val pqBooksCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val pqBooksMemo = new PathMemo
   private def pqBooks(s: SparkSession, d: String): DataFrame =
-    pqBooksCache.getOrElseUpdate(d, graft.util.Snapshot(
-      graft.similarity.ProductQuantization.codebooks(
-        embs(s, d), m = 4, subDim = 16, k = 8, iters = 2)))
-  private val pqIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    pqBooksMemo(s, d)(graft.similarity.ProductQuantization.codebooks(
+      embs(s, d), m = 4, subDim = 16, k = 8, iters = 2))
+  private val pqIndexMemo = new PathMemo
   private def pqIndex(s: SparkSession, d: String): DataFrame =
-    pqIndexCache.getOrElseUpdate(d, graft.util.Snapshot(
-      graft.similarity.ProductQuantization.encode(
-        embs(s, d), pqBooks(s, d), m = 4, subDim = 16)))
+    pqIndexMemo(s, d)(graft.similarity.ProductQuantization.encode(
+      embs(s, d), pqBooks(s, d), m = 4, subDim = 16))
 
   /** Pre-builds the memoized caches, exposed as INDEPENDENT chains so
    * [[Warmup]] runs them on separate threads (one serial `warm` made the
