@@ -59,10 +59,21 @@ object WindowHashes64 {
   val Base = 1000003L
 
   /** The shared kernel; called from interpreted eval and generated code.
-   * One O(n) pass, primitive long array out (no boxing, no strings). */
+   * One O(n) pass, primitive long array out (no boxing, no strings).
+   *
+   * Positions/lengths are CODE POINTS, not UTF-16 units: every consumer
+   * indexes back into the document with Spark `substr`/`length` (and the
+   * DuckDB oracle with `substr`/`length`), all of which count code
+   * points. Hashing UTF-16 units would misalign every position after the
+   * first supplementary-plane char (emoji), silently missing true
+   * duplicates and cutting spans at wrong offsets. Surrogate-free
+   * strings (the overwhelming common case) take a charAt fast path whose
+   * output is bit-identical to the code-point walk, since a BMP code
+   * point IS its UTF-16 unit. */
   def hashes(s: UTF8String, l: Int): ArrayData = {
     val str = s.toString
-    val n = str.length
+    val nu = str.length // UTF-16 units
+    val n = str.codePointCount(0, nu) // code points — Spark length() semantics
     if (n < l) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val out = new Array[Long](n - l + 1)
     // B^(L-1) mod 2^64 for the roll-out term
@@ -71,12 +82,32 @@ object WindowHashes64 {
     while (k < l) { top *= Base; k += 1 }
     var h = 0L
     var i = 0
-    while (i < l) { h = h * Base + str.charAt(i); i += 1 }
-    out(0) = h
-    while (i < n) {
-      h = (h - str.charAt(i - l) * top) * Base + str.charAt(i)
-      out(i - l + 1) = h
-      i += 1
+    if (n == nu) {
+      // no surrogate pairs: UTF-16 units are code points
+      while (i < l) { h = h * Base + str.charAt(i); i += 1 }
+      out(0) = h
+      while (i < n) {
+        h = (h - str.charAt(i - l) * top) * Base + str.charAt(i)
+        out(i - l + 1) = h
+        i += 1
+      }
+    } else {
+      val cps = new Array[Int](n)
+      var ci = 0
+      var ui = 0
+      while (ui < nu) {
+        val cp = str.codePointAt(ui)
+        cps(ci) = cp
+        ci += 1
+        ui += Character.charCount(cp)
+      }
+      while (i < l) { h = h * Base + cps(i); i += 1 }
+      out(0) = h
+      while (i < n) {
+        h = (h - cps(i - l) * top) * Base + cps(i)
+        out(i - l + 1) = h
+        i += 1
+      }
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }

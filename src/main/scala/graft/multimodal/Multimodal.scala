@@ -11,16 +11,24 @@ import org.apache.spark.sql.types._
  * real decoder (JNI / subprocess / native lib) drops in without changing
  * the plan shape.
  *
- * Two decoders ride behind the same batched contract:
+ * The decoders ride behind the same batched contract:
  *
- *  - [[fakeDecode]], a deterministic stand-in for heavyweight codecs
- *    (libjpeg/ffmpeg — not in this container);
+ *  - [[fakeDecode]], a deterministic stand-in for heavyweight VIDEO
+ *    codecs (ffmpeg — not in this container);
  *  - [[decodePpm]], a REAL pure-JVM decoder for binary PPM (P6): header
  *    tokenizer (whitespace + '#' comments), dimension/maxval parse, pixel
  *    plane scan. [[encodePpm]] writes the format; the fixture generator
  *    ([[ppmFixture]]) produces real P6 files whose pixels are closed-form
  *    in the doc id, so the oracle can verify the decoded stats without
- *    parsing PPM itself. Swapping in a native codec changes only the
+ *    parsing PPM itself;
+ *  - [[decodePng]] / [[decodeJpegDhash]], REAL PNG and JPEG codecs over
+ *    the JDK's own javax.imageio (pure JVM, headless-safe, zero new
+ *    dependencies) — the formats an actual web crawl ingests. PNG is
+ *    lossless, so its decode is closed-form-checksummed like PPM; the
+ *    JPEG fixtures are DCT-aligned flat blocks with >= 60-level margins,
+ *    so even the LOSSY decode lands on a closed-form dHash bit-exactly;
+ *  - [[decodeWav]] / [[decodeWavAfp]], a REAL RIFF/PCM16 chunk-walk
+ *    parser for audio. Swapping in a native codec changes only the
  *    decoder function; the plan shape stays.
  */
 object Multimodal {
@@ -171,24 +179,38 @@ object Multimodal {
    */
   def decodePpmDhash(docId: Long, payload: Array[Byte]): Row = {
     val (w, h, off) = parsePpmHeader(docId, payload)
-    def lum(gx: Int, gy: Int): Int = {
-      val p = off + ((gy * h / 8) * w + (gx * w / 9)) * 3
+    def lum(x: Int, y: Int): Int = {
+      val p = off + (y * w + x) * 3
       (299 * (payload(p) & 0xff) + 587 * (payload(p + 1) & 0xff)
         + 114 * (payload(p + 2) & 0xff)) / 1000
     }
+    Row(docId, dhashGrid(docId, w, h, lum))
+  }
+
+  /** The 9x8 grid walk shared by every dHash decoder ([[decodePpmDhash]],
+   * [[decodeJpegDhash]]): nearest-neighbor sample at (gx*w/9, gy*h/8),
+   * bit (gy*8+gx) set when the cell out-brightens its right neighbor.
+   * `lum` takes PIXEL coordinates and returns integer luminance. */
+  private def dhashGrid(docId: Long, w: Int, h: Int,
+                        lum: (Int, Int) => Int): Long = {
+    // below the 9x8 grid the sampler reads repeated pixels — the mass
+    // near-dup failure mode the fixture comment warns about — and w=0/h=0
+    // (header-legal, decodePpm-accepted) would index out of bounds
+    require(w >= 9 && h >= 8,
+      s"dHash needs >= 9x8 px for distinct grid samples, got ${w}x$h (doc $docId)")
     var hash = 0L
     var gy = 0
     while (gy < 8) {
       var gx = 0
-      var cur = lum(0, gy)
+      var cur = lum(0, gy * h / 8)
       while (gx < 8) {
-        val next = lum(gx + 1, gy)
+        val next = lum((gx + 1) * w / 9, gy * h / 8)
         if (cur > next) hash |= 1L << (gy * 8 + gx)
         cur = next; gx += 1
       }
       gy += 1
     }
-    Row(docId, hash)
+    hash
   }
 
   /** Deterministic dHash-corpus fixture (and, with `perturb`, its
@@ -272,11 +294,16 @@ object Multimodal {
         val bits = bb.getShort
         require(fmt == 1 && ch == 1 && bits == 16,
           s"WAV: need PCM16 mono, got fmt=$fmt ch=$ch bits=$bits (doc $docId)")
-        bb.position(bb.position() + (len - 16))
+        // skip fmt extension bytes + the RIFF pad byte after an odd-length chunk
+        bb.position(bb.position() + (len - 16) + (len & 1))
       } else if (id == "data") {
         require(rate > 0, s"WAV: data before fmt (doc $docId)")
         require(bb.remaining() >= len, s"WAV: truncated data chunk (doc $docId)")
         out = Array.fill(len / 2)(bb.getShort)
+        // an odd-length data chunk (degenerate for PCM16 but RIFF-legal)
+        // leaves one unconsumed data byte AND a pad byte before the next
+        // chunk header — skip both or the fourCC walk misaligns
+        bb.position(bb.position() + (len & 1) * 2)
       } else {
         bb.position(bb.position() + len + (len & 1))
       }
@@ -308,7 +335,10 @@ object Multimodal {
   /**
    * Audio near-duplicate pairs over [[decodeWavAfp]] fingerprints — the
    * identical banded Hamming machinery as [[dhashNearDupPairs]].
-   * Returns (d1, d2, hamming).
+   * Returns (d1, d2, hamming). Candidate recall is GUARANTEED only for
+   * distance <= 3 (4x16-bit banding pigeonhole); pairs at distance 4-6
+   * are best-effort — they surface only when their flipped bits don't
+   * spread across all four bands (see [[graft.dedup.Dedup.simhashPairs]]).
    */
   def afpNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame =
     graft.dedup.Dedup.simhashPairs(
@@ -321,6 +351,10 @@ object Multimodal {
    * bands, equi-join on (band, band_val), xor/bit_count verification
    * before the distinct) — the banded self-join stays equi-join-shaped
    * at any corpus size; no all-pairs anywhere. Returns (d1, d2, hamming).
+   * Candidate recall is GUARANTEED only for distance <= 3 (pigeonhole:
+   * <= 3 flips cannot touch all 4 bands); pairs at distance 4-6 surface
+   * best-effort, only when some band stays clean — mirror of the
+   * [[graft.dedup.Dedup.simhashPairs]] contract.
    */
   def dhashNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame =
     graft.dedup.Dedup.simhashPairs(
@@ -381,7 +415,8 @@ object Multimodal {
         val bits = bb.getShort
         require(fmt == 1 && ch == 1 && bits == 16,
           s"WAV: need PCM16 mono, got fmt=$fmt ch=$ch bits=$bits (doc $docId)")
-        bb.position(bb.position() + (len - 16)) // extension bytes, if any
+        // extension bytes, if any, + the RIFF pad after an odd-length chunk
+        bb.position(bb.position() + (len - 16) + (len & 1))
       } else if (id == "data") {
         require(rate > 0, s"WAV: data before fmt (doc $docId)")
         require(bb.remaining() >= len, s"WAV: truncated data chunk (doc $docId)")
@@ -392,6 +427,8 @@ object Multimodal {
           chk += (i + 1) * v; sumSq += v * v; i += 1
         }
         n = m; ok = true
+        // odd-length data chunk: 1 unconsumed data byte + 1 pad byte
+        bb.position(bb.position() + (len & 1) * 2)
       } else {
         bb.position(bb.position() + len + (len & 1)) // chunks pad to even
       }
@@ -422,6 +459,185 @@ object Multimodal {
     val h = 3 + (docId % 4).toInt
     val rgb = Array.tabulate(w * h * 3)(i => ((docId * 31 + i.toLong * 7) % 256).toByte)
     encodePpm(w, h, rgb)
+  }
+
+  // ---------------------------------------------------------------------
+  // JPEG / PNG — the formats a web crawl actually contains, via the JDK's
+  // own javax.imageio (pure JVM, headless-safe, zero new dependencies),
+  // behind the same batched decode contract as the PPM/WAV codecs.
+  // ---------------------------------------------------------------------
+
+  // never spill encode/decode scratch to executor-local disk files
+  javax.imageio.ImageIO.setUseCache(false)
+
+  private def toBufferedImage(width: Int, height: Int,
+                              rgb: Array[Byte]): java.awt.image.BufferedImage = {
+    require(rgb.length == width * height * 3,
+      s"encodeImage: ${rgb.length} bytes for ${width}x$height RGB")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        img.setRGB(x, y, ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8)
+          | (rgb(p + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** PNG writer over the JDK codec — LOSSLESS, so decoded pixels are
+   * bit-identical to the input plane and the SQL oracle can verify the
+   * decode checksum closed-form, exactly like [[encodePpm]]. */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(width, height, rgb), "png", bos)
+    bos.toByteArray
+  }
+
+  /** JPEG writer over the JDK codec at an explicit `quality` (0..1) —
+   * genuinely LOSSY DCT bytes, the format real crawls ingest. */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte],
+                 quality: Float = 0.9f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null,
+        new javax.imageio.IIOImage(toBufferedImage(width, height, rgb), null, null), p)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** ImageIO decode to (width, height, packed-sRGB accessor). */
+  private def readImage(docId: Long,
+                        payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"image: undecodable payload (doc $docId)")
+    img
+  }
+
+  /** REAL PNG decode behind the batch contract: [[PpmFeatureSchema]]
+   * stats over the decoded RGB plane in PPM flattening order — PNG is
+   * lossless, so checksum and mean match the source plane exactly and
+   * the oracle recomputes both closed-form from the fixture formula. */
+  def decodePng(docId: Long, payload: Array[Byte]): Row = {
+    val img = readImage(docId, payload)
+    val w = img.getWidth; val h = img.getHeight
+    var sum = 0L; var chk = 0L
+    var y = 0; var j = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        var c = 16
+        while (c >= 0) {
+          val v = (px >> c) & 0xff
+          sum += v; chk += (j + 1).toLong * v; j += 1; c -= 8
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w * h * 3
+    val mean = if (n == 0) 0.0 else math.floor(sum.toDouble / n * 1e6 + 0.5) / 1e6
+    Row(docId, w, h, chk, mean)
+  }
+
+  /** dHash through the REAL JPEG decoder — [[decodePpmDhash]]'s grid walk
+   * over ImageIO-decoded pixels. Works for any ImageIO format (the codec
+   * is chosen by payload magic), so the PNG corpus rides it too. */
+  def decodeJpegDhash(docId: Long, payload: Array[Byte]): Row = {
+    val img = readImage(docId, payload)
+    def lum(x: Int, y: Int): Int = {
+      val px = img.getRGB(x, y)
+      (299 * ((px >> 16) & 0xff) + 587 * ((px >> 8) & 0xff)
+        + 114 * (px & 0xff)) / 1000
+    }
+    Row(docId, dhashGrid(docId, img.getWidth, img.getHeight, lum))
+  }
+
+  /** Deterministic PNG fixture: closed-form RGB plane ([[ppmFixture]]'s
+   * idiom, distinct dims/mix) through the REAL PNG encoder. */
+  def pngFixture(docId: Long): Array[Byte] = {
+    val w = 9 + (docId % 6).toInt
+    val h = 8 + (docId % 5).toInt
+    val rgb = Array.tabulate(w * h * 3)(i =>
+      ((docId * 37 + i.toLong * 11 + 13) % 256).toByte)
+    encodePng(w, h, rgb)
+  }
+
+  /** Deterministic JPEG dHash fixture: 72x64 GRAYSCALE image of flat
+   * 8x8 blocks — one block per dHash grid cell, aligned with the JPEG
+   * DCT grid, so q90 encoding error is pure DC quantization (a few
+   * levels) with zero cross-block ringing. Block luminance comes from a
+   * parity-interleaved nonlinear mix: lv = 2·r + gx%2 with
+   * r = ((id·131 + (gy·9+gx)·17 + 251)² / 7) % 2, v = 40 + 60·lv —
+   * adjacent cells always differ by >= 60 (alternating parity forbids
+   * equal levels), so no decode error under ±30 can flip a gradient
+   * bit and the decoded dHash equals the closed-form dHash EXACTLY,
+   * giving the lossy codec a hash-checkable oracle. Grayscale keeps
+   * chroma flat (Cb=Cr=128): subsampling is a no-op and luminance
+   * round-trips as Y directly. The squared mix is nonlinear in
+   * (id, cell) for the same anti-mass-near-dup reason as
+   * [[ppmDhashFixture]]. */
+  def jpegFixture(docId: Long, quality: Float = 0.9f): Array[Byte] = {
+    val w = 72; val h = 64
+    val rgb = new Array[Byte](w * h * 3)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val t = docId * 131 + (gy * 9 + gx).toLong * 17 + 251
+        val v = (40 + 60 * (2 * ((t * t / 7) % 499979 % 2) + gx % 2)).toByte
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            val p = ((gy * 8 + by) * w + gx * 8 + bx) * 3
+            rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+            bx += 1
+          }
+          by += 1
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    encodeJpeg(w, h, rgb, quality)
+  }
+
+  /** A REAL re-encode of a JPEG payload: decode through ImageIO, encode
+   * again at `quality` — the "same image saved again by another site"
+   * twin every image near-dup pass must catch. Double-compressed DC
+   * error stays far under the fixture's 60-level margins, so the twin's
+   * dHash still equals the closed form. */
+  def reencodeJpeg(docId: Long, payload: Array[Byte],
+                   quality: Float = 0.75f): Array[Byte] = {
+    val img = readImage(docId, payload)
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y); val p = (y * w + x) * 3
+        rgb(p) = ((px >> 16) & 0xff).toByte
+        rgb(p + 1) = ((px >> 8) & 0xff).toByte
+        rgb(p + 2) = (px & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodeJpeg(w, h, rgb, quality)
   }
 
   /**

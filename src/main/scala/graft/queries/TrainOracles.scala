@@ -298,6 +298,39 @@ object TrainOracles {
       |                       ELSE (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) END) AS BIGINT) AS dhash
       |  FROM abit GROUP BY aud_id)""".stripMargin
 
+  /** Closed-form dHash CTE chain for the JPEG corpus + re-encoded twins:
+   * the fixture is 9x8 flat blocks whose luminance
+   * v = 40 + 60·(2·((t²//7) % 2) + gx%2), t = src·131 + (gy·9+gx)·17
+   * + 251, with >= 60-level margins — lossy q90 (and the q75 re-encode)
+   * never moves a decoded level 30+, so the REAL-codec dHash equals this
+   * closed form bit-for-bit. Ends at `fp(doc_id, dhash)`. */
+  private lazy val jpegDhashCtes: String =
+    """WITH imgs AS (
+      |  SELECT doc_id AS img_id, doc_id AS src FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id FROM documents WHERE doc_id % 20 = 0),
+      |cells AS (
+      |  SELECT img_id, gy.gy AS gy, gx.gx AS gx,
+      |         src * 131 + (gy.gy * 9 + gx.gx) * 17 + 251 AS t
+      |  FROM imgs, unnest(generate_series(0, 7)) AS gy(gy),
+      |       unnest(generate_series(0, 8)) AS gx(gx)),
+      |lv AS MATERIALIZED (
+      |  SELECT img_id, gy, gx,
+      |         40 + 60 * (2 * ((t * t // 7) % 499979 % 2) + gx % 2) AS l
+      |  FROM cells),
+      |jbits AS (
+      |  SELECT a.img_id, a.gy * 8 + a.gx AS k,
+      |         CASE WHEN a.l > b.l THEN 1 ELSE 0 END AS bit
+      |  FROM lv a JOIN lv b ON a.img_id = b.img_id AND a.gy = b.gy
+      |    AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      |fp AS MATERIALIZED (
+      |  SELECT img_id AS doc_id,
+      |         CAST(SUM(CASE WHEN bit = 0 THEN 0
+      |                       WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |                       ELSE (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) END) AS BIGINT) AS dhash
+      |  FROM jbits GROUP BY img_id)""".stripMargin
+
   /** Banded Hamming pair CTE over [[dhashCtes]]' `fp` (4x16-bit bands,
    * dist <= 6) — the simhash-pairs idiom on the image fingerprints. */
   private lazy val dhashPairsCte: String =
@@ -1543,6 +1576,46 @@ object TrainOracles {
         |       CAST(SUM(i * v) AS BIGINT) AS pixel_checksum,
         |       floor(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_intensity
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
+
+    // PNG is lossless: the real-ImageIO decode must return the source
+    // plane exactly, recomputed closed-form from the fixture formula
+    "mm_decode_png" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(9 + doc_id % 6 AS INTEGER) AS width,
+        |         CAST(8 + doc_id % 5 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height, i.i AS i,
+        |         (doc_id * 37 + (i.i - 1) * 11 + 13) % 256 AS v
+        |  FROM dims, unnest(generate_series(1, width * height * 3)) AS i(i))
+        |SELECT doc_id, width, height,
+        |       CAST(SUM(i * v) AS BIGINT) AS pixel_checksum,
+        |       floor(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_intensity
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+
+    // lossy-JPEG dHash: margins >= 60 levels make the real decode land
+    // on this closed form bit-for-bit (see jpegDhashCtes)
+    "mm_decode_jpeg" ->
+      s"""$jpegDhashCtes
+         |SELECT doc_id, dhash FROM fp""".stripMargin,
+
+    "mm_jpeg_neardup" ->
+      s"""$jpegDhashCtes,
+         |$dhashPairsCte
+         |SELECT d1, d2, hamming FROM pairs""".stripMargin,
+
+    "mm_jpeg_recall" ->
+      s"""$jpegDhashCtes,
+         |$dhashPairsCte,
+         |planted AS MATERIALIZED (
+         |  SELECT doc_id AS d1, doc_id + 10000000 AS d2
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+         |        FROM planted p JOIN pairs q ON p.d1 = q.d1 AND p.d2 = q.d2),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM planted)
+         |SELECT n_planted, n_found,
+         |       round(CAST(n_found AS DOUBLE) / CAST(n_planted AS DOUBLE), 9) AS recall
+         |FROM tot, hit""".stripMargin,
 
     // dHash twins: every pixel, grid sample, and gradient bit of the
     // image corpus (+ planted perturbed twins) recomputed closed-form

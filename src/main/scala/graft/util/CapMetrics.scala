@@ -62,9 +62,14 @@ object CapMetrics {
                   name: String): DataFrame = {
     val hot = df.groupBy(keyCol).agg(count(lit(1)).as("_f"))
       .filter(col("_f") > maxFreq)
-      .select(col(keyCol), lit(1).as("_hot"))
-    observeDrops(df.join(hot, Seq(keyCol), "left"), name, col("_hot").isNotNull)
-      .filter(col("_hot").isNull).drop("_hot")
+      .select(col(keyCol).as("_hotkey"), lit(1).as("_hot"))
+    // null-SAFE equality: groupBy counts the NULL-key group, and <=> lets
+    // the join-back actually tag it — a plain = join would leave a hot
+    // null-key partition uncounted AND undropped (the one key class the
+    // cap silently missed before this)
+    observeDrops(df.join(hot, col(keyCol) <=> col("_hotkey"), "left"),
+        name, col("_hot").isNotNull)
+      .filter(col("_hot").isNull).drop("_hot", "_hotkey")
   }
 
   /** The observed drop metrics of the last action on `df`, if the plan

@@ -41,6 +41,83 @@ class MultimodalWavSpec extends AnyFunSuite {
     assert(r.getLong(3) == (1 * 7 - 2 * 7 + 3 * 13).toLong)
   }
 
+  test("decoder skips the RIFF pad after an odd-length data chunk") {
+    // an odd-length data chunk (degenerate for PCM16 but RIFF-legal) is
+    // followed by a pad byte; both streaming (decodeWav) and materializing
+    // (wavPcm via decodeWavAfp) walks must land on the NEXT chunk header,
+    // not one byte into it
+    val samples = Array.tabulate(80)(i => (i * 37 % 200 - 100).toShort)
+    val base = Multimodal.encodeWav(8000, samples) // data len 160 at offset 44
+    val bb = java.nio.ByteBuffer
+      .allocate(base.length + 1 + 1 + 12) // stray byte + pad + trailing chunk
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base, 0, 40) // RIFF..fmt + "data"
+    bb.putInt(161) // odd data length: 80 samples + 1 stray byte
+    bb.put(base, 44, 160)
+    bb.put(9.toByte) // the stray odd byte
+    bb.put(0.toByte) // the RIFF pad
+    bb.put("cue ".getBytes("US-ASCII")); bb.putInt(4); bb.putInt(0)
+    val arr = bb.array()
+    java.nio.ByteBuffer.wrap(arr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, arr.length - 8)
+    val r = feats(arr)
+    assert(r.getLong(2) == 80L && r.getInt(1) == 8000)
+    // the fingerprint path shares wavPcm — same walk, same bytes
+    val even = Multimodal.decodeWavAfp(1L, base).getLong(1)
+    assert(Multimodal.decodeWavAfp(1L, arr).getLong(1) == even)
+  }
+
+  test("dHash rejects images too small for distinct 9x8 grid samples") {
+    // w=0/h=0 headers are decodePpm-legal (mean 0.0) but would index out
+    // of bounds here; anything under 9x8 samples repeated pixels — the
+    // mass-near-dup failure mode — so the decoder refuses loudly
+    val tiny = Multimodal.encodePpm(8, 8, Array.fill(8 * 8 * 3)(1.toByte))
+    intercept[IllegalArgumentException](Multimodal.decodePpmDhash(1L, tiny))
+    val empty = Multimodal.encodePpm(0, 0, Array.emptyByteArray)
+    intercept[IllegalArgumentException](Multimodal.decodePpmDhash(2L, empty))
+  }
+
+  test("PNG codec: lossless round-trip — decoded stats equal the closed form") {
+    for (id <- 0L until 40L) {
+      val r = Multimodal.decodePng(id, Multimodal.pngFixture(id))
+      val w = 9 + (id % 6).toInt; val h = 8 + (id % 5).toInt
+      var chk = 0L; var sum = 0L
+      for (i <- 0 until w * h * 3) {
+        val v = ((id * 37 + i.toLong * 11 + 13) % 256).toInt
+        sum += v; chk += (i + 1).toLong * v
+      }
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"png dims id=$id")
+      assert(r.getLong(3) == chk, s"png checksum id=$id")
+      val n = w * h * 3
+      assert(r.getDouble(4) == math.floor(sum.toDouble / n * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("JPEG codec: decoded dHash equals the closed form despite lossy q90 — and survives re-encode") {
+    // the fixture's flat DCT-aligned blocks with >= 60-level margins make
+    // the lossy codec hash-checkable: q90 (and a genuine decode->q75
+    // re-encode) may move pixels a few levels, never 30+
+    def closedForm(id: Long): Long = {
+      def v(gx: Int, gy: Int): Int = {
+        val t = id * 131 + (gy * 9 + gx).toLong * 17 + 251
+        40 + 60 * (2 * ((t * t / 7) % 499979 % 2).toInt + gx % 2)
+      }
+      var hash = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        if (v(gx, gy) > v(gx + 1, gy)) hash |= 1L << (gy * 8 + gx)
+      hash
+    }
+    for (id <- 0L until 200L) {
+      val jp = Multimodal.jpegFixture(id)
+      assert(jp.take(2).map(_ & 0xff).toSeq == Seq(0xff, 0xd8), "not a JPEG SOI")
+      val want = closedForm(id)
+      assert(Multimodal.decodeJpegDhash(id, jp).getLong(1) == want, s"id=$id")
+      val tw = Multimodal.reencodeJpeg(id, jp, 0.75f)
+      assert(!java.util.Arrays.equals(jp, tw), "re-encode must change bytes")
+      assert(Multimodal.decodeJpegDhash(id, tw).getLong(1) == want, s"twin id=$id")
+    }
+  }
+
   test("decoder rejects non-RIFF, stereo, and truncated payloads") {
     intercept[IllegalArgumentException](feats("not a wav at all".getBytes))
     val stereo = Multimodal.encodeWav(8000, Array[Short](1, 2))

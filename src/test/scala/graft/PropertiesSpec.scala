@@ -272,6 +272,65 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("WindowHashes64: positions are CODE POINTS — supplementary-plane parity") {
+    // every consumer re-slices by Spark substr/length, which count code
+    // points; hashing UTF-16 units would misalign everything after the
+    // first astral char (emoji). Direct code-point fold == kernel, count
+    // == Spark length() - L + 1, and the hash at position p equals the
+    // kernel run on Spark's own substr(p+1, L) — the consumer's re-slice.
+    import org.apache.spark.sql.functions.{col, length, substring}
+    def direct(s: String, l: Int): Seq[Long] = {
+      val cps = s.codePoints.toArray
+      (0 to cps.length - l).map { p =>
+        var h = 0L
+        (p until p + l).foreach(j =>
+          h = h * graft.functions.WindowHashes64.Base + cps(j))
+        h
+      }
+    }
+    val astral = Array("😀", "🍕", "a", "b", "🚀")
+    val rnd = new scala.util.Random(19)
+    for (seed <- 1 to 12) {
+      val s = Array.fill(2 + rnd.nextInt(60))(
+        astral(rnd.nextInt(astral.length))).mkString
+      val l = 1 + rnd.nextInt(6)
+      val cpCount = s.codePointCount(0, s.length)
+      val row = Seq(s).toDF("text").select(
+        graft.functions.WindowHashes64(col("text"), l).as("hs"),
+        length(col("text")).as("n")).first()
+      assert(row.getInt(1) == cpCount, "Spark length() must count code points")
+      val got = row.getSeq[Long](0)
+      val want = if (cpCount < l) Seq.empty[Long] else direct(s, l)
+      assert(got == want, s"seed $seed l=$l")
+      if (got.nonEmpty) {
+        val p = rnd.nextInt(got.size)
+        val re = Seq(s).toDF("text")
+          .select(graft.functions.WindowHashes64(
+            substring(col("text"), p + 1, l), l).as("hs"))
+          .first().getSeq[Long](0)
+        assert(re == Seq(got(p)), s"seed $seed: position $p misaligned " +
+          "with Spark substr — consumers would verify the wrong window")
+      }
+    }
+  }
+
+  test("ExactSubstr end-to-end across astral chars: spans land on code-point offsets") {
+    val L = 8
+    val dup = "DUPLICAT"
+    val d0 = "😀😀" + dup + "xyz" // canonical copy, doc 0
+    val d1 = "🍕abc" + dup + "🚀tail"
+    val docs = Seq((0L, d0), (1L, d1)).toDF("doc_id", "text")
+    val spans = graft.text.Curation.substrDupSpans(docs, L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1's copy sits after 4 CODE POINTS (one emoji + abc), not 5
+    // UTF-16 units — the pre-fix kernel missed this duplicate entirely
+    assert(spans == Set((1L, 4L, 12L)), s"got $spans")
+    val applied = graft.text.Curation.substrDedupApply(docs, L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(applied(0L) == d0)
+    assert(applied(1L) == "🍕abc🚀tail")
+  }
+
   test("ExactSubstr occurrence snapshot is fixed-width — no window strings on disk") {
     // VERDICT r8 #2: the occurrence table used to materialize the L-char
     // window STRING per position (~L× the corpus text written to scratch

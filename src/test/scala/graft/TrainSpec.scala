@@ -260,6 +260,19 @@ class TrainSpec extends AnyFunSuite {
       .contains((3L, 5L)))
   }
 
+  test("dropHotKeys counts and drops hot NULL keys (null-safe join-back)") {
+    // 3 null-key rows > cap 2 must be dropped AND counted; a plain `=`
+    // join-back would leave the null partition untagged — neither
+    val df = Seq(Some("a"), Some("a"), None, None, None)
+      .toDF("k").withColumn("v", lit(1))
+    val capped = graft.util.CapMetrics.dropHotKeys(df, "k", maxFreq = 2L,
+      name = "null_cap_test")
+    val kept = capped.collect().map(r => Option(r.getString(0))).toSeq
+    assert(kept == Seq(Some("a"), Some("a")))
+    assert(graft.util.CapMetrics.lastDrops(capped, "null_cap_test")
+      .contains((3L, 5L)))
+  }
+
   test("containmentBloom equals exact containment for any filter size (lossless)") {
     val sh = Dedup.shingles(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 3)
