@@ -1661,6 +1661,15 @@ object TrainOracles {
          |$dhashPairsCte
          |SELECT d1, d2, hamming FROM pairs""".stripMargin,
 
+    // the streaming audio-ingest gate equals the batch banded pairs
+    // restricted to (corpus, arriving) cross pairs — base ids < 1e7,
+    // arriving twin ids >= 1e7, same split as mm_neardup_stream
+    "mm_wav_neardup_stream" ->
+      s"""$afpCtes,
+         |$dhashPairsCte
+         |SELECT d2 AS new_id, d1 AS corpus_id, hamming FROM pairs
+         |WHERE d1 < 10000000 AND d2 >= 10000000""".stripMargin,
+
     "mm_wav_neardup_recall" ->
       s"""$afpCtes,
          |$dhashPairsCte,

@@ -290,8 +290,19 @@ object Similarity {
    */
   def semDedup(vecs: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
     val asg = KMeans.assignFinal(vecs, cents).select("vec_id", "cluster")
+    // The within-cluster join below is quadratic in the LARGEST cluster
+    // (the paper's own bound; the lever at scale is k). Surface that
+    // bound as an observed metric — max cluster pair volume — on the
+    // snapshot write, so a degenerate cluster (e.g. all zero vectors
+    // bucketed together) shows up in metrics instead of as a hung stage.
+    // The sizes agg collapses to k rows and broadcasts; pass-through
+    // otherwise (schema and hashes unchanged — `_csz` dropped).
+    val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("_csz"))
     val v = graft.util.Snapshot( // three readers: both join sides + output
-      vecs.select("vec_id", "embedding").join(asg, "vec_id"))
+      graft.util.CapMetrics.observeMaxPairs(
+        vecs.select("vec_id", "embedding").join(asg, "vec_id")
+          .join(broadcast(sizes), Seq("cluster")),
+        "semdedup_max_cluster_pairs").drop("_csz"))
     val a = v.select(col("cluster"), col("vec_id").as("v1"), col("embedding").as("e1"))
     val b = v.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2"))
     val dropped = a.join(b, Seq("cluster")).filter(col("v1") < col("v2"))

@@ -654,6 +654,76 @@ object EventStreams {
     drainAvailableNow(pairs, "mm_neardup_stream", "append")
   }
 
+  private val afpIdxPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Standing banded audio-fingerprint index of the BASE WAV corpus
+   * (4×16-bit band keys per clip, the simhash-banding layout),
+   * materialized once per dir — the static side of the streaming
+   * audio-ingest gate. Built through the REAL RIFF/PCM16 parser over
+   * the fixture corpus; the audio sibling of [[dhashCorpusIndex]]. */
+  def afpCorpusIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = afpIdxPath.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val ids = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+      val fp = graft.multimodal.Multimodal.decodeFeatures(
+        ids.map(id => (id, graft.multimodal.Multimodal.wavFpFixture(id)))
+          .toDF("doc_id", "payload"),
+        parallelism = 8,
+        decoder = graft.multimodal.Multimodal.decodeWavAfp,
+        schema = graft.multimodal.Multimodal.AudioFpSchema)
+      val banded = fp.select(col("doc_id").as("corpus_id"),
+          col("afp").as("corpus_hash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("band_val",
+          expr("shiftright(corpus_hash, cast(band * 16 as int)) & 65535"))
+      graft.util.Snapshot.materialize(banded)._1
+    })
+    spark.read.parquet(path)
+  }
+
+  /**
+   * Streaming audio-ingest near-dup gate — completes batch/stream
+   * symmetry across all three modalities (text [[lshIngestStreaming]],
+   * image [[dhashIngestStreaming]], audio here): arriving noise-
+   * perturbed WAV clips (the planted twins of the doc_id % 20 == 0
+   * corpus rows, ids + 1e7) are envelope-fingerprinted through the REAL
+   * RIFF/PCM16 parser and probe the STANDING banded corpus index via a
+   * broadcast join, with exact xor/bit_count verification — stateless
+   * except the pair dedup. Draining the whole arrival set equals the
+   * batch [[graft.multimodal.Multimodal.afpNearDupPairs]] restricted to
+   * (corpus, arriving) cross pairs — the DuckDB twin.
+   *
+   * Returns (new_id, corpus_id, hamming).
+   */
+  def afpIngestStreaming(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val idx = afpCorpusIndex(spark, dir)
+    val fps = reader(spark, schema)
+      .parquet(streamDirFor(dir, "docs_mmafp_", "documents.parquet"))
+      .filter(col("doc_id") % 20 === 0)
+      .select("doc_id").as[Long]
+      .map { id =>
+        val r = graft.multimodal.Multimodal.decodeWavAfp(id + 10000000L,
+          graft.multimodal.Multimodal.wavFpFixture(id, perturb = true))
+        (r.getLong(0), r.getLong(1))
+      }.toDF("new_id", "afp")
+    val banded = fps.select(col("new_id"), col("afp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val",
+        expr("shiftright(afp, cast(band * 16 as int)) & 65535"))
+    val pairs = banded.join(broadcast(idx), Seq("band", "band_val"))
+      .withColumn("hamming",
+        bit_count(col("afp").bitwiseXOR(col("corpus_hash"))))
+      .filter(col("hamming") <= 6)
+      .select(col("new_id"), col("corpus_id"), col("hamming"))
+      .dropDuplicates("new_id", "corpus_id")
+    drainAvailableNow(pairs, "mm_wav_neardup_stream", "append")
+  }
+
   def lshIngestStreaming(spark0: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema

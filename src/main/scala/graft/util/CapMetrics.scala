@@ -72,6 +72,21 @@ object CapMetrics {
       .filter(col("_hot").isNull).drop("_hot", "_hotkey")
   }
 
+  /** Observe the quadratic bound of a per-group self-join: given a frame
+   * carrying each row's group size in `_csz`, record the largest group's
+   * pair volume max(_csz*(_csz-1)/2) as `max_pairs` (+ `input_rows`).
+   * Pass-through like [[observeDrops]] — the caller drops `_csz` after.
+   * This is the "no silent caps" rule applied to operators whose cost
+   * (not recall) is group-quadratic: semDedup's within-cluster join is
+   * bounded by the largest k-means cluster, and a degenerate cluster
+   * (e.g. all zero vectors landing together) should surface as a metric,
+   * not as a mysteriously hung stage at scale. */
+  def observeMaxPairs(df: DataFrame, name: String): DataFrame =
+    df.observe(name,
+      max(col("_csz") * (col("_csz") - lit(1L)) / lit(2L)).cast("long")
+        .as("max_pairs"),
+      count(lit(1)).as("input_rows"))
+
   /** The observed drop metrics of the last action on `df`, if the plan
    * carried an [[observeDrops]] node named `name` and an action ran.
    * Plan-local: when the observed frame was materialized by an internal
@@ -91,8 +106,11 @@ object CapMetrics {
                            qe: org.apache.spark.sql.execution.QueryExecution,
                            durationNs: Long): Unit =
       qe.observedMetrics.foreach { case (n, r) =>
-        if (r.schema.fieldNames.contains("dropped_rows"))
-          m(n) = (r.getAs[Long]("dropped_rows"), r.getAs[Long]("input_rows"))
+        // field 0 is the headline count (dropped_rows / max_pairs);
+        // every CapMetrics node carries input_rows alongside it
+        if (r.schema.fieldNames.contains("input_rows"))
+          m(n) = (if (r.isNullAt(0)) 0L else r.getLong(0),
+            r.getAs[Long]("input_rows"))
       }
     override def onFailure(funcName: String,
                            qe: org.apache.spark.sql.execution.QueryExecution,

@@ -197,6 +197,29 @@ class MultiBatchStreamSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("streaming audio-ingest gate over 4 micro-batches equals the batch cross pairs") {
+    // audio sibling of the image gate: envelope fingerprints through the
+    // real RIFF/PCM16 parser; a 4-way split must still equal the batch
+    // banded pairs restricted to (corpus, arriving)
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$docsSplitDir/documents.parquet")
+      .select("doc_id").as[Long]
+    val base = ids.map(id => (id, Multimodal.wavFpFixture(id)))
+    val twins = ids.filter(_ % 20 == 0)
+      .map(id => (id + 10000000L, Multimodal.wavFpFixture(id, perturb = true)))
+    val fps = Multimodal.decodeFeatures(
+      base.union(twins).toDF("doc_id", "payload"), parallelism = 8,
+      decoder = Multimodal.decodeWavAfp, schema = Multimodal.AudioFpSchema)
+    val expect = sortedRows(
+      Multimodal.afpNearDupPairs(fps, maxDist = 6)
+        .filter(col("d1") < 10000000L && col("d2") >= 10000000L)
+        .select(col("d2").as("new_id"), col("d1").as("corpus_id"), col("hamming")))
+    val got = withOneFilePerTrigger(
+      sortedRows(EventStreams.afpIngestStreaming(spark, docsSplitDir)))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("streaming quality gate over 4 micro-batches equals the batch gate") {
     // stateless stream-static scoring against corpus-trained thresholds:
     // a 4-way split must reproduce the batch gate exactly (thresholds

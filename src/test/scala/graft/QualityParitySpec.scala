@@ -278,6 +278,60 @@ class QualityParitySpec extends AnyFunSuite {
     assert(wep.join(gtc, Seq("p1", "p2"), "left_semi").count() == 112L)
   }
 
+  test("10K synthetic dirty-JSON pipeline: loader + WNP/WEP parity") {
+    // Locks the DIRTY JSON loader path (census/restaurant cover dirty
+    // CSV; DblpAcm/abtBuy cover clean-clean JSON — this was the one
+    // loader x pipeline combination without a reference-count lock).
+    // Expected values from executing the reference implementation
+    // (python/sparker JSONWrapper.load_profiles + load_groundtruth on
+    // 10Kprofiles.json / 10KIdDuplicates.json, pyspark local[16]) with
+    // the Dirty-datasets.ipynb parameters: token blocking, purging
+    // 1.025, filtering 0.8, AVG thresholds:
+    //   profiles 10000, gt 8705; blocks 11088 / 11034 / 11033
+    //   candidates 170634 / 8504
+    //   WNP CBS OR 10545/7590, AND 10122/7262; WEP CBS 10561/7621
+    val dir = "/root/reference/python/datasets/dirty/synthetic"
+    assume(new java.io.File(s"$dir/10Kprofiles.json").canRead, "reference datasets not present")
+    val profiles = Wrappers.loadProfilesJson(spark, s"$dir/10Kprofiles.json",
+      realIdField = "realProfileID").persist()
+    assert(profiles.count() == 10000L)
+    val attrs = Wrappers.toLongLayout(profiles)
+    val cb = Pipeline.cleanBlocks(Blocking.tokenKeys(attrs), clean = false,
+      smoothFactor = 1.025, filterFactor = 0.8)
+    assert(cb.stats0.count() == 11088L)
+    assert(cb.stats1.count() == 11034L)
+    assert(cb.stats2.count() == 11033L)
+
+    val gt = Wrappers.loadGroundTruthJson(spark, s"$dir/10KIdDuplicates.json",
+      firstAttr = "d1Id", secondAttr = "d2Id")
+    val prof = profiles.select("original_id", "profile_id")
+    val gtc = Evaluation.convertGroundTruth(gt, prof, prof).persist()
+    assert(gtc.count() == 8705L)
+
+    val pairs = graft.util.Snapshot(cb.pairs())
+    assert(pairs.count() == 170634L)
+    assert(pairs.join(gtc, Seq("p1", "p2"), "left_semi").count() == 8504L)
+
+    val profStats = graft.util.Snapshot(cb.profileStats)
+    val w = graft.util.Snapshot(
+      MetaBlocking.weightedPairs(pairs, profStats, cb.numberOfBlocks, WeightType.CBS))
+    val sw = Some(graft.util.Snapshot(
+      MetaBlocking.selfWeights(profStats, cb.numberOfBlocks, WeightType.CBS)))
+    for ((ct, refEdges, refMatches) <- Seq(
+        (ComparisonType.OR, 10545L, 7590L),
+        (ComparisonType.AND, 10122L, 7262L))) {
+      val kept = graft.util.Snapshot(
+        MetaBlocking.wnp(w, ThresholdType.AVG, ct, WeightType.CBS, selfW = sw))
+      val n = kept.count()
+      assert(n == refEdges, s"WNP CBS $ct edges $n vs $refEdges")
+      val m = kept.join(gtc, Seq("p1", "p2"), "left_semi").count()
+      assert(m == refMatches, s"WNP CBS $ct matches $m vs $refMatches")
+    }
+    val wep = graft.util.Snapshot(MetaBlocking.wep(w, selfW = sw))
+    assert(wep.count() == 10561L)
+    assert(wep.join(gtc, Seq("p1", "p2"), "left_semi").count() == 7621L)
+  }
+
   test("abtBuy clean-clean pipeline: WNP parity across all weight schemes") {
     val dir = "/root/reference/python/datasets/clean/abtBuy"
     assume(new java.io.File(s"$dir/dataset1.json").canRead, "reference datasets not present")

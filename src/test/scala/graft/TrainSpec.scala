@@ -828,6 +828,27 @@ class TrainSpec extends AnyFunSuite {
       10L -> ((1L, true)), 11L -> ((1L, false))))
   }
 
+  test("semDedup's quadratic cluster bound is observable") {
+    // largest cluster has 3 members -> max pair volume 3; the metric
+    // fires on the internal snapshot write, so read it via the Recorder
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.4f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 0.0, 1.0, 0.0))).toDF("cluster", "centroid")
+    val rec = new graft.util.CapMetrics.Recorder
+    spark.listenerManager.register(rec)
+    try {
+      Similarity.semDedup(e, cents, tau = 0.99).collect()
+      assert(rec.await("semdedup_max_cluster_pairs").contains((3L, 5L)))
+    } finally spark.listenerManager.unregister(rec)
+  }
+
   test("bm25 ranks by the exact Robertson formula, absent terms score nothing") {
     import graft.text.Curation
     val df = docs((1L, "spark spark table"), (2L, "merge table"),
