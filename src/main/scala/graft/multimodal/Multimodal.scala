@@ -332,6 +332,104 @@ object Multimodal {
     encodeWav(rate, samples)
   }
 
+  /** Spectral-fingerprint row: (doc_id, sfp). */
+  val SpectralFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sfp", LongType, nullable = false)))
+
+  /**
+   * Lossy re-encode of a WAV clip: decode through the real RIFF/PCM16
+   * parser, apply the canonical transcoding artifact (a 2-tap moving-
+   * average low-pass, y_i = floor((x_i + x_{i+1})/2), last sample
+   * paired with itself), re-encode with [[encodeWav]] — the audio twin
+   * of [[reencodeJpeg]]'s "same content saved by another site"
+   * duplicate. The integer form (x_a + x_b + 65536)/2 - 32768 keeps the
+   * numerator non-negative so truncating division IS floor division in
+   * both the JVM and the SQL oracle.
+   */
+  def reencodeWav(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val (rate, x) = wavPcm(docId, payload)
+    val n = x.length
+    val y = Array.tabulate(n) { i =>
+      val a = x(i).toInt
+      val b = x(math.min(i + 1, n - 1)).toInt
+      ((a + b + 65536) / 2 - 32768).toShort
+    }
+    encodeWav(rate, y)
+  }
+
+  /**
+   * 64-bit SPECTRAL audio fingerprint (Haitsma & Kalker, "A Highly
+   * Robust Audio Fingerprint System", ISMIR '02 shape): 3 Hann-windowed
+   * frames of length n/2 at 50% overlap, 33 band energies per frame
+   * from a quantized-coefficient DFT, and bit (t*32+b) set when the
+   * band-energy GRADIENT (log-domain double difference across band b
+   * and frame transition t) is positive. Where [[decodeWavAfp]]'s
+   * envelope fingerprint only survives level shifts, this survives
+   * LTI re-encoding (low-pass/EQ): a filter multiplies band energy by a
+   * per-band gain IDENTICAL across frames, and the double difference —
+   * evaluated as the exact cross product E[t+1][b]·E[t][b+1] >
+   * E[t+1][b+1]·E[t][b], no log() call — cancels it.
+   *
+   * Exactness contract: the DFT coefficients are quantized to integers
+   * (floor(64·(1−cos(2πi/L))·cos(2π((k·i) mod L)/L) + 0.5), Q7 Hann ×
+   * trig), so band sums and energies are exact BIGINTs and the bit
+   * decisions are exact integer cross products (BigInt here, HUGEINT in
+   * the SQL oracle) — no float summation-order or libm-ulp hazard
+   * anywhere. Banded candidate recall is GUARANTEED for Hamming <= 3
+   * (4×16-bit pigeonhole), best-effort at 4-6, as for the other banded
+   * families; on the bundled fixtures the 2-tap re-encode stays <= 3 at
+   * the correctness scale.
+   */
+  def decodeWavSfp(docId: Long, payload: Array[Byte]): Row = {
+    val (_, s) = wavPcm(docId, payload)
+    val n = s.length
+    require(n >= 132, s"WAV sfp: need >= 132 samples, got $n (doc $docId)")
+    val L = n / 2
+    val tau = 2.0 * math.Pi
+    // per-clip tables: Hann×64 window and the L-periodic trig ring —
+    // the coefficient for (k, i) reads the ring at (k*i) mod L, the
+    // same doubles the direct form evaluates
+    val w64 = Array.tabulate(L)(i => 64.0 * (1.0 - math.cos(tau * i / L)))
+    val cosT = Array.tabulate(L)(j => math.cos(tau * j / L))
+    val sinT = Array.tabulate(L)(j => math.sin(tau * j / L))
+    val starts = Array(0, n / 4, n - L)
+    val e = Array.ofDim[Long](3, 33)
+    var f = 0
+    while (f < 3) {
+      val base = starts(f)
+      var b = 0
+      while (b < 33) {
+        val k = b + 1
+        var c = 0L
+        var q = 0L
+        var i = 0
+        while (i < L) {
+          val j = (k * i) % L
+          c += s(base + i) * math.floor(w64(i) * cosT(j) + 0.5).toLong
+          q += s(base + i) * math.floor(w64(i) * sinT(j) + 0.5).toLong
+          i += 1
+        }
+        e(f)(b) = c * c + q * q
+        b += 1
+      }
+      f += 1
+    }
+    var hash = 0L
+    var t = 0
+    while (t < 2) {
+      var b = 0
+      while (b < 32) {
+        if (BigInt(e(t + 1)(b)) * BigInt(e(t)(b + 1)) >
+            BigInt(e(t + 1)(b + 1)) * BigInt(e(t)(b)))
+          hash |= 1L << (t * 32 + b)
+        b += 1
+      }
+      t += 1
+    }
+    Row(docId, hash)
+  }
+
   /**
    * Audio near-duplicate pairs over [[decodeWavAfp]] fingerprints — the
    * identical banded Hamming machinery as [[dhashNearDupPairs]].

@@ -333,6 +333,114 @@ object TrainOracles {
 
   /** Banded Hamming pair CTE over [[dhashCtes]]' `fp` (4x16-bit bands,
    * dist <= 6) — the simhash-pairs idiom on the image fingerprints. */
+  /** Closed-form PCM16 sample of the wavFpFixture clip at index `j`
+   * (src = base doc id): v = (t² mod 65536) − 32768, t = src·131 +
+   * j·17 + 251 — the shared kernel of the envelope and spectral audio
+   * chains. */
+  private def wavX(j: String): String = {
+    val t = s"(src * 131 + ($j) * 17 + 251)"
+    s"((($t * $t) % 65536) - 32768)"
+  }
+
+  /** The 2-tap low-pass re-encode twin of [[wavX]]: y_j = floor((x_j +
+   * x_{min(j+1,n-1)})/2) with the +65536 shift keeping the numerator
+   * non-negative (truncating // IS floor) — Multimodal.reencodeWav. */
+  private def wavY(j: String): String =
+    s"((${wavX(j)} + ${wavX(s"least(($j) + 1, n - 1)")} + 65536) // 2 - 32768)"
+
+  /** Spectral-fingerprint CTE chain over the WAV corpus + RE-ENCODED
+   * (2-tap low-pass) twins: 3 Hann-windowed frames of L=n//2 at 50%
+   * overlap, 33 quantized-DFT band energies per frame (coefficients
+   * floor(64·(1−cos(2πi/L))·trig(2π((k·i) mod L)/L) + 0.5) — exact
+   * BIGINTs), bit (f−1)·32+b set when the exact HUGEINT cross product
+   * of energies says the band gradient rose across the frame
+   * transition — the twin of Multimodal.decodeWavSfp. Ends at
+   * `sfpt(doc_id, sfp)`. */
+  private lazy val sfpCtes: String = {
+    def coef(trig: String): String =
+      s"CAST(floor(64 * (1 - cos(2 * pi() * i / L)) * " +
+        s"$trig(2 * pi() * (((b.b + 1) * i) % L) / L) + 0.5) AS BIGINT)"
+    s"""WITH sauds AS (
+       |  SELECT doc_id AS aud_id, doc_id AS src, 0 AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 0),
+       |sdim AS (SELECT aud_id, src, pert, CAST(200 + src % 56 AS BIGINT) AS n FROM sauds),
+       |sfrm AS (
+       |  SELECT aud_id, src, pert, n, n // 2 AS L, f.f AS f,
+       |         CASE f.f WHEN 0 THEN 0 WHEN 1 THEN n // 4 ELSE n - n // 2 END AS st
+       |  FROM sdim, unnest(generate_series(0, 2)) AS f(f)),
+       |sval AS MATERIALIZED (
+       |  SELECT aud_id, f, L, i.i AS i,
+       |         CASE WHEN pert = 0 THEN ${wavX("st + i.i")}
+       |              ELSE ${wavY("st + i.i")} END AS s
+       |  FROM sfrm, unnest(generate_series(0, L - 1)) AS i(i)),
+       |sbs AS MATERIALIZED (
+       |  SELECT aud_id, f, b.b AS b,
+       |         SUM(s * ${coef("cos")}) AS c,
+       |         SUM(s * ${coef("sin")}) AS q
+       |  FROM sval, (SELECT unnest(generate_series(0, 32)) AS b) b
+       |  GROUP BY aud_id, f, b.b),
+       |sen AS MATERIALIZED (SELECT aud_id, f, b, c * c + q * q AS e FROM sbs),
+       |sbit AS (
+       |  SELECT e1.aud_id, (e1.f - 1) * 32 + e1.b AS k,
+       |         CASE WHEN CAST(e1.e AS HUGEINT) * e0n.e > CAST(e1n.e AS HUGEINT) * e0.e
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM sen e1
+       |  JOIN sen e0  ON e0.aud_id = e1.aud_id AND e0.f = e1.f - 1 AND e0.b = e1.b
+       |  JOIN sen e1n ON e1n.aud_id = e1.aud_id AND e1n.f = e1.f AND e1n.b = e1.b + 1
+       |  JOIN sen e0n ON e0n.aud_id = e1.aud_id AND e0n.f = e1.f - 1 AND e0n.b = e1.b + 1
+       |  WHERE e1.f >= 1 AND e1.b < 32),
+       |sfpt AS MATERIALIZED (
+       |  SELECT aud_id AS doc_id,
+       |         CAST(SUM(CASE WHEN bit = 0 THEN 0
+       |                       WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |                       ELSE (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) END) AS BIGINT) AS sfp
+       |  FROM sbit GROUP BY aud_id)""".stripMargin
+  }
+
+  /** Envelope fingerprints of the SAME re-encoded corpus (base clips +
+   * 2-tap low-pass twins) — the degraded side of the spectral recall
+   * grade. Ends at `efp(doc_id, afp)`. */
+  private lazy val afpReencCtes: String =
+    s"""eauds AS (
+       |  SELECT doc_id AS aud_id, doc_id AS src, 0 AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 0),
+       |edim AS (SELECT aud_id, src, pert, CAST(200 + src % 56 AS BIGINT) AS n FROM eauds),
+       |ept AS (
+       |  SELECT aud_id, src, pert, n, f.f AS f, (f.f * n) // 65 AS i
+       |  FROM edim, unnest(generate_series(0, 64)) AS f(f)),
+       |eev AS MATERIALIZED (
+       |  SELECT aud_id, f,
+       |         abs(CASE WHEN pert = 0 THEN ${wavX("i")}
+       |                  ELSE ${wavY("i")} END) AS e
+       |  FROM ept),
+       |ebit AS (
+       |  SELECT a.aud_id, a.f AS k,
+       |         CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+       |  FROM eev a JOIN eev b ON a.aud_id = b.aud_id AND b.f = a.f + 1
+       |  WHERE a.f < 64),
+       |efp AS MATERIALIZED (
+       |  SELECT aud_id AS doc_id,
+       |         CAST(SUM(CASE WHEN bit = 0 THEN 0
+       |                       WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |                       ELSE (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) END) AS BIGINT) AS afp
+       |  FROM ebit GROUP BY aud_id)""".stripMargin
+
+  /** Banded Hamming pair CTEs over an fp table `fpT(doc_id, hcol)` —
+   * the dhashPairsCte shape with nameable inputs so two fingerprint
+   * families can pair up inside ONE query. Emits `<out>b` and `<out>`. */
+  private def bandPairCtes(fpT: String, hcol: String, out: String): String =
+    s"""${out}b AS (
+       |  SELECT doc_id, $hcol AS h, b.b AS band,
+       |         ($hcol >> CAST(b.b * 16 AS INTEGER)) & 65535 AS band_val
+       |  FROM $fpT, (SELECT unnest(generate_series(0, 3)) AS b) b),
+       |$out AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM ${out}b a JOIN ${out}b b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.h, b.h)) <= 6)""".stripMargin
+
   private lazy val dhashPairsCte: String =
     """banded AS (
       |  SELECT doc_id, dhash, b.b AS band,
@@ -1660,6 +1768,36 @@ object TrainOracles {
       s"""$afpCtes,
          |$dhashPairsCte
          |SELECT d1, d2, hamming FROM pairs""".stripMargin,
+
+    // spectral fingerprint: every PCM sample, Hann x quantized-trig
+    // coefficient, band energy, and HUGEINT-exact gradient bit of the
+    // corpus + its genuinely low-pass-re-encoded twins recomputed
+    "mm_wav_fp_spec" ->
+      s"""$sfpCtes
+         |SELECT doc_id, sfp FROM sfpt""".stripMargin,
+
+    // the side-by-side recall grade: envelope vs spectral fingerprints
+    // over the SAME re-encoded twins, each through its own banded pass
+    "mm_wav_spec_recall" ->
+      s"""$sfpCtes,
+         |$afpReencCtes,
+         |${bandPairCtes("efp", "afp", "epairs")},
+         |${bandPairCtes("sfpt", "sfp", "spairs")},
+         |planted AS MATERIALIZED (
+         |  SELECT doc_id AS d1, doc_id + 10000000 AS d2
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM planted),
+         |ehit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+         |         FROM planted p JOIN epairs q ON p.d1 = q.d1 AND p.d2 = q.d2),
+         |shit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+         |         FROM planted p JOIN spairs q ON p.d1 = q.d1 AND p.d2 = q.d2)
+         |SELECT 'envelope' AS kind, n_planted, n_found,
+         |       round(CAST(n_found AS DOUBLE) / CAST(n_planted AS DOUBLE), 9) AS recall
+         |FROM tot, ehit
+         |UNION ALL
+         |SELECT 'spectral' AS kind, n_planted, n_found,
+         |       round(CAST(n_found AS DOUBLE) / CAST(n_planted AS DOUBLE), 9) AS recall
+         |FROM tot, shit""".stripMargin,
 
     // the streaming audio-ingest gate equals the batch banded pairs
     // restricted to (corpus, arriving) cross pairs — base ids < 1e7,

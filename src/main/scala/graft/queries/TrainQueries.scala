@@ -152,6 +152,31 @@ object TrainQueries {
   private def afpNeardup(s: SparkSession, d: String): DataFrame =
     afpPairsMemo(s, d)(Multimodal.afpNearDupPairs(afps(s, d), maxDist = 6))
 
+  /** Spectral (Haitsma–Kalker-shaped) fingerprints of the WAV corpus +
+   * RE-ENCODED twins (decode -> 2-tap low-pass -> re-encode, planted at
+   * doc_id + 1e7 — "the same recording transcoded", a perturbation the
+   * envelope fingerprint does NOT survive), plus the envelope
+   * fingerprints of the SAME re-encoded corpus for the side-by-side
+   * recall grade. Both ride the real RIFF/PCM16 parser. */
+  private def wavReencPayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = docs(s, d).select("doc_id").as[Long]
+    val base = ids.map(id => (id, Multimodal.wavFpFixture(id)))
+    val twins = ids.filter(_ % 20 == 0).map(id => (id + 10000000L,
+      Multimodal.reencodeWav(id, Multimodal.wavFpFixture(id))))
+    base.union(twins).toDF("doc_id", "payload")
+  }
+  private val sfpMemo = new PathMemo
+  private def sfps(s: SparkSession, d: String): DataFrame =
+    sfpMemo(s, d)(Multimodal.decodeFeatures(
+      wavReencPayloads(s, d), parallelism = 8,
+      decoder = Multimodal.decodeWavSfp, schema = Multimodal.SpectralFpSchema))
+  private val afpReencMemo = new PathMemo
+  private def afpsReenc(s: SparkSession, d: String): DataFrame =
+    afpReencMemo(s, d)(Multimodal.decodeFeatures(
+      wavReencPayloads(s, d), parallelism = 8,
+      decoder = Multimodal.decodeWavAfp, schema = Multimodal.AudioFpSchema))
+
   /** Exact Jaccard>=0.5 pairs and MinHash-LSH candidate pairs, snapshot
    * once per dir — shared by their dump queries, the recall metric, and
    * the cluster chain (the pair graphs are the product; consumers must
@@ -1171,6 +1196,33 @@ object TrainQueries {
     // restricted to (corpus, arriving) — the oracle recomputes that
     "mm_neardup_stream" -> ((s, d) =>
       graft.streaming.EventStreams.dhashIngestStreaming(s, d)),
+
+    // SPECTRAL audio fingerprint (Haitsma-Kalker shape): Hann-windowed
+    // quantized-DFT band-energy gradients over the real PCM16 path —
+    // the re-encode-robust upgrade of mm_wav_fp's envelope kernel, over
+    // the corpus + genuinely transcoded (2-tap low-pass) twins
+    "mm_wav_fp_spec" -> ((s, d) => sfps(s, d)),
+
+    // the side-by-side index grade the spectral kernel exists for: on
+    // TRANSCODED twins (not just level-shifted), envelope recall
+    // collapses (hamming 16-36, no banded hit) while spectral recall
+    // holds (hamming <= 3 at this scale -> pigeonhole-guaranteed 1.0)
+    "mm_wav_spec_recall" -> ((s, d) => {
+      val planted = docs(s, d).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("d1"), (col("doc_id") + 10000000L).as("d2"))
+      def grade(fp: DataFrame, hashCol: String, kind: String): DataFrame = {
+        val pairs = graft.dedup.Dedup.simhashPairs(
+          fp.select(col("doc_id"), col(hashCol).as("simhash")), maxDist = 6)
+        val found = planted.join(pairs, Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("n_found"))
+        planted.agg(count(lit(1)).as("n_planted")).crossJoin(found)
+          .select(lit(kind).as("kind"), col("n_planted"), col("n_found"),
+            graft.functions.FastRound.round(col("n_found").cast("double") /
+              col("n_planted").cast("double"), 9).as("recall"))
+      }
+      grade(afpsReenc(s, d), "afp", "envelope")
+        .unionByName(grade(sfps(s, d), "sfp", "spectral"))
+    }),
 
     // audio ingest as a STREAM: arriving noise-perturbed WAV clips
     // envelope-fingerprinted through the real RIFF/PCM16 parser, probing

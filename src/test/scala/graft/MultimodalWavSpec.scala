@@ -199,6 +199,52 @@ class MultimodalWavSpec extends AnyFunSuite {
     assert(hit >= 48, s"only $hit/50 planted twins recovered")
   }
 
+  test("reencodeWav applies the exact 2-tap low-pass through a real round-trip") {
+    val x = Array[Short](1000, -2000, 3000, -32768, 32767)
+    val re = Multimodal.reencodeWav(1L, Multimodal.encodeWav(8000, x))
+    val r = feats(re)
+    assert(r.getInt(1) == 8000 && r.getLong(2) == 5L)
+    // y_i = floor((x_i + x_{min(i+1,n-1)})/2) via the shifted form
+    val y = Array.tabulate(5) { i =>
+      ((x(i) + x(math.min(i + 1, 4)) + 65536) / 2 - 32768).toLong
+    }
+    assert(r.getLong(3) == y.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum)
+  }
+
+  test("spectral fp is gain-invariant; survives the re-encode the envelope fp does not") {
+    // exact x2 gain scales every band energy by 4 uniformly -> every
+    // cross-product bit decision is unchanged (the log-domain double
+    // difference cancels any per-clip gain)
+    val n = 200
+    val base = Array.tabulate(n)(i =>
+      (((7L * 131 + i * 17 + 251) * (7L * 131 + i * 17 + 251) % 16384) - 8192).toShort)
+    val doubled = base.map(v => (v * 2).toShort)
+    val fp1 = Multimodal.decodeWavSfp(1L, Multimodal.encodeWav(8000, base)).getLong(1)
+    val fp2 = Multimodal.decodeWavSfp(1L, Multimodal.encodeWav(8000, doubled)).getLong(1)
+    assert(fp1 == fp2)
+    // on the fixture corpus: the 2-tap transcode keeps spectral hamming
+    // within the banded <=3 pigeonhole guarantee while the envelope fp
+    // drifts far beyond the maxDist=6 gate - the reason the kernel exists
+    for (id <- 0L until 500L by 20L) {
+      val orig = Multimodal.wavFpFixture(id)
+      val reenc = Multimodal.reencodeWav(id, orig)
+      val sd = java.lang.Long.bitCount(
+        Multimodal.decodeWavSfp(id, orig).getLong(1) ^
+          Multimodal.decodeWavSfp(id, reenc).getLong(1))
+      val ad = java.lang.Long.bitCount(
+        Multimodal.decodeWavAfp(id, orig).getLong(1) ^
+          Multimodal.decodeWavAfp(id, reenc).getLong(1))
+      assert(sd <= 3, s"doc $id spectral hamming $sd")
+      assert(ad > 6, s"doc $id envelope hamming $ad unexpectedly small")
+    }
+  }
+
+  test("decodeWavSfp rejects clips too short to frame") {
+    val short = Multimodal.encodeWav(8000, Array.fill[Short](131)(5))
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWavSfp(9L, short))
+    assert(e.getMessage.contains("need >= 132"))
+  }
+
   test("jlProject is deterministic and pipeline-compatible") {
     val e = Seq(
       (1L, Array.tabulate(64)(i => (i + 1).toFloat)),
