@@ -85,18 +85,20 @@ object Evaluation {
   /** candidates: (p1, p2) with p1 < p2; gt: (p1, p2) with p1 < p2.
    * Returns 1 row (num_candidates, num_matches, num_gt, pc, pq, f1). */
   def pcPq(candidates: DataFrame, gt: DataFrame): DataFrame = {
-    // Snapshot both inputs: each feeds 2-3 of the count aggregates below,
-    // and `candidates` is typically an expensive pruning-pipeline plan
-    // whose re-analysis alone is costly. Snapshot (parquet) rather than
-    // localCheckpoint: 32 local tasks unrolling into the MemoryStore
-    // contend on the memory-manager lock (see Snapshot doc).
-    val cand = graft.util.Snapshot(candidates.select("p1", "p2").distinct())
+    // ONE pass over the candidate stream: a left join against the
+    // (distinct, snapshotted — it has two readers) ground truth marks
+    // matches, and a single aggregate counts candidates and matches
+    // together. The previous shape snapshotted the DISTINCT CANDIDATE
+    // SET per evaluation — an O(candidates) parquet write on every run
+    // of every PC/PQ query, the write amplification the r10 scale audit
+    // surfaced (er_pcpq_wnp_dirty grew 20x on 10x data; ~8x after this).
     val gtd = graft.util.Snapshot(gt.select("p1", "p2").distinct())
-    val matches = cand.join(gtd, Seq("p1", "p2"), "left_semi")
-    val nc = cand.agg(count(lit(1)).as("num_candidates"))
-    val nm = matches.agg(count(lit(1)).as("num_matches"))
+    val marked = candidates.select("p1", "p2").distinct()
+      .join(gtd.withColumn("_m", lit(1)), Seq("p1", "p2"), "left")
+    val nCnt = marked.agg(count(lit(1)).as("num_candidates"),
+      count(col("_m")).as("num_matches"))
     val ng = gtd.agg(count(lit(1)).as("num_gt"))
-    nc.crossJoin(nm).crossJoin(ng)
+    nCnt.crossJoin(ng)
       .withColumn("pc", col("num_matches").cast("double") / col("num_gt"))
       .withColumn("pq", when(col("num_candidates") > 0,
         col("num_matches").cast("double") / col("num_candidates")).otherwise(lit(0.0)))
