@@ -91,8 +91,13 @@ object Dedup {
    * ([[graft.util.CapMetrics]]).
    */
   def jaccardPairs(sh0: DataFrame, threshold: Double,
-                   maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = graft.util.Snapshot(sh0) // read by the index (twice, self-join) + sizes; parquet snapshot, not MemoryStore (lock contention at local[32])
+                   maxShingleFreq: Int = 1000,
+                   materialized: Boolean = false): DataFrame = {
+    // read by the index (twice, self-join) + sizes; parquet snapshot, not
+    // MemoryStore (lock contention at local[32]). `materialized = true`
+    // when sh0 is already a parquet-backed snapshot (the per-dir shingle
+    // memo): re-referencing a scan is cheap, re-writing it per run is not.
+    val sh = if (materialized) sh0 else graft.util.Snapshot(sh0)
     val freqOk = graft.util.CapMetrics.dropHotKeys(sh, "shingle", maxShingleFreq, "jaccard_pairs_cap")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = freqOk.select(col("shingle"), col("doc_id").as("d1"))
@@ -120,8 +125,9 @@ object Dedup {
    * directions, each scored against its own source size.
    */
   def containmentPairs(sh0: DataFrame, threshold: Double,
-                       maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = graft.util.Snapshot(sh0)
+                       maxShingleFreq: Int = 1000,
+                       materialized: Boolean = false): DataFrame = {
+    val sh = if (materialized) sh0 else graft.util.Snapshot(sh0) // see jaccardPairs
     val freqOk = graft.util.CapMetrics.dropHotKeys(sh, "shingle", maxShingleFreq, "containment_pairs_cap")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = freqOk.select(col("shingle"), col("doc_id").as("d1"))
@@ -511,8 +517,11 @@ object Dedup {
    * band keep bucket population ~N/65536 — the band self-join stays
    * equi-join-shaped at 100x corpus scale.
    */
-  def simhashPairs(fp0: DataFrame, maxDist: Int = 3): DataFrame = {
-    val fp = graft.util.Snapshot(fp0) // both sides of the band self-join read it
+  def simhashPairs(fp0: DataFrame, maxDist: Int = 3,
+                   materialized: Boolean = false): DataFrame = {
+    // both sides of the band self-join read it; `materialized = true` when
+    // fp0 is already parquet-backed (the per-dir fingerprint memos)
+    val fp = if (materialized) fp0 else graft.util.Snapshot(fp0)
     val banded = fp.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_val",

@@ -21,7 +21,8 @@ object Matching {
    * (weight desc, partner asc — the deterministic tiebreak), keep pairs
    * that are mutually best. Guarantees each node appears in at most one
    * output pair (its unique best), so the result is a matching in the
-   * graph-theory sense.
+   * graph-theory sense. Input follows the engine-wide undirected pair
+   * convention p1 < p2 (every call site does).
    */
   /**
    * Near-maximal weighted matching by iterated reciprocal rounds: each
@@ -42,11 +43,15 @@ object Matching {
       val m = graft.util.Snapshot(reciprocalBestMatch(remaining, wCol)
         .withColumn("round", lit(r)))
       acc = Some(acc.fold(m)(_.unionByName(m)))
-      val nodes = m.select(col("p1").as("node"))
-        .unionByName(m.select(col("p2").as("node"))).distinct()
-      remaining = graft.util.Snapshot(remaining
-        .join(nodes.select(col("node").as("p1")), Seq("p1"), "left_anti")
-        .join(nodes.select(col("node").as("p2")), Seq("p2"), "left_anti"))
+      // the last round's residual is never rematched — materializing it
+      // was a pure O(edges) parquet write nobody read
+      if (r < rounds) {
+        val nodes = m.select(col("p1").as("node"))
+          .unionByName(m.select(col("p2").as("node"))).distinct()
+        remaining = graft.util.Snapshot(remaining
+          .join(nodes.select(col("node").as("p1")), Seq("p1"), "left_anti")
+          .join(nodes.select(col("node").as("p2")), Seq("p2"), "left_anti"))
+      }
     }
     acc.get
   }
@@ -59,10 +64,14 @@ object Matching {
         Window.partitionBy("a").orderBy(col(wCol).desc, col("b").asc)))
       .filter(col("rn") === 1)
       .select(col("a"), col("b"))
-    pairs
-      .join(best.select(col("a").as("p1"), col("b").as("p2")), Seq("p1", "p2"),
+    // mutually-best pairs from best ⋈ best (one row per node — the SMALL
+    // relation), then ONE semi-join back to the scored pairs: the former
+    // two consecutive semi-joins scanned the O(edges) pair set twice
+    val mutual = best
+      .join(best.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"),
         "left_semi")
-      .join(best.select(col("b").as("p1"), col("a").as("p2")), Seq("p1", "p2"),
-        "left_semi")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("p1"), col("b").as("p2"))
+    pairs.join(mutual, Seq("p1", "p2"), "left_semi")
   }
 }

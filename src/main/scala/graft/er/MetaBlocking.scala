@@ -423,10 +423,17 @@ object MetaBlocking {
    * wnp.py:47-60). `eps` relaxes the >= for fractional weight schemes whose
    * thresholds are order-dependent double sums (0 for exact weights).
    */
+  /** `thOpt`: pre-materialized [[localThresholds]] for (weighted, tt,
+   * selfW) — an O(profiles) standing statistic (the directedEdges
+   * two-scan + aggregate over the O(edges) graph is most of a WNP
+   * evaluation's non-join cost); callers evaluating several WNP variants
+   * over one weighted graph should materialize it once and pass it here
+   * (the cnp `directedOpt` posture). */
   def wnp(weighted: DataFrame, tt: ThresholdType.Value, ct: ComparisonType.Value,
           wt: WeightType.Value, chi2divider: Double = 2.0, eps: Double = 0.0,
-          selfW: Option[DataFrame] = None): DataFrame = {
-    val th = localThresholds(weighted, tt, selfW)
+          selfW: Option[DataFrame] = None,
+          thOpt: Option[DataFrame] = None): DataFrame = {
+    val th = thOpt.getOrElse(localThresholds(weighted, tt, selfW))
     val j = weighted
       .join(th.select(col("profile_id").as("p1"), col("theta").as("t1")), Seq("p1"))
       .join(th.select(col("profile_id").as("p2"), col("theta").as("t2")), Seq("p2"))
@@ -473,28 +480,37 @@ object MetaBlocking {
     // the whole histogram + distributed-prefix chain per consumer (3
     // executions), and a literal threshold lets the two retained-edge
     // scans push `w1 > thr` / `w1 = thr` into the parquet scan's
-    // row-group pruning. The cumulative histogram is snapshot once: one
-    // row per DISTINCT weight level (bounded for integer schemes,
-    // <= edges for fractional ones — never wider than the input).
+    // row-group pruning. The cumulative histogram has one row per
+    // DISTINCT weight level (bounded for integer schemes, <= edges for
+    // fractional ones — never wider than the input) and exactly one
+    // reader (the scalar aggregate below), so it stays lazy.
     val kRow = validStats.agg(floor(sum(col("size")) / 2.0).cast("double").as("k")).first()
     if (kRow.isNullAt(0))
       return weighted.filter(lit(false))
         .select(col("p1"), col("p2"), col("w1").as("w"))
     val k = kRow.getDouble(0)
     val hist = weighted.groupBy(col("w1").as("wl")).agg(count(lit(1)).cast("double").as("freq"))
-    val cum = graft.util.Snapshot(
-      graft.util.Prefix.runningSum(hist, Seq(col("wl").desc), col("freq"), "cum"))
+    val cum = graft.util.Prefix.runningSum(hist, Seq(col("wl").desc), col("freq"), "cum")
     // first level (walking desc) whose cumulative count reaches K; if the
-    // total never reaches K, the lowest level.
+    // total never reaches K, the lowest level. The threshold level AND its
+    // (freq, cum) row are resolved in ONE aggregate via max_by/min_by
+    // (ordering keys are distinct weight levels, null ordering rows are
+    // skipped) — previously this was two driver actions plus a parquet
+    // snapshot of the cumulative histogram between them; with a single
+    // reader the snapshot is pure overhead, so both jobs and the write
+    // round-trip collapse into this one aggregation.
     val thrRow = cum.agg(
       max(when(col("cum") >= k, col("wl"))).as("thr_hit"),
-      min(col("wl")).as("thr_min")).first()
+      min(col("wl")).as("thr_min"),
+      max_by(struct(col("freq"), col("cum")), when(col("cum") >= k, col("wl"))).as("hit_s"),
+      min_by(struct(col("freq"), col("cum")), col("wl")).as("min_s")).first()
     if (thrRow.isNullAt(1)) // empty edge set
       return weighted.filter(lit(false))
         .select(col("p1"), col("p2"), col("w1").as("w"))
-    val thr = if (thrRow.isNullAt(0)) thrRow.get(1) else thrRow.get(0)
-    val remaining = cum.filter(col("wl") === lit(thr))
-      .select((col("freq") - (col("cum") - k)).as("remaining")).first().getDouble(0)
+    val hit = !thrRow.isNullAt(0)
+    val thr = if (hit) thrRow.get(0) else thrRow.get(1)
+    val s = thrRow.getStruct(if (hit) 2 else 3)
+    val remaining = s.getDouble(0) - (s.getDouble(1) - k)
     val above = weighted.filter(col("w1") > lit(thr))
       .select(col("p1"), col("p2"), col("w1").as("w"))
     // ties: per-profile quotas consumed in ascending (p1, p2) order

@@ -85,20 +85,25 @@ object Evaluation {
   /** candidates: (p1, p2) with p1 < p2; gt: (p1, p2) with p1 < p2.
    * Returns 1 row (num_candidates, num_matches, num_gt, pc, pq, f1). */
   def pcPq(candidates: DataFrame, gt: DataFrame): DataFrame = {
-    // ONE pass over the candidate stream: a left join against the
-    // (distinct, snapshotted — it has two readers) ground truth marks
-    // matches, and a single aggregate counts candidates and matches
-    // together. The previous shape snapshotted the DISTINCT CANDIDATE
-    // SET per evaluation — an O(candidates) parquet write on every run
-    // of every PC/PQ query, the write amplification the r10 scale audit
-    // surfaced (er_pcpq_wnp_dirty grew 20x on 10x data; ~8x after this).
-    val gtd = graft.util.Snapshot(gt.select("p1", "p2").distinct())
+    // ONE pass over candidates AND ground truth: a FULL OUTER join on the
+    // pair key with presence flags, then a single aggregate counts
+    // candidates, matches and GT pairs together. The previous shape
+    // (candidates LEFT JOIN a snapshotted gt, plus a second gt aggregate
+    // cross-joined in) materialized the distinct GT to parquet on EVERY
+    // evaluation and scanned it twice; the full outer needs the GT read
+    // once, so the snapshot goes away entirely. No extra shuffle either
+    // way: both sides are already hash-partitioned by (p1, p2) from their
+    // distinct(), and the full-outer reuses those exchanges. (An
+    // O(candidates) write per evaluation was the write amplification the
+    // r10 scale audit surfaced — er_pcpq_wnp_dirty grew 20x on 10x data.)
+    val gtd = gt.select("p1", "p2").distinct().withColumn("_m", lit(1))
     val marked = candidates.select("p1", "p2").distinct()
-      .join(gtd.withColumn("_m", lit(1)), Seq("p1", "p2"), "left")
-    val nCnt = marked.agg(count(lit(1)).as("num_candidates"),
-      count(col("_m")).as("num_matches"))
-    val ng = gtd.agg(count(lit(1)).as("num_gt"))
-    nCnt.crossJoin(ng)
+      .withColumn("_c", lit(1))
+      .join(gtd, Seq("p1", "p2"), "full_outer")
+    marked.agg(
+        count(col("_c")).as("num_candidates"),
+        count(when(col("_c").isNotNull && col("_m").isNotNull, 1)).as("num_matches"),
+        count(col("_m")).as("num_gt"))
       .withColumn("pc", col("num_matches").cast("double") / col("num_gt"))
       .withColumn("pq", when(col("num_candidates") > 0,
         col("num_matches").cast("double") / col("num_candidates")).otherwise(lit(0.0)))

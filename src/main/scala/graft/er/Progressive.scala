@@ -158,9 +158,14 @@ object Progressive {
    * deterministically; there is no reference-observable order to adopt.
    * This is the engine's defined contract, not a residual divergence.
    */
+  /** `posOpt`: a pre-materialized [[tokenPositions]] index. The position
+   * assignment is a STANDING corpus structure (a global sort + dense
+   * numbering — the expensive part of every GSPSN evaluation); callers
+   * running the emission repeatedly over one corpus should build it once
+   * (the ppjoinIndex / LSH-corpus-index posture) and pass it here. */
   def gspsn(keys: DataFrame, window: Int = 2, limit: Int = 1000,
-            clean: Boolean = false): DataFrame = {
-    val pos = graft.util.Snapshot(tokenPositions(keys))
+            clean: Boolean = false, posOpt: Option[DataFrame] = None): DataFrame = {
+    val pos = posOpt.getOrElse(graft.util.Snapshot(tokenPositions(keys)))
     val counts = pos.groupBy("profile_id").agg(count(lit(1)).as("np"))
     // |pa - pb| <= window as an EQUI-join: explode the +-window offsets on
     // one side and join on the shifted position. A literal range predicate

@@ -438,9 +438,11 @@ object Multimodal {
    * are best-effort — they surface only when their flipped bits don't
    * spread across all four bands (see [[graft.dedup.Dedup.simhashPairs]]).
    */
-  def afpNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame =
+  def afpNearDupPairs(hashes: DataFrame, maxDist: Int = 6,
+                      materialized: Boolean = false): DataFrame =
     graft.dedup.Dedup.simhashPairs(
-      hashes.select(col("doc_id"), col("afp").as("simhash")), maxDist)
+      hashes.select(col("doc_id"), col("afp").as("simhash")), maxDist,
+      materialized)
 
   /**
    * Image near-duplicate pairs over [[decodePpmDhash]] fingerprints:
@@ -454,9 +456,11 @@ object Multimodal {
    * best-effort, only when some band stays clean — mirror of the
    * [[graft.dedup.Dedup.simhashPairs]] contract.
    */
-  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame =
+  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int = 6,
+                        materialized: Boolean = false): DataFrame =
     graft.dedup.Dedup.simhashPairs(
-      hashes.select(col("doc_id"), col("dhash").as("simhash")), maxDist)
+      hashes.select(col("doc_id"), col("dhash").as("simhash")), maxDist,
+      materialized)
 
   /** Decoded-WAV row: header-derived rate/length, a position-weighted
    * amplitude checksum and the mean-square energy over the PCM stream. */

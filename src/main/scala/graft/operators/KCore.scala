@@ -22,8 +22,15 @@ object KCore {
    * edge list `(p1, p2)` with their in-core degrees. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
     require(k >= 1)
-    var es = graft.util.Snapshot(edges.select(col("p1"), col("p2")))
-    var nEdges = es.count()
+    // the surviving-edge count rides each materialization job as an
+    // observed metric (Snapshot.observed) instead of a separate count()
+    // over the freshly written parquet — one job per peel round, not two
+    def snapCounted(df: DataFrame): (DataFrame, Long) = {
+      val (snap, m) = graft.util.Snapshot.observed(df,
+        count(lit(1)).as("n_edges"))
+      (snap, m("n_edges").asInstanceOf[Long])
+    }
+    var (es, nEdges) = snapCounted(edges.select(col("p1"), col("p2")))
     var converged = false
     var r = 0
     while (!converged && r < maxRounds) {
@@ -31,10 +38,9 @@ object KCore {
         .unionByName(es.select(col("p2").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("n")
-      val next = graft.util.Snapshot(es
+      val (next, m) = snapCounted(es
         .join(keep.select(col("n").as("p1")), Seq("p1"), "left_semi")
         .join(keep.select(col("n").as("p2")), Seq("p2"), "left_semi"))
-      val m = next.count()
       converged = m == nEdges
       es = next; nEdges = m; r += 1
     }

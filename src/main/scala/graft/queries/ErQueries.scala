@@ -115,6 +115,21 @@ object ErQueries {
   private val weighted3srcCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Memoized per-profile WNP thresholds for a (dir, clean, scheme,
+   * threshold-type, self-edges) combination — the O(profiles) standing
+   * statistic every WNP evaluation re-derived per run with a two-scan
+   * directed view + aggregate over the O(edges) graph
+   * (MetaBlocking.localThresholds). Materialized once like the weighted
+   * graph it summarizes; the pruning joins stay per-run. */
+  private val wnpThMemo = new graft.util.PathMemo
+  private val wnpTh3srcMemo = new graft.util.PathMemo
+  private def wnpThresholds(s: SparkSession, d: String, clean: Boolean,
+                            wt: WeightType.Value, tt: ThresholdType.Value,
+                            withSelf: Boolean): DataFrame =
+    wnpThMemo(s, s"$d#$clean#$wt#$tt#$withSelf")(
+      MetaBlocking.localThresholds(weightedCached(s, d, clean, wt), tt,
+        if (withSelf) Some(selfWeightsCached(s, d, wt)) else None))
+
   /** The WNP(CBS, AVG, OR) dirty candidate set — consumed by both the
    * pruning query and the PC/PQ evaluation; snapshot once. */
   def wnpCbsAvgOrDirty(s: SparkSession, d: String): DataFrame =
@@ -342,7 +357,12 @@ object ErQueries {
           numSources = 3, stage = graft.util.Snapshot.apply)
         graft.util.Snapshot(cb.weighted(WeightType.CBS))
       })
-      MetaBlocking.wnp(weighted, ThresholdType.AVG, ComparisonType.OR, WeightType.CBS)
+      // per-profile thresholds memoized like the weighted graph they
+      // summarize (wnpThresholds posture); the pruning joins stay per-run
+      val th = wnpTh3srcMemo(s, d)(
+        MetaBlocking.localThresholds(weighted, ThresholdType.AVG))
+      MetaBlocking.wnp(weighted, ThresholdType.AVG, ComparisonType.OR, WeightType.CBS,
+        thOpt = Some(th))
         .select("p1", "p2", "w")
     }),
 
@@ -423,7 +443,9 @@ object ErQueries {
     "er_wnp_cbs_avg_and_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
       MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.CBS), ThresholdType.AVG, ComparisonType.AND, WeightType.CBS,
-        selfW = Some(selfWeightsCached(s, d, WeightType.CBS)))
+        selfW = Some(selfWeightsCached(s, d, WeightType.CBS)),
+        thOpt = Some(wnpThresholds(s, d, clean = false, WeightType.CBS,
+          ThresholdType.AVG, withSelf = true)))
         .select("p1", "p2", "w")
     }),
 
@@ -431,14 +453,18 @@ object ErQueries {
       val cb = cleaned(s, d, clean = false)
       MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.JS), ThresholdType.MaxFract2, ComparisonType.OR,
         WeightType.JS, eps = 1e-9,
-        selfW = Some(selfWeightsCached(s, d, WeightType.JS))).select("p1", "p2", "w")
+        selfW = Some(selfWeightsCached(s, d, WeightType.JS)),
+        thOpt = Some(wnpThresholds(s, d, clean = false, WeightType.JS,
+          ThresholdType.MaxFract2, withSelf = true))).select("p1", "p2", "w")
     }),
 
     "er_wnp_chisq_dirty" -> ((s, d) => {
       val cb = cleaned(s, d, clean = false)
       MetaBlocking.wnp(weightedCached(s, d, cb.clean, WeightType.ChiSquare), ThresholdType.AVG, ComparisonType.OR,
         WeightType.ChiSquare, chi2divider = 2.0, eps = 1e-9,
-        selfW = Some(selfWeightsCached(s, d, WeightType.ChiSquare)))
+        selfW = Some(selfWeightsCached(s, d, WeightType.ChiSquare)),
+        thOpt = Some(wnpThresholds(s, d, clean = false, WeightType.ChiSquare,
+          ThresholdType.AVG, withSelf = true)))
         .select(col("p1"), col("p2"), graft.functions.FastRound.round(col("w"), 9).as("w"))
     }),
 

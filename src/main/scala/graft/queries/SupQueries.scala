@@ -59,6 +59,18 @@ object SupQueries {
     scoredCache.getOrElseUpdate(d,
       graft.util.Snapshot(SupervisedMB.deterministicScore(features(s, d))))
 
+  /** The GSPSN token-position index (global sort + dense numbering +
+   * RDD-bridge round-trip — the expensive prefix of every gspsn
+   * evaluation): a standing corpus structure, materialized once per
+   * (dir, mode) like the PPJoin/LSH corpus indexes. Keys differ between
+   * dirty and clean (source split), hence the mode-qualified memo key. */
+  private val gspsnPosMemo = new graft.util.PathMemo
+  private def gspsnPos(s: SparkSession, d: String, clean: Boolean): DataFrame =
+    gspsnPosMemo(s, s"$d#clean=$clean")(
+      Progressive.tokenPositions(
+        ErQueries.keys(s, d, twoSources = clean)
+          .select("key", "profile_id", "source_id")))
+
   private val positivesCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val keysNoDefaultCache =
@@ -213,7 +225,7 @@ object SupQueries {
       Progressive.gspsn(
         ErQueries.keys(s, d, twoSources = false)
           .select("key", "profile_id", "source_id"),
-        window = 2, limit = 500)),
+        window = 2, limit = 500, posOpt = Some(gspsnPos(s, d, clean = false)))),
 
     // clean (record-linkage) GSPSN: only cross-source position neighbors
     // become candidates — the reference's separator check
@@ -221,7 +233,8 @@ object SupQueries {
       Progressive.gspsn(
         ErQueries.keys(s, d, twoSources = true)
           .select("key", "profile_id", "source_id"),
-        window = 2, limit = 500, clean = true)),
+        window = 2, limit = 500, clean = true,
+        posOpt = Some(gspsnPos(s, d, clean = true)))),
 
     "attr_clusters" -> ((s, d) =>
       clusters(s, d).select(col("qattr"), col("cluster_id"),

@@ -110,7 +110,8 @@ object TrainQueries {
     }
   private val mmPairsMemo = new PathMemo
   private def mmNeardup(s: SparkSession, d: String): DataFrame =
-    mmPairsMemo(s, d)(Multimodal.dhashNearDupPairs(dhashes(s, d), maxDist = 6))
+    mmPairsMemo(s, d)(Multimodal.dhashNearDupPairs(dhashes(s, d), maxDist = 6,
+      materialized = true))
 
   /** dHash fingerprints through the REAL JPEG codec (javax.imageio):
    * genuinely lossy q90 fixtures whose DCT-aligned flat blocks keep the
@@ -131,7 +132,8 @@ object TrainQueries {
     }
   private val jpegPairsMemo = new PathMemo
   private def jpegNeardup(s: SparkSession, d: String): DataFrame =
-    jpegPairsMemo(s, d)(Multimodal.dhashNearDupPairs(jpegDhashes(s, d), maxDist = 6))
+    jpegPairsMemo(s, d)(Multimodal.dhashNearDupPairs(jpegDhashes(s, d), maxDist = 6,
+      materialized = true))
 
   /** Audio envelope fingerprints of the WAV corpus (real RIFF fixtures +
    * planted noise twins at doc_id + 1e7) and their banded Hamming pairs —
@@ -150,7 +152,8 @@ object TrainQueries {
     }
   private val afpPairsMemo = new PathMemo
   private def afpNeardup(s: SparkSession, d: String): DataFrame =
-    afpPairsMemo(s, d)(Multimodal.afpNearDupPairs(afps(s, d), maxDist = 6))
+    afpPairsMemo(s, d)(Multimodal.afpNearDupPairs(afps(s, d), maxDist = 6,
+      materialized = true))
 
   /** Spectral (Haitsma–Kalker-shaped) fingerprints of the WAV corpus +
    * RE-ENCODED twins (decode -> 2-tap low-pass -> re-encode, planted at
@@ -183,7 +186,8 @@ object TrainQueries {
    * not each rebuild them). */
   private val jacPairsMemo = new PathMemo
   private def jaccardPairs05(s: SparkSession, d: String): DataFrame =
-    jacPairsMemo(s, d)(Dedup.jaccardPairs(shingles3(s, d), threshold = 0.5))
+    jacPairsMemo(s, d)(Dedup.jaccardPairs(shingles3(s, d), threshold = 0.5,
+      materialized = true))
   private val lshPairsMemo = new PathMemo
   private def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsMemo(s, d)(Dedup.minhashLsh(shingles3(s, d), k = 16, bands = 4))
@@ -323,7 +327,10 @@ object TrainQueries {
     // asymmetric containment: |src∩dst| / |src| >= 0.8 — catches a small
     // doc living inside a big one, which Jaccard structurally misses
     "dedup_containment" -> ((s, d) =>
-      Dedup.containmentPairs(shingles3(s, d), threshold = 0.8)),
+      // the shingle memo is already parquet-backed: skip the per-run
+      // input re-snapshot (an O(shingles) write every run)
+      Dedup.containmentPairs(shingles3(s, d), threshold = 0.8,
+        materialized = true)),
 
     // cross-source duplication leakage matrix: near-dup pairs (the
     // memoized Jaccard>=0.5 graph) rolled up per unordered source pair —
@@ -386,7 +393,7 @@ object TrainQueries {
     "dedup_simhash" -> ((s, d) => simhashFp(s, d)),
 
     "dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(simhashFp(s, d), maxDist = 3)),
+      Dedup.simhashPairs(simhashFp(s, d), maxDist = 3, materialized = true)),
 
     "ann_brute_topk" -> ((s, d) => {
       val e = embs(s, d)
@@ -1212,7 +1219,8 @@ object TrainQueries {
         .select(col("doc_id").as("d1"), (col("doc_id") + 10000000L).as("d2"))
       def grade(fp: DataFrame, hashCol: String, kind: String): DataFrame = {
         val pairs = graft.dedup.Dedup.simhashPairs(
-          fp.select(col("doc_id"), col(hashCol).as("simhash")), maxDist = 6)
+          fp.select(col("doc_id"), col(hashCol).as("simhash")), maxDist = 6,
+          materialized = true) // fps are parquet-backed memos
         val found = planted.join(pairs, Seq("d1", "d2"), "left_semi")
           .agg(count(lit(1)).as("n_found"))
         planted.agg(count(lit(1)).as("n_planted")).crossJoin(found)

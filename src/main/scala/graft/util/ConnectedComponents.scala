@@ -37,18 +37,30 @@ object ConnectedComponents {
     val und = Snapshot(
       edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
         .union(edges.select(col(dstCol).as("_u"), col(srcCol).as("_v"))))
+    val lblType = labels.schema(labelCol).dataType
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
+      // Propagated rows carry a null `_prev`; each vertex's own row carries
+      // its current label. min() skips nulls and `labels` has exactly one
+      // row per id, so after the hash-min aggregate `_prev` IS the previous
+      // label — the convergence check (any label =!= _prev) rides the
+      // materialization job as an observed metric instead of a second
+      // action (join + count) over the freshly written labels: one job and
+      // one O(V) pass per iteration instead of two.
       val via = und
         .join(labels.select(col(idCol).as("_u"), col(labelCol)), Seq("_u"))
-        .select(col("_v").as(idCol), col(labelCol))
-      val next = Snapshot(labels.union(via)
-        .groupBy(idCol).agg(min(col(labelCol)).as(labelCol)))
-      changed = next
-        .join(labels.withColumnRenamed(labelCol, "_old"), Seq(idCol))
-        .filter(col(labelCol) =!= col("_old")).limit(1).count() > 0
-      labels = next
+        .select(col("_v").as(idCol), col(labelCol),
+          lit(null).cast(lblType).as("_prev"))
+      val (next, m) = Snapshot.observed(
+        labels.select(col(idCol), col(labelCol), col(labelCol).as("_prev"))
+          .union(via)
+          .groupBy(idCol).agg(min(col(labelCol)).as(labelCol),
+            min(col("_prev")).as("_prev")),
+        sum(when(col(labelCol) =!= col("_prev"), 1L).otherwise(0L))
+          .as("n_changed"))
+      changed = Option(m("n_changed")).exists(_.asInstanceOf[Long] > 0L)
+      labels = next.select(col(idCol), col(labelCol))
       iter += 1
     }
     if (changed)

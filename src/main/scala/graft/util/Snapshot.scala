@@ -21,6 +21,21 @@ import org.apache.spark.sql.DataFrame
 object Snapshot {
   def apply(df: DataFrame): DataFrame = materialize(df)._2
 
+  /** Materialize like [[apply]] while computing observed metrics ON the
+   * write pass (Dataset.observe — the CapMetrics idiom): returns the
+   * parquet-backed reader plus the metric values. Iterative operators
+   * (ConnectedComponents, KCore) use this to fuse their per-iteration
+   * convergence check into the materialization job itself instead of
+   * paying a second action (join + count / count) over the freshly
+   * written output — one job per iteration instead of two, and one
+   * fewer O(rows) pass at any scale. */
+  def observed(df: DataFrame, metrics: org.apache.spark.sql.Column*)
+      : (DataFrame, Map[String, Any]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val reader = materialize(df.observe(obs, metrics.head, metrics.tail: _*))._2
+    (reader, obs.get)
+  }
+
   /** Like [[apply]], also returning the written path — for callers that
    * cache the MATERIALIZATION across sessions (e.g. a standing index
    * probed by per-query cloned streaming sessions, where re-reading the
