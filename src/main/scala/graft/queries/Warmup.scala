@@ -15,10 +15,12 @@ import graft.er.WeightType
  * independent pipeline builds overlap their shuffles instead of leaving
  * most of local[32] idle between stages. Chains with NO dependency on the
  * main spine (BLAST, 3-source, dedup) run on their own threads across the
- * WHOLE warmup; the spine-dependent steps run in dependency waves. Wall
- * clock = max(longest independent chain, dependent critical path), not
- * the sum of per-wave maxima (r3-r4 shapes: the 60s BLAST chain gated a
- * wave while the spine sat finished).
+ * WHOLE warmup; the spine-dependent steps chain as a dependency DAG of
+ * futures — each step starts the moment ITS inputs exist (r10: the former
+ * barrier waves made ml_scored, the longest pole, wait behind
+ * features_clean it never reads; the DAG overlaps the supervised chain
+ * with the clean spine). Wall clock = max(longest independent chain,
+ * true dependent critical path).
  */
 object Warmup {
   /** Per-step wall times of the latest run (steps execute concurrently —
@@ -51,13 +53,20 @@ object Warmup {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     timings.clear()
+    // Two pools: the spine DAG (dependency-chained futures below) must not
+    // queue behind the ~25 independent chains, and vice versa — with one
+    // shared pool the critical path waited on unrelated queued tasks.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val spinePool = java.util.concurrent.Executors.newFixedThreadPool(5)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    def task(name: String)(f: => Any): Future[Unit] =
-      Future(step(name)(f)).transform(
+    val spineEc: ExecutionContext = ExecutionContext.fromExecutorService(spinePool)
+    def taskOn(ecc: ExecutionContext)(name: String)(f: => Any): Future[Unit] =
+      Future(step(name)(f))(ecc).transform(
         identity,
-        { e => System.err.println(s"[warmup] step $name FAILED: $e"); e })
+        { e => System.err.println(s"[warmup] step $name FAILED: $e"); e })(ecc)
+    def task(name: String)(f: => Any): Future[Unit] = taskOn(ec)(name)(f)
     var indep: Seq[Future[Unit]] = Nil
+    var spine: Seq[Future[Unit]] = Nil
     try {
       // independent chains: start now, join at the very end
       indep = Seq(
@@ -218,68 +227,93 @@ object Warmup {
         // streaming as-of: checkpoint setup + the standing click snapshot
         task("first/asof_stream")(
           TrainQueries.all("evt_asof_stream")(s, d).count()))
-      // dependent waves over the blocking/cleaning spine
-      awaitAll(Seq(
-        task("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false)),
-        task("cleaned_clean")(ErQueries.cleaned(s, d, clean = true)),
-        task("gt_convert")(ErQueries.gtConverted(s, d))))
-      awaitAll(Seq(
-        task("pairs_dirty")(ErQueries.cachedPairs(s, d, clean = false)),
-        task("pairs_clean")(ErQueries.cachedPairs(s, d, clean = true)),
-        task("pstats_dirty")(ErQueries.cachedProfileStats(s, d, clean = false)),
-        task("pstats_clean")(ErQueries.cachedProfileStats(s, d, clean = true)),
-        task("features")(SupQueries.features(s, d)),
-        task("features_clean")(SupQueries.featuresClean(s, d))))
-      awaitAll(Seq(
-        task("wide_dirty")(ErQueries.wideWeighted(s, d, clean = false)),
-        task("wide_clean")(ErQueries.wideWeighted(s, d, clean = true)),
-        task("self_weights")(ErQueries.selfWeightsCached(s, d, WeightType.CBS)),
-        task("scored")(SupQueries.scored(s, d)),
-        task("ml_scored")(SupQueries.mlScored(s, d))))
-      awaitAll(Seq(
-        task("wnp_cbs")(ErQueries.wnpCbsAvgOrDirty(s, d)),
-        task("wnp_cbs_clean")(ErQueries.wnpCbsAvgOrClean(s, d)),
-        task("directed_cbs_clean")(ErQueries.directedCbsClean(s, d)),
-        task("positives")(SupQueries.positives(s, d)),
-        // the JS max2 WNP's first execution compiles the widest
-        // threshold-join codegen of the scheme matrix (15.9s run1 vs
-        // 0.8s steady in the r6 pre-bench) — its wide-weights input is
-        // ready after the previous wave
-        task("first/wnp_js_max2")(ErQueries.all("er_wnp_js_max2_or_dirty")(s, d).count())))
+      // The blocking/cleaning spine as a DEPENDENCY DAG (futures chained on
+      // their actual inputs), replacing the former barrier waves: the waves
+      // made every task wait for the slowest member of the previous wave —
+      // ml_scored (LR training, the longest pole) sat behind features_clean
+      // it never reads, and the dirty wide/wnp chain behind the clean one.
+      // Same steps, same names, no new work — only the false barriers go.
+      // (guide §2.6: actions are only sequential because the driver calls
+      // them sequentially; FIFO back-fill does the rest.)
+      def after(deps: Future[Unit]*)(name: String)(f: => Any): Future[Unit] =
+        Future.sequence(deps.toList)(
+            scala.collection.BuildFrom.buildFromIterableOps, spineEc)
+          .flatMap(_ => taskOn(spineEc)(name)(f))(spineEc)
+      val cleanedD = taskOn(spineEc)("cleaned_dirty")(ErQueries.cleaned(s, d, clean = false))
+      val cleanedC = taskOn(spineEc)("cleaned_clean")(ErQueries.cleaned(s, d, clean = true))
+      val gt = taskOn(spineEc)("gt_convert")(ErQueries.gtConverted(s, d))
+      val pairsD = after(cleanedD)("pairs_dirty")(ErQueries.cachedPairs(s, d, clean = false))
+      val pairsC = after(cleanedC)("pairs_clean")(ErQueries.cachedPairs(s, d, clean = true))
+      val pstatsD = after(cleanedD)("pstats_dirty")(ErQueries.cachedProfileStats(s, d, clean = false))
+      val pstatsC = after(cleanedC)("pstats_clean")(ErQueries.cachedProfileStats(s, d, clean = true))
+      // the supervised chain needs only (cleaned_dirty, gt): chained here,
+      // it overlaps the clean spine instead of gating it — ml_scored (LR
+      // training) is the single longest warmup step
+      val features = after(cleanedD, gt)("features")(SupQueries.features(s, d))
+      val featuresC = after(cleanedC, gt)("features_clean")(SupQueries.featuresClean(s, d))
+      val scored = after(features)("scored")(SupQueries.scored(s, d))
+      val mlScored = after(scored)("ml_scored")(SupQueries.mlScored(s, d))
+      val positives = after(scored)("positives")(SupQueries.positives(s, d))
+      // sup_cnp's first run pays the supervised directed top-k codegen
+      // (r6: 7.3s run1 vs 1.1s steady); needs positives + the dirty spine
+      val supCnp = after(positives)("first/sup_cnp")(
+        SupQueries.all("sup_cnp")(s, d).count())
+      val wideD = after(pairsD, pstatsD)("wide_dirty")(
+        ErQueries.wideWeighted(s, d, clean = false))
+      val selfW = after(pairsD, pstatsD)("self_weights")(
+        ErQueries.selfWeightsCached(s, d, WeightType.CBS))
+      val wideC = after(pairsC, pstatsC)("wide_clean")(
+        ErQueries.wideWeighted(s, d, clean = true))
+      val wnpCbs = after(wideD, selfW)("wnp_cbs")(ErQueries.wnpCbsAvgOrDirty(s, d))
+      val wnpCbsClean = after(wideC)("wnp_cbs_clean")(ErQueries.wnpCbsAvgOrClean(s, d))
+      val directedC = after(wideC)("directed_cbs_clean")(ErQueries.directedCbsClean(s, d))
+      // the JS max2 WNP's first execution compiles the widest
+      // threshold-join codegen of the scheme matrix (15.9s run1 vs
+      // 0.8s steady in the r6 pre-bench)
+      val wnpJsMax2 = after(wideD, selfW)("first/wnp_js_max2")(
+        ErQueries.all("er_wnp_js_max2_or_dirty")(s, d).count())
       // first-touch pass over the queries whose run1 was a multiple of
       // their steady time in r5 (er_cep_js_dirty 130.9s vs 3.3s,
       // er_wnp_cbs_avg_and_dirty 23.2s): these terminate in no Snapshot,
       // so the cost is per-plan (codegen of the Prefix scan / threshold
       // joins) — one execution here moves it out of every consumer's run1
-      awaitAll(Seq(
-        task("first/cep_js")(ErQueries.all("er_cep_js_dirty")(s, d).count()),
-        task("first/cep_cbs")(ErQueries.all("er_cep_cbs_dirty")(s, d).count()),
-        // the CLEAN CEP histogram walk compiles its own codegen over the
-        // clean pair graph (r6 judge bench: 12.0s run1 vs 3.38s steady)
-        task("first/cep_cbs_clean")(ErQueries.all("er_cep_cbs_clean")(s, d).count()),
-        task("first/wnp_cbs_and")(ErQueries.all("er_wnp_cbs_avg_and_dirty")(s, d).count()),
-        // r6 pre-bench run1 cliffs: sup_cnp 7.3s vs 1.1s steady (the
-        // supervised directed top-k codegen), blast_keys_nodefault 3.8s
-        // vs 0.05s (its nodefault cluster snapshot builds on first touch)
-        task("first/sup_cnp")(SupQueries.all("sup_cnp")(s, d).count()),
-        task("first/blast_keys")(SupQueries.all("blast_keys_nodefault")(s, d).count()),
-        // matched pairs -> entity CC chain (shared by er_match_edit,
-        // er_entities, er_golden), then the triangle enumeration's first
-        // run over it (10.1s run1 vs 1.0s steady in the r6 pre-bench)
-        task("entities") {
-          ErQueries.entities(s, d)
-          step("entities/first_triangles")(
-            ErQueries.all("er_triangles")(s, d).count())
-        }))
+      val cepJs = after(wideD)("first/cep_js")(
+        ErQueries.all("er_cep_js_dirty")(s, d).count())
+      val cepCbs = after(wideD)("first/cep_cbs")(
+        ErQueries.all("er_cep_cbs_dirty")(s, d).count())
+      // the CLEAN CEP histogram walk compiles its own codegen over the
+      // clean pair graph (r6 judge bench: 12.0s run1 vs 3.38s steady)
+      val cepCbsClean = after(wideC)("first/cep_cbs_clean")(
+        ErQueries.all("er_cep_cbs_clean")(s, d).count())
+      val wnpCbsAnd = after(wideD, selfW)("first/wnp_cbs_and")(
+        ErQueries.all("er_wnp_cbs_avg_and_dirty")(s, d).count())
+      // blast_keys_nodefault builds its own clustering chain — no spine
+      // dependency (r6: 3.8s run1 vs 0.05s steady on first-touch snapshot)
+      val blastKeys = task("first/blast_keys")(
+        SupQueries.all("blast_keys_nodefault")(s, d).count())
+      // matched pairs -> entity CC chain (shared by er_match_edit,
+      // er_entities, er_golden), then the triangle enumeration's first
+      // run over it (10.1s run1 vs 1.0s steady in the r6 pre-bench)
+      val entities = after(wnpCbs)("entities") {
+        ErQueries.entities(s, d)
+        step("entities/first_triangles")(
+          ErQueries.all("er_triangles")(s, d).count())
+      }
+      spine = Seq(cleanedD, cleanedC, gt, pairsD, pairsC, pstatsD, pstatsC,
+        features, featuresC, scored, mlScored, positives, supCnp,
+        wideD, selfW, wideC, wnpCbs, wnpCbsClean, directedC, wnpJsMax2,
+        cepJs, cepCbs, cepCbsClean, wnpCbsAnd, blastKeys, entities)
+      awaitAll(spine)
       awaitAll(indep)
     } finally {
-      // A failed dependent wave skips awaitAll(indep) — drain the
-      // independent chains here regardless, so their in-flight Spark jobs
-      // can't overlap (and contaminate) Bench's timed query loop after a
-      // warmup failure. Await.ready is a no-op when they already finished
-      // and does not rethrow their failures.
-      indep.foreach(f => scala.util.Try(Await.ready(f, 30.minutes)))
+      // A failed spine future skips awaitAll(indep) — drain BOTH groups
+      // here regardless, so their in-flight Spark jobs can't overlap (and
+      // contaminate) Bench's timed query loop after a warmup failure.
+      // Await.ready is a no-op when they already finished and does not
+      // rethrow their failures.
+      (spine ++ indep).foreach(f => scala.util.Try(Await.ready(f, 30.minutes)))
       pool.shutdown()
+      spinePool.shutdown()
     }
   }
 }
