@@ -210,6 +210,12 @@ object SupervisedMB {
       .setMaxIter(20).setRegParam(0.01)
     val model = lr.fit(train)
     train.unpersist()
+    // NOTE: the scoring closure serializes the model INCLUDING its
+    // trainingSummary (a DataFrame + the SparkSession — copy() keeps the
+    // summary, and setSummary is private[spark], so it can't be shed
+    // here). That session must stay serializable: see the
+    // graft.util.Snapshot.observed doc for the lazy-observationManager
+    // trap that would break exactly this closure.
     // built-in vector accessor (codegen-friendly), not a per-row Scala udf
     model.transform(assembled)
       .withColumn("p_match",

@@ -28,12 +28,47 @@ object Snapshot {
    * convergence check into the materialization job itself instead of
    * paying a second action (join + count / count) over the freshly
    * written output — one job per iteration instead of two, and one
-   * fewer O(rows) pass at any scale. */
+   * fewer O(rows) pass at any scale.
+   *
+   * Deliberately NOT the `Observation` API: `Dataset.observe(Observation,
+   * ...)` initializes the session's `observationManager` — a LAZY,
+   * non-transient, non-serializable SparkSession field (Spark 4.1), so
+   * the first Observation permanently breaks serialization of every
+   * later closure that transitively captures the session (e.g. a Spark
+   * ML model whose training summary holds one). A name-keyed
+   * CollectMetrics node plus a one-shot QueryExecutionListener (which
+   * lives in the TRANSIENT sessionState) reads the same metrics without
+   * touching that field. */
   def observed(df: DataFrame, metrics: org.apache.spark.sql.Column*)
       : (DataFrame, Map[String, Any]) = {
-    val obs = org.apache.spark.sql.Observation()
-    val reader = materialize(df.observe(obs, metrics.head, metrics.tail: _*))._2
-    (reader, obs.get)
+    val name = s"snap_obs_${java.util.UUID.randomUUID().toString.take(12)}"
+    val spark = df.sparkSession
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    @volatile var row: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get(name).foreach { r =>
+          row = Some(r); latch.countDown()
+        }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val reader =
+        materialize(df.observe(name, metrics.head, metrics.tail: _*))._2
+      // the listener bus delivers asynchronously — wait for this write's
+      // metrics (name is unique per call, so other queries can't match)
+      if (!latch.await(5, java.util.concurrent.TimeUnit.MINUTES))
+        throw new IllegalStateException(
+          s"Snapshot.observed: metrics '$name' not delivered")
+      val r = row.get
+      (reader, r.schema.fieldNames.zipWithIndex
+        .map { case (f, i) => f -> r.get(i) }.toMap)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   /** Like [[apply]], also returning the written path — for callers that
