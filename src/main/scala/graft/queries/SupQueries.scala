@@ -113,6 +113,7 @@ object SupQueries {
 
   private val blastCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val blastThMemo = new graft.util.PathMemo
 
   /** The BLAST chi2+entropy weighted graph (cluster-qualified keys ->
    * cleaned blocks -> entropy-weighted chi2 pairs), snapshot once per dir. */
@@ -265,8 +266,14 @@ object SupQueries {
     // full BLAST-style pipeline: cluster-qualified keys -> cleaned blocks
     // -> chi2 WNP with entropy weighting
     "blast_wnp" -> ((s, d) =>
+      // thresholds memoized like the BLAST weighted graph they summarize
+      // (the ErQueries.wnpThresholds posture) — the per-run O(edges)
+      // directed aggregate was the r10 scale audit's largest residual
+      // growth term (13x on 10x data); the pruning joins stay per-run
       MetaBlocking.wnp(blastWeighted(s, d), ThresholdType.MaxFract2, ComparisonType.OR,
-        WeightType.ChiSquare, chi2divider = 2.0, eps = 1e-9)
+        WeightType.ChiSquare, chi2divider = 2.0, eps = 1e-9,
+        thOpt = Some(blastThMemo(s, d)(MetaBlocking.localThresholds(
+          blastWeighted(s, d), ThresholdType.MaxFract2))))
         .select(col("p1"), col("p2"), graft.functions.FastRound.round(col("w"), 6).as("w")))
   )
 }
