@@ -517,4 +517,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"fallback join appeared next to the custom exec:\n$p")
   }
+
+  // --- r10 optimization pins: Snapshot.observed fuses the convergence /
+  // count action into the materialization job. These tests pin (a) the
+  // metric values, (b) that the implementation does NOT go through the
+  // Observation API, whose first use initializes the session's lazy
+  // NON-transient, non-serializable observationManager and permanently
+  // breaks serialization of any closure that captures the session (the
+  // Spark-ML scoring closure does) — the ml_scored Task-not-serializable
+  // regression this round debugged.
+
+  test("Snapshot.observed: metrics ride the write job and match the data") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val (reader, m) = graft.util.Snapshot.observed(df,
+      count(lit(1)).as("n"), sum(col("v")).as("s"))
+    assert(reader.count() == 3L)
+    assert(m("n") == 3L && m("s") == 60L)
+  }
+
+  test("Snapshot.observed leaves the SparkSession serializable") {
+    val df = Seq((1L, 1L)).toDF("k", "v")
+    graft.util.Snapshot.observed(df, count(lit(1)).as("n"))
+    // java-serialize the session like a captured closure would: must not
+    // throw NotSerializableException(ObservationManager)
+    val out = new java.io.ObjectOutputStream(new java.io.ByteArrayOutputStream())
+    out.writeObject(spark)
+    out.close()
+  }
+
+  test("minLabel converges with the fused change check (ring + isolate)") {
+    // ring 1-2-3-4-1 plus isolate 9: min label propagates around the ring
+    val vs = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val es = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val r = graft.util.ConnectedComponents.minLabel(vs, es,
+        idCol = "id", srcCol = "p1", dstCol = "p2", labelCol = "lbl")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
+  test("minLabel still throws when maxIter is below the diameter") {
+    val vs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val chain = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assertThrows[IllegalStateException] {
+      graft.util.ConnectedComponents.minLabel(vs, chain,
+        idCol = "id", srcCol = "p1", dstCol = "p2", labelCol = "lbl",
+        maxIter = 2)
+    }
+  }
+
+  test("kCore peels with the fused count (triangle + pendant chain)") {
+    // triangle 1-2-3 is the 2-core; 3-4-5 chain peels away over 2 rounds
+    val r = graft.operators.KCore.kCore(
+        edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)), k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }
