@@ -61,10 +61,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = run1.values.sum + warmupSec
     val rc = if (failed.isEmpty) 0 else 1
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson,"queries_steady":$steadyJson,"queries_steady_min":${jmap(steadyMin)},"warmup_steps":$warmupJson,"failed":$failedJson,"rc":$rc,"sf":"$sfDir"}"""
-    println(json)
-    // ALSO persist to files: the driver captures only the tail of sbt
-    // output, and 236 per-query entries overflow it (BENCH_r06.json came
+    // ONE final JSON line carrying the full contract: the driver parses the
+    // LAST JSON line on stdout, so the headline sums are folded into the same
+    // line as the per-query maps (r8-r10 printed a second abbreviated summary
+    // line after this one, which silently emptied the driver's per-query
+    // comparison for two rounds).
+    val steadySum = steadyMedian.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson,"queries_steady":$steadyJson,"queries_steady_min":${jmap(steadyMin)},"warmup_steps":$warmupJson,"steady_sum":$steadySum,"run1_sum":${run1.values.sum},"warmup_sum":$warmupSec,"n":${run1.size},"failed":$failedJson,"rc":$rc,"sf":"$sfDir"}"""
+    // Persist to files BEFORE printing: the driver captures only the tail of
+    // sbt output, and 236 per-query entries overflow it (BENCH_r06.json came
     // back "parsed": null). BENCH_LATEST.json sits at the repo root (NOT
     // gitignored) so the end-of-round auto-commit preserves every round's
     // full per-query maps without a judge re-run. Paths resolve against an
@@ -77,12 +82,7 @@ object Bench {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] write ${base.resolve(p)} failed: $e") }
     }
-    // Compact headline LAST: even when the driver's tail capture truncates
-    // the full per-query JSON above, the final line always carries the
-    // round's headline numbers — and it repeats metric/value/unit so a
-    // parser that takes the last JSON line still gets a complete record.
-    val steadySum = steadyMedian.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","steady_sum":$steadySum%.3f,"run1_sum":${run1.values.sum}%.3f,"warmup_sum":$warmupSec%.3f,"n":${run1.size},"failed":$failedJson,"rc":$rc,"sf":"$sfDir"}""")
+    println(json)
     spark.stop()
     if (rc != 0) sys.exit(rc)
   }
