@@ -119,13 +119,21 @@ object Stats {
         (col("cum") - col("off")).cast("long").as("cumg"), col("n_g"))
   }
 
+  /** `weight`: occurrence count per input row (default 1 — plain rows).
+   * Passing a pre-aggregated value-count table with `weight = col(cnt)`
+   * yields bit-identical percentiles to feeding the raw rows — the rank
+   * prefix sums the exact same integer counts — while every walk after
+   * the aggregation touches only DISTINCT (group, value) rows (guide §2:
+   * two consumers of the same value-count structure share one O(N)
+   * aggregation instead of re-scanning the raw input each). */
   def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        ps: Seq[(String, Double)],
-                       countCol: Option[String] = None): DataFrame = {
+                       countCol: Option[String] = None,
+                       weight: Column = lit(1L)): DataFrame = {
     require(groupCols.nonEmpty && ps.nonEmpty)
     require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       s"percentiles must be in [0,1]: $ps")
-    val ranked = rankedPrefix(df, groupCols, valueCol)
+    val ranked = rankedPrefix(df, groupCols, valueCol, weight)
     val braceAggs = ps.flatMap { case (nm, p) =>
       val pos = (col("n_g") - 1).cast("double") * lit(p)
       Seq(

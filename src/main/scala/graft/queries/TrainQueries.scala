@@ -1948,16 +1948,25 @@ object TrainQueries {
     // robust outliers: median/MAD z-score per event type (1.4826 MAD ≈ σ
     // under normality) — immune to the outliers it hunts, unlike the
     // moment-based evt_zscore; two broadcast-joined exact-percentile
-    // passes (Stats.exactPercentiles: O(1) task memory, no group buffer)
+    // passes (Stats.exactPercentiles: O(1) task memory, no group buffer).
+    // The per-(type, value) count table is a pure function of the input
+    // and BOTH percentile walks consume it: aggregate it once per run,
+    // snapshot it, and run the median and MAD passes cnt-weighted over
+    // the distinct values (guide §2 — one O(N) scan instead of two; the
+    // weighted rank prefix is bit-identical to feeding the raw rows).
+    // The MAD pass's deviations are derived per DISTINCT value — same
+    // dev multiset, since dev is a function of (event_type, value).
     "evt_mad_zscore" -> ((s, d) => {
       val e = events(s, d)
-      val med = graft.operators.Stats.exactPercentiles(e,
-        Seq("event_type"), "value", Seq("med" -> 0.5))
+      val vc = graft.util.Snapshot(e.groupBy("event_type", "value")
+        .agg(count(lit(1)).as("cnt")))
+      val med = graft.operators.Stats.exactPercentiles(vc,
+        Seq("event_type"), "value", Seq("med" -> 0.5), weight = col("cnt"))
       val mad = graft.operators.Stats.exactPercentiles(
-        e.join(broadcast(med), "event_type")
+        vc.join(broadcast(med), "event_type")
           .select(col("event_type"), col("med"),
-            abs(col("value") - col("med")).as("dev")),
-        Seq("event_type", "med"), "dev", Seq("mad" -> 0.5))
+            abs(col("value") - col("med")).as("dev"), col("cnt")),
+        Seq("event_type", "med"), "dev", Seq("mad" -> 0.5), weight = col("cnt"))
       e.join(broadcast(mad), "event_type")
         .select(col("event_id"), col("event_type"), col("value"),
           graft.functions.FastRound.round(
