@@ -511,10 +511,19 @@ object MetaBlocking {
     val thr = if (hit) thrRow.get(0) else thrRow.get(1)
     val s = thrRow.getStruct(if (hit) 2 else 3)
     val remaining = s.getDouble(0) - (s.getDouble(1) - k)
-    val above = weighted.filter(col("w1") > lit(thr))
+    // ONE scan of the O(edges) weighted graph for the whole emission: the
+    // literal `w1 >= thr` filter is pushed into the weighted scan and the
+    // retained rows (~K + ties — the RESULT size, far smaller than the
+    // edge set) are snapshot once; the above-set and the two tie-quota
+    // consumers below read that snapshot instead of re-scanning the
+    // weighted graph three times (guide §2 — remove passes; the literal
+    // filters still push into the snapshot's parquet scan).
+    val kept = graft.util.Snapshot(weighted.filter(col("w1") >= lit(thr))
+      .select(col("p1"), col("p2"), col("w1")))
+    val above = kept.filter(col("w1") > lit(thr))
       .select(col("p1"), col("p2"), col("w1").as("w"))
     // ties: per-profile quotas consumed in ascending (p1, p2) order
-    val ties = weighted.filter(col("w1") === lit(thr))
+    val ties = kept.filter(col("w1") === lit(thr))
     val perProf = graft.util.Prefix.runningSum(
         ties.groupBy("p1").agg(count(lit(1)).as("cnt")),
         Seq(col("p1").asc), col("cnt").cast("double"), "cumc")
@@ -571,16 +580,28 @@ object MetaBlocking {
       .withColumn("rn", row_number().over(Window.partitionBy("a").orderBy(col("w").desc, col("b").asc)))
       .filter(col("rn") <= lit(k))
       .select(col("a"), col("b"))
-    val r1 = retained.select(col("a").as("p1"), col("b").as("p2"), lit(1).as("in1"))
-    val r2 = retained.select(col("b").as("p1"), col("a").as("p2"), lit(1).as("in2"))
-    val j = weighted.select("p1", "p2", "w1")
-      .join(r1, Seq("p1", "p2"), "left")
-      .join(r2, Seq("p1", "p2"), "left")
-    val keep = ct match {
-      case ComparisonType.OR => col("in1").isNotNull || col("in2").isNotNull
-      case ComparisonType.AND => col("in1").isNotNull && col("in2").isNotNull
+    // Survivor pairs derived from the SMALL retained relation alone (<= k
+    // rows per node), then ONE semi-join back onto the O(edges) weighted
+    // graph — instead of two consecutive left joins over it (guide §3;
+    // the reciprocalBestMatch posture). `directed` holds both orientations
+    // of every p1<p2 edge (plus a==b self rows that can never match a real
+    // edge), so OR-survival is the canonicalized distinct of retained and
+    // AND-survival is a retained-with-its-swap intersection.
+    val kept = ct match {
+      case ComparisonType.OR => retained
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("p1"),
+          greatest(col("a"), col("b")).as("p2"))
+        .distinct()
+      case ComparisonType.AND => retained
+        .join(retained.select(col("b").as("a"), col("a").as("b")),
+          Seq("a", "b"), "left_semi")
+        .filter(col("a") < col("b"))
+        .select(col("a").as("p1"), col("b").as("p2"))
     }
-    j.filter(keep).select(col("p1"), col("p2"), col("w1").as("w"))
+    weighted.select("p1", "p2", "w1")
+      .join(kept, Seq("p1", "p2"), "left_semi")
+      .select(col("p1"), col("p2"), col("w1").as("w"))
   }
 
   /**

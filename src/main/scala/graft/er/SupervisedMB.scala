@@ -32,8 +32,16 @@ object SupervisedMB {
    * Output: p1, p2, cfibf, raccb, js, num_comp_p1, num_comp_p2, rs, aejs,
    * nrs, wjs, is_match.
    */
+  /** `stage` materializes the two multiply-consumed intermediates (the
+   * O(co-occurrence) pair aggregate and the per-profile stats): the final
+   * feature plan references `pairs` once directly and twice through the
+   * s1/s2 sides of `prof`, so a fully lazy build re-executes the blocks
+   * self-join THREE times (and the per-profile aggregate twice). Long-
+   * lived builds (the warmup memo) pass Snapshot; the identity default
+   * keeps one-shot uses lazy. */
   def features(members: DataFrame, stats: DataFrame, clean: Boolean,
-               gt: Option[DataFrame] = None): DataFrame = {
+               gt: Option[DataFrame] = None,
+               stage: DataFrame => DataFrame = identity): DataFrame = {
     val m = members.join(stats.select("key", "size", "comparisons"), Seq("key"))
 
     // per-block own-source size (for redundant-comparison counts in clean
@@ -76,19 +84,19 @@ object SupervisedMB {
     val b = m.select(col("key"), col("profile_id").as("p2"), col("source_id").as("s2"))
     val cond = if (clean) col("p1") < col("p2") && col("s1") =!= col("s2")
                else col("p1") < col("p2")
-    val pairs = a.join(b, Seq("key")).filter(cond)
+    val pairs = stage(a.join(b, Seq("key")).filter(cond)
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("cbs"),
         sortedSum("1.0 / cast(comparisons as double)").as("raccb_raw"),
-        sortedSum("1.0 / cast(size as double)").as("rs"))
+        sortedSum("1.0 / cast(size as double)").as("rs")))
 
     // distinct-neighbor (non-redundant) degree per profile
     val degrees = pairs.select(col("p1").as("profile_id"))
       .union(pairs.select(col("p2").as("profile_id")))
       .groupBy("profile_id").agg(count(lit(1)).as("nonredundant_p"))
 
-    val prof = perProfile.join(degrees, Seq("profile_id"), "left")
-      .na.fill(Map("nonredundant_p" -> 0L))
+    val prof = stage(perProfile.join(degrees, Seq("profile_id"), "left")
+      .na.fill(Map("nonredundant_p" -> 0L)))
 
     val s1 = prof.select(col("profile_id").as("p1"), col("nblocks_p").as("nb1"),
       col("inv_size_p").as("invsz1"), col("comp_p").as("comp1"),
@@ -293,14 +301,19 @@ object SupervisedMB {
       .withColumn("rn", row_number().over(
         Window.partitionBy("a").orderBy(col("p_match").desc, col("b").asc)))
       .filter(col("rn") <= lit(k)).select("a", "b")
-    val t1 = topK(top1).select(col("a").as("p1"), col("b").as("p2"), lit(1).as("in1"))
-    val t2 = topK(top2).select(col("a").as("p2"), col("b").as("p1"), lit(1).as("in2"))
-    val j = overT.join(t1, Seq("p1", "p2"), "left").join(t2, Seq("p1", "p2"), "left")
-    val keep = ct match {
-      case ComparisonType.OR => col("in1").isNotNull || col("in2").isNotNull
-      case ComparisonType.AND => col("in1").isNotNull && col("in2").isNotNull
+    // Survivor pairs from the SMALL top-k relations alone (<= k rows per
+    // node), then ONE semi-join back onto the O(edges) positives instead
+    // of two consecutive left joins over them (guide §3; the
+    // MetaBlocking.cnp / reciprocalBestMatch posture). top1 retains in
+    // (p1, p2) orientation, top2 in (p2, p1): OR is their canonical
+    // union, AND their intersection.
+    val t1 = topK(top1).select(col("a").as("p1"), col("b").as("p2"))
+    val t2 = topK(top2).select(col("b").as("p1"), col("a").as("p2"))
+    val kept = ct match {
+      case ComparisonType.OR => t1.union(t2).distinct()
+      case ComparisonType.AND => t1.join(t2, Seq("p1", "p2"), "left_semi")
     }
-    j.filter(keep).drop("in1", "in2")
+    overT.join(kept, Seq("p1", "p2"), "left_semi")
   }
 
   /** PC/PQ/F1 of labeled, scored edges (supervised_metablocking.py:182-203). */

@@ -52,7 +52,7 @@ object SupQueries {
     featCache.getOrElseUpdate(d, {
       val cb = ErQueries.cleaned(s, d, clean = false)
       graft.util.Snapshot(SupervisedMB.features(cb.members2, cb.stats2, clean = false,
-        gt = Some(ErQueries.gtConverted(s, d))))
+        gt = Some(ErQueries.gtConverted(s, d)), stage = graft.util.Snapshot.apply))
     })
 
   def scored(s: SparkSession, d: String): DataFrame =
@@ -94,7 +94,7 @@ object SupQueries {
     featCleanCache.getOrElseUpdate(d, {
       val cb = ErQueries.cleaned(s, d, clean = true)
       graft.util.Snapshot(SupervisedMB.features(cb.members2, cb.stats2, clean = true,
-        gt = Some(ErQueries.gtConverted(s, d))))
+        gt = Some(ErQueries.gtConverted(s, d)), stage = graft.util.Snapshot.apply))
     })
 
   private val mlScoredCache =
