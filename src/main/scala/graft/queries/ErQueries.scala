@@ -643,14 +643,17 @@ object ErQueries {
     // are 1e6 fixed-point (exact integer dot/norm sums, order-free); the
     // single ln and final division are pinned-order doubles, rounded 9
     "er_match_tfidf" -> ((s, d) => {
-      // The TF-IDF weight table is a standing index (the thing a real
-      // deployment materializes once next to the corpus): snapshot it
-      // once per dir — it has THREE readers per evaluation (p1-side
-      // join, p2-side join, the norm agg), and without the pin the
-      // whole token->tf->idf chain recomputed and re-broadcast per
-      // reader per run — the r10 scale audit's one >15x cliff (26.6x
-      // on 10x data; ~9x after the pin + shuffle-hash hints below)
-      val w = tfidfWCache.getOrElseUpdate(d, {
+      // The standing index is now ONE ROW PER PROFILE: the doc's weighted
+      // token vector as a map column plus its squared norm, materialized
+      // once per dir. Scoring a candidate pair is then a ROW-LOCAL dot
+      // product over the two (short — name tokens) maps instead of a
+      // token-level shuffled-hash join + re-aggregation per run (guide
+      // §2/§3: the token-level Exchange and the groupBy(p1,p2) hash
+      // aggregate disappear; only O(profiles) vector rows are shuffled).
+      // dp = Σ f1*f2 over shared tokens is an exact integer sum in either
+      // shape (1e6 fixed-point longs, order-free), so sim_tfidf is
+      // bit-identical to the join+sum form.
+      val vecs = tfidfWCache.getOrElseUpdate(d, {
         val names = s.read.parquet(s"$d/part.parquet")
           .select(col("p_partkey").as("pid"), lower(col("p_name")).as("nm"))
         val n = names.count()
@@ -658,28 +661,29 @@ object ErQueries {
             filter(split(col("nm"), " "), t => length(t) > 0)).as("token"))
           .groupBy("pid", "token").agg(count(lit(1)).as("tf"))
         val dfreq = toks.groupBy("token").agg(count(lit(1)).as("df"))
-        graft.util.Snapshot(toks.join(broadcast(dfreq), Seq("token"))
+        val w = toks.join(broadcast(dfreq), Seq("token"))
           .select(col("pid"), col("token"),
             graft.functions.FastRound.round(
               col("tf") * log(lit(n.toDouble) / col("df")) * 1e6, 0)
-              .cast("long").as("f")))
+              .cast("long").as("f"))
+        graft.util.Snapshot(w.groupBy("pid").agg(
+          map_from_entries(collect_list(struct(col("token"), col("f")))).as("v"),
+          sum(col("f") * col("f")).as("nrm2")))
       })
-      val nrm = w.groupBy("pid").agg(sum(col("f") * col("f")).as("nrm2"))
       val cand = wnpCbsAvgOrDirty(s, d).select("p1", "p2")
-      // SHUFFLE_HASH, not broadcast: w is O(profiles x tokens) — it
-      // GROWS with the corpus, and at 10x data its snapshot still
-      // undercuts the 10MB broadcast threshold, so Catalyst would build
-      // and ship a millions-row hash relation twice per run (measured:
-      // the dominant term of the r10 scale audit's one cliff). The
-      // per-pair dot product is a shuffled equi-join either way.
+      // SHUFFLE_HASH, not broadcast: the vector table is O(profiles) — it
+      // GROWS with the corpus, and a size-estimate miss would make
+      // Catalyst build and ship the whole hash relation twice per run
+      // (the r10 scale-audit cliff). The pair scoring is an equi-join on
+      // the profile id either way.
       cand
-        .join(w.select(col("pid").as("p1"), col("token"), col("f").as("f1"))
-          .hint("shuffle_hash"), Seq("p1"))
-        .join(w.select(col("pid").as("p2"), col("token"), col("f").as("f2"))
-          .hint("shuffle_hash"), Seq("p2", "token"))
-        .groupBy("p1", "p2").agg(sum(col("f1") * col("f2")).as("dp"))
-        .join(nrm.select(col("pid").as("p1"), col("nrm2").as("n1")), Seq("p1"))
-        .join(nrm.select(col("pid").as("p2"), col("nrm2").as("n2")), Seq("p2"))
+        .join(vecs.select(col("pid").as("p1"), col("v").as("v1"),
+          col("nrm2").as("n1")).hint("shuffle_hash"), Seq("p1"))
+        .join(vecs.select(col("pid").as("p2"), col("v").as("v2"),
+          col("nrm2").as("n2")).hint("shuffle_hash"), Seq("p2"))
+        .withColumn("dp", aggregate(map_entries(col("v1")), lit(0L),
+          (acc, e) => acc + e.getField("value") *
+            coalesce(element_at(col("v2"), e.getField("key")), lit(0L))))
         .withColumn("sim_tfidf", graft.functions.FastRound.round(
           col("dp").cast("double") /
             (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))), 9))
