@@ -255,15 +255,22 @@ object Blocking {
     val a = sized.filter(col("is_new") === 1)
       .select(col("key"), col("profile_id").as("src"))
     val b = sized.select(col("key"), col("profile_id").as("dst"), col("is_new").as("nb"))
+    // count(1), not countDistinct(key): (key, profile_id) is unique in the
+    // capped union (tokenKeys deduplicates per profile and the old/new
+    // profile sets are disjoint), so the equi-join emits each (key, src,
+    // dst) at most once and the plain count equals the distinct count —
+    // without the two-phase distinct-aggregate expansion over the O(new
+    // candidates) join output (guide §2.3: aggregate before you shuffle).
     val deCbs = a.join(b, Seq("key")).filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst", "nb").agg(countDistinct("key").as("cbs"))
+      .groupBy("src", "dst", "nb").agg(count(lit(1)).as("cbs"))
     // directed new->any edges; snapshot: read by the threshold aggregate
     // and the pruning join (small: O(new-batch candidates))
     val de = graft.util.Snapshot(weight match {
       case WeightType.CBS =>
         deCbs.withColumn("w", col("cbs").cast("double"))
       case _ =>
-        val kc = sized.groupBy("profile_id").agg(countDistinct("key").as("nk"))
+        // same uniqueness argument: one row per (key, profile_id)
+        val kc = sized.groupBy("profile_id").agg(count(lit(1)).as("nk"))
         deCbs
           .join(kc.select(col("profile_id").as("src"), col("nk").as("k1")), Seq("src"))
           .join(kc.select(col("profile_id").as("dst"), col("nk").as("k2")), Seq("dst"))
