@@ -479,17 +479,26 @@ object SqlQueries {
     // rewrite that matters when lineitem is the 100 TB table. Oracle
     // keeps the EXISTS form, so agreement proves the rewrite.
     "sql_waiting_supplier" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val perOrder = li.groupBy(col("l_orderkey").as("agg_ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("n_late_supp"))
-      li.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      // ONE lineitem scan (was two) and NO distinct-aggregate expansion:
+      // collapse to distinct (order, supplier) rows with a late flag in a
+      // plain two-stage aggregate, then count suppliers per order from
+      // those rows (guide §2.3 — aggregate before you shuffle; the two
+      // countDistincts expanded every lineitem row 3x into the shuffle).
+      // The qualifying orders require EXACTLY ONE late supplier, so that
+      // supplier rides the same aggregate as max(when(late, suppkey)) and
+      // the join back onto the late (order, supplier) pairs disappears.
+      // l_suppkey is non-null in this data; the filter pins the
+      // countDistinct null semantics the old shape had either way.
+      val perSupp = t(s, d, "lineitem")
+        .filter(col("l_suppkey").isNotNull)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("late"))
+      val perOrder = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late_supp"),
+          max(when(col("late") === 1, col("l_suppkey"))).as("l_suppkey"))
+      perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
         .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
           .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
-        .join(perOrder, col("l_orderkey") === col("agg_ok"))
-        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
         .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
