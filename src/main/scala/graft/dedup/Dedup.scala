@@ -95,8 +95,11 @@ object Dedup {
                    materialized: Boolean = false): DataFrame = {
     // read by the index (twice, self-join) + sizes; parquet snapshot, not
     // MemoryStore (lock contention at local[32]). `materialized = true`
-    // when sh0 is already a parquet-backed snapshot (the per-dir shingle
-    // memo): re-referencing a scan is cheap, re-writing it per run is not.
+    // is a CALLER PROMISE that sh0 is already file-backed (the per-dir
+    // shingle memo): re-referencing a scan is cheap, re-writing it per
+    // run is not. Passing true with a lazy or non-deterministic plan
+    // would evaluate each self-join side independently — only ever pass
+    // it for a Snapshot/parquet-backed input.
     val sh = if (materialized) sh0 else graft.util.Snapshot(sh0)
     val freqOk = graft.util.CapMetrics.dropHotKeys(sh, "shingle", maxShingleFreq, "jaccard_pairs_cap")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))

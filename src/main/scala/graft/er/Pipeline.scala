@@ -83,7 +83,12 @@ object Pipeline {
  */
 object Evaluation {
   /** candidates: (p1, p2) with p1 < p2; gt: (p1, p2) with p1 < p2.
-   * Returns 1 row (num_candidates, num_matches, num_gt, pc, pq, f1). */
+   * Returns 1 row (num_candidates, num_matches, num_gt, pc, pq, f1).
+   *
+   * CONTRACT: `gt` must be materialized (a parquet/file-backed scan, as
+   * every current caller passes) — its distinct is evaluated TWICE below
+   * (join build side + the num_gt aggregate), which is only cheap when
+   * each evaluation is a re-scan, not a re-computation of a lazy plan. */
   def pcPq(candidates: DataFrame, gt: DataFrame): DataFrame = {
     // ONE pass over the candidate stream: a left join against the distinct
     // ground truth marks matches, and a single aggregate counts candidates

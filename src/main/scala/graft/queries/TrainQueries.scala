@@ -1949,24 +1949,24 @@ object TrainQueries {
     // under normality) — immune to the outliers it hunts, unlike the
     // moment-based evt_zscore; two broadcast-joined exact-percentile
     // passes (Stats.exactPercentiles: O(1) task memory, no group buffer).
-    // The per-(type, value) count table is a pure function of the input
-    // and BOTH percentile walks consume it: aggregate it once per run,
-    // snapshot it, and run the median and MAD passes cnt-weighted over
-    // the distinct values (guide §2 — one O(N) scan instead of two; the
-    // weighted rank prefix is bit-identical to feeding the raw rows).
-    // The MAD pass's deviations are derived per DISTINCT value — same
-    // dev multiset, since dev is a function of (event_type, value).
+    // MEASURED NEGATIVE (r11): sharing the per-(type, value) count table
+    // between the walks via a per-run snapshot read 0.72x — the values
+    // are near-continuous doubles (sf0.1: 49k distinct of 100k rows), so
+    // the snapshot WRITE of ~N/2 rows per run costs more than the one
+    // raw scan it saves, at this SF and worse at scale (guide §5: cache
+    // only when recompute > cost). Each walk aggregates its own value
+    // counts inside rankedPrefix, as before; the weighted variant
+    // remains available (and spec-pinned) for genuinely low-cardinality
+    // inputs.
     "evt_mad_zscore" -> ((s, d) => {
       val e = events(s, d)
-      val vc = graft.util.Snapshot(e.groupBy("event_type", "value")
-        .agg(count(lit(1)).as("cnt")))
-      val med = graft.operators.Stats.exactPercentiles(vc,
-        Seq("event_type"), "value", Seq("med" -> 0.5), weight = col("cnt"))
+      val med = graft.operators.Stats.exactPercentiles(e,
+        Seq("event_type"), "value", Seq("med" -> 0.5))
       val mad = graft.operators.Stats.exactPercentiles(
-        vc.join(broadcast(med), "event_type")
+        e.join(broadcast(med), "event_type")
           .select(col("event_type"), col("med"),
-            abs(col("value") - col("med")).as("dev"), col("cnt")),
-        Seq("event_type", "med"), "dev", Seq("mad" -> 0.5), weight = col("cnt"))
+            abs(col("value") - col("med")).as("dev")),
+        Seq("event_type", "med"), "dev", Seq("mad" -> 0.5))
       e.join(broadcast(mad), "event_type")
         .select(col("event_id"), col("event_type"), col("value"),
           graft.functions.FastRound.round(

@@ -41,6 +41,7 @@ object Snapshot {
    * touching that field. */
   def observed(df: DataFrame, metrics: org.apache.spark.sql.Column*)
       : (DataFrame, Map[String, Any]) = {
+    require(metrics.nonEmpty, "Snapshot.observed needs at least one metric")
     val name = s"snap_obs_${java.util.UUID.randomUUID().toString.take(12)}"
     val spark = df.sparkSession
     val latch = new java.util.concurrent.CountDownLatch(1)
@@ -61,11 +62,16 @@ object Snapshot {
       val reader =
         materialize(df.observe(name, metrics.head, metrics.tail: _*))._2
       // the listener bus delivers asynchronously — wait for this write's
-      // metrics (name is unique per call, so other queries can't match)
-      if (!latch.await(5, java.util.concurrent.TimeUnit.MINUTES))
-        throw new IllegalStateException(
-          s"Snapshot.observed: metrics '$name' not delivered")
-      val r = row.get
+      // metrics (name is unique per call, so other queries can't match).
+      // If the bounded listener queue dropped or badly delayed the event
+      // (possible under concurrent warmup load), recompute the same
+      // aggregates over the just-written parquet instead of aborting: the
+      // observe node passes every column of `df` through to the write, so
+      // reader.agg(metrics...) aggregates the identical rows. One extra
+      // O(output) job on a path that otherwise threw mid-operator.
+      val r =
+        if (latch.await(60, java.util.concurrent.TimeUnit.SECONDS)) row.get
+        else reader.agg(metrics.head, metrics.tail: _*).collect().head
       (reader, r.schema.fieldNames.zipWithIndex
         .map { case (f, i) => f -> r.get(i) }.toMap)
     } finally spark.listenerManager.unregister(listener)

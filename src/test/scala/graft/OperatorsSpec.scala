@@ -281,6 +281,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactPercentiles weighted over a value-count table == raw rows bit-for-bit") {
+    // the evt_mad_zscore rewrite feeds a pre-aggregated (group, value, cnt)
+    // table with weight = col(cnt); the rank prefix must sum the same
+    // integer counts as the expanded raw rows, so every percentile —
+    // including interpolated ones landing between tied values — is the
+    // same double. n (countCol) must report the weighted row count.
+    val ps = Seq("p00" -> 0.0, "p33" -> 0.33, "p50" -> 0.5, "p90" -> 0.9,
+      "p100" -> 1.0)
+    for (seed <- 4 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val raw = (0 until 400).map { _ =>
+        (s"g${rnd.nextInt(5)}", rnd.nextInt(12).toDouble / 8.0)
+      } :+ (("solo", 3.25))
+      val rawDf = raw.toDF("g", "x").repartition(5)
+      val vc = rawDf.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+      val read = (df: DataFrame) => df.collect().map(r => r.getString(0) ->
+        (ps.indices.map(i => r.getDouble(1 + i)), r.getLong(1 + ps.size))).toMap
+      val viaRaw = read(graft.operators.Stats
+        .exactPercentiles(rawDf, Seq("g"), "x", ps, countCol = Some("n")))
+      val viaVc = read(graft.operators.Stats
+        .exactPercentiles(vc, Seq("g"), "x", ps, countCol = Some("n"),
+          weight = col("cnt")))
+      assert(viaVc.keySet == viaRaw.keySet, s"seed $seed group sets differ")
+      for (g <- viaRaw.keySet) {
+        for (i <- ps.indices)
+          assert(viaVc(g)._1(i) == viaRaw(g)._1(i),
+            s"seed $seed group $g ${ps(i)._1}: ${viaVc(g)._1(i)} != ${viaRaw(g)._1(i)}")
+        assert(viaVc(g)._2 == viaRaw(g)._2, s"seed $seed group $g weighted count")
+      }
+    }
+  }
+
   test("exactPercentilesDisc picks the value at rank ceil(p*n)-1 (quantile_disc)") {
     val ps = Seq("p05" -> 0.05, "p25" -> 0.25, "p50" -> 0.5,
       "p75" -> 0.75, "p95" -> 0.95, "p100" -> 1.0)
@@ -533,6 +565,14 @@ class OperatorsSpec extends AnyFunSuite {
       count(lit(1)).as("n"), sum(col("v")).as("s"))
     assert(reader.count() == 3L)
     assert(m("n") == 3L && m("s") == 60L)
+  }
+
+  test("Snapshot.observed rejects an empty metrics list up front") {
+    val df = Seq((1L, 1L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.util.Snapshot.observed(df)
+    }
+    assert(e.getMessage.contains("at least one metric"))
   }
 
   test("Snapshot.observed leaves the SparkSession serializable") {
